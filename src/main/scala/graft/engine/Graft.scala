@@ -1,0 +1,56 @@
+package graft.engine
+
+import org.apache.spark.sql.SparkSession
+
+/** SparkSession factory with the engine's pinned configuration.
+  *
+  * Pinned for determinism (the DuckDB-oracle hash compare needs UTC
+  * timestamps and stable plans) and for local[32] scale posture that
+  * translates to a real cluster:
+  *  - AQE on: runtime coalescing of shuffle partitions, skew-join
+  *    splitting, dynamic join-strategy switch — the knobs that keep a
+  *    plan healthy at 1000x the data without re-tuning.
+  *  - shuffle.partitions matched to cores locally; on a cluster this
+  *    is sized to ~2-3x total cores and AQE coalesces down.
+  *  - broadcast threshold 64 MB: TPC-H-ish dimension tables (region,
+  *    nation, supplier, part, customer at small SF) broadcast instead
+  *    of shuffling the fact side.
+  */
+object Graft {
+
+  val DefaultShufflePartitions = 32
+
+  def builder(master: String = "local[*]",
+              shufflePartitions: Int = DefaultShufflePartitions): SparkSession.Builder =
+    SparkSession.builder()
+      .master(master)
+      .appName("graft")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+      .config("spark.sql.parquet.filterPushdown", "true")
+      .config("spark.sql.parquet.aggregatePushdown", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+
+  def session(master: String = "local[*]",
+              shufflePartitions: Int = DefaultShufflePartitions): SparkSession = {
+    val spark = builder(master, shufflePartitions).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  /** Apply the engine's pinned SQL configs to an existing session
+    * (used when the driver owns session construction, e.g. Verify). */
+  def pin(spark: SparkSession): SparkSession = {
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+    spark
+  }
+}

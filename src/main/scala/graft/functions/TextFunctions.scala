@@ -1,0 +1,122 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for the LLM-data-pipeline operators
+  * (SURVEY.md §2.B UDF surface): tokenization, n-gram shingles,
+  * MinHash signatures, SimHash, fingerprints, quality metrics,
+  * language-ID heuristics.
+  *
+  * Everything is composed from built-in (codegen'd) Catalyst
+  * expressions — `split`, `transform`, `aggregate`, `xxhash64` — so
+  * the hot path stays inside whole-stage codegen and distributes
+  * without a UDF serialization boundary.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens of a trimmed document. */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
+
+  /** Whitespace-normalized, lowercased canonical form. */
+  def normalized(text: Column): Column = lower(regexp_replace(trim(text), "\\s+", " "))
+
+  /** Content-addressed document fingerprint (md5 of canonical form).
+    * Exact-duplicate groups share a fingerprint; at 100 TB this is the
+    * groupBy key for exact dedup (fixed 32-byte key instead of full text).
+    */
+  def fingerprint(text: Column): Column = md5(normalized(text))
+
+  /** SHA-256 content hash (collision-safe exact-dup key). */
+  def contentSha(text: Column): Column = sha2(text, 256)
+
+  /** Word n-gram shingles: `["a b c", "b c d", ...]` from the token array. */
+  def shingles(text: Column, n: Int): Column = {
+    val t = tokens(text)
+    when(size(t) < n, array(concat_ws(" ", t)))
+      .otherwise(transform(
+        sequence(lit(0), size(t) - n),
+        i => concat_ws(" ", slice(t, i + 1, lit(n)))))
+  }
+
+  /** MinHash signature: `k` permutations simulated as seeded xxhash64
+    * over the shingle set; signature element j = min over shingles of
+    * hash(shingle, j). Two documents' signatures agree at position j
+    * with probability = Jaccard similarity of their shingle sets.
+    */
+  def minhashSignature(shingleArr: Column, k: Int): Column =
+    transform(sequence(lit(0), lit(k - 1)),
+      seed => array_min(transform(shingleArr, sh => xxhash64(sh, seed))))
+
+  /** LSH band keys from a MinHash signature: `bands` hashes, each over
+    * `rowsPerBand` consecutive signature slots. Documents sharing any
+    * band key are near-dup candidates; the band key is the shuffle key
+    * that makes near-dedup a distributed equi-join instead of O(n^2).
+    */
+  def minhashBands(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)),
+      j => xxhash64(slice(sig, j * rowsPerBand + 1, lit(rowsPerBand)), j))
+
+  /** Bit masks 1L<<63 .. 1L<<0, MSB first. */
+  private val simhashMasks: Column = typedlit((63 to 0 by -1).map(i => 1L << i))
+
+  /** 64-bit SimHash over the token multiset: per bit position, sum +1
+    * for tokens whose hash has the bit set, -1 otherwise; the sign of
+    * the sum is the output bit. Near-identical documents differ in few
+    * bits (Hamming distance), so bucketing by bit-blocks finds
+    * near-dups at scale. One pass over the tokens building a 64-slot
+    * counter array, then a pack fold — all inside codegen'd
+    * higher-order functions.
+    */
+  def simhash64(text: Column): Column = {
+    val hashes = transform(tokens(text), t => xxhash64(t))
+    val counts = aggregate(hashes, array_repeat(lit(0L), 64),
+      (acc, h) => zip_with(
+        acc,
+        transform(sequence(lit(1), lit(64)), j =>
+          when(h.bitwiseAND(element_at(simhashMasks, j)) =!= 0, lit(1L)).otherwise(lit(-1L))),
+        (a, b) => a + b))
+    // pack MSB-first: acc*2 + (count > 0)
+    aggregate(counts, lit(0L), (acc, c) => acc * 2 + when(c > 0, lit(1L)).otherwise(lit(0L)))
+  }
+
+  /** Hamming distance between two 64-bit signatures (popcount of XOR). */
+  def hamming64(a: Column, b: Column): Column = {
+    val x = a.bitwiseXOR(b)
+    aggregate(
+      transform(sequence(lit(1), lit(64)), j =>
+        when(x.bitwiseAND(element_at(simhashMasks, j)) =!= 0, lit(1L)).otherwise(lit(0L))),
+      lit(0L), (acc, v) => acc + v)
+  }
+
+  /** Jaccard similarity of the distinct-token sets of two documents. */
+  def tokenJaccard(a: Column, b: Column): Column = {
+    val ta = array_distinct(tokens(a))
+    val tb = array_distinct(tokens(b))
+    size(array_intersect(ta, tb)).cast("double") / size(array_union(ta, tb)).cast("double")
+  }
+
+  // ---- quality metrics -------------------------------------------------
+
+  def charCount(text: Column): Column = length(text).cast("long")
+
+  /** Mean token length = non-whitespace chars / token count. */
+  def avgTokenLen(text: Column): Column =
+    length(regexp_replace(text, "\\s", "")).cast("double") / tokenCount(text)
+
+  def upperRatio(text: Column): Column =
+    length(regexp_replace(text, "[^A-Z]", "")).cast("double") / length(text)
+
+  def digitRatio(text: Column): Column =
+    length(regexp_replace(text, "[^0-9]", "")).cast("double") / length(text)
+
+  def punctRatio(text: Column): Column =
+    length(regexp_replace(text, "[^.,;:!?'\"()]", "")).cast("double") / length(text)
+
+  /** Distinct-token / total-token ratio: low values flag repetitive
+    * (low-quality / boilerplate) documents. */
+  def distinctTokenRatio(text: Column): Column =
+    size(array_distinct(tokens(text))).cast("double") / tokenCount(text)
+}
