@@ -1,0 +1,102 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate: run graft.Verify at
+sf0.01, then compare each query's parquet dump against its DuckDB oracle.
+
+Usage: python3 scripts/check_oracle.py [outDir]
+(run `sbt "runMain graft.Verify /root/testdata/sf0.01 /tmp/verify_out"` first,
+or pass --run to do it here)
+
+Compare rule (mirrors the driver contract as documented in the builder
+prompt): sort columns by name, sort rows, compare values with doubles
+rounded to a tolerance-free canonical repr.
+"""
+import sys, os, json, subprocess, math
+import duckdb
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return repr(v)
+    return str(v)
+
+
+def frame_rows(rel):
+    df = rel.df()
+    cols = sorted(df.columns)
+    df = df[cols]
+    rows = [tuple(canon(v) for v in row) for row in df.itertuples(index=False, name=None)]
+    rows.sort()
+    return cols, rows
+
+
+def main():
+    out_dir = sys.argv[1] if len(sys.argv) > 1 and not sys.argv[1].startswith("--") else "/tmp/verify_out"
+    if "--run" in sys.argv:
+        subprocess.run(["sbt", "-batch", f'runMain graft.Verify {SF_DIR} {out_dir}'],
+                       check=True, capture_output=True, text=True)
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name in sorted(oracle):
+        sql = oracle[name]
+        pq = f"{out_dir}/{name}"
+        if not os.path.isdir(pq):
+            print(f"FAIL {name}: no spark output at {pq}")
+            n_fail += 1
+            continue
+        try:
+            scols, srows = frame_rows(con.sql(f"SELECT * FROM '{pq}/*.parquet'"))
+        except Exception as e:
+            print(f"FAIL {name}: cannot read spark output: {e}")
+            n_fail += 1
+            continue
+        try:
+            ocols, orows = frame_rows(con.sql(sql))
+        except Exception as e:
+            print(f"FAIL {name}: oracle SQL error: {e}")
+            n_fail += 1
+            continue
+        if scols != ocols:
+            print(f"FAIL {name}: columns spark={scols} oracle={ocols}")
+            n_fail += 1
+            continue
+        if len(srows) != len(orows):
+            print(f"FAIL {name}: rowcount spark={len(srows)} oracle={len(orows)}")
+            n_fail += 1
+            continue
+        bad = [(a, b) for a, b in zip(srows, orows) if a != b]
+        if bad:
+            print(f"FAIL {name}: {len(bad)}/{len(srows)} row mismatches; first: spark={bad[0][0]} oracle={bad[0][1]}")
+            n_fail += 1
+            continue
+        print(f"PASS {name} ({len(srows)} rows)")
+        n_pass += 1
+
+    # rows-only queries (present as parquet but no oracle)
+    for d in sorted(os.listdir(out_dir)):
+        p = os.path.join(out_dir, d)
+        if os.path.isdir(p) and d not in oracle:
+            try:
+                n = con.sql(f"SELECT count(*) FROM '{p}/*.parquet'").fetchone()[0]
+                print(f"INFO {d}: rows-only, {n} rows")
+            except Exception as e:
+                print(f"WARN {d}: unreadable: {e}")
+
+    print(f"\n{n_pass} pass / {n_fail} fail")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()

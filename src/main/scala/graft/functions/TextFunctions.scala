@@ -78,8 +78,10 @@ object TextFunctions {
         transform(sequence(lit(1), lit(64)), j =>
           when(h.bitwiseAND(element_at(simhashMasks, j)) =!= 0, lit(1L)).otherwise(lit(-1L))),
         (a, b) => a + b))
-    // pack MSB-first: acc*2 + (count > 0)
-    aggregate(counts, lit(0L), (acc, c) => acc * 2 + when(c > 0, lit(1L)).otherwise(lit(0L)))
+    // pack MSB-first: shiftleft wraps at bit 63 (unlike `acc*2`, which
+    // throws under ANSI mode when the sign bit fills)
+    aggregate(counts, lit(0L), (acc, c) =>
+      shiftleft(acc, 1).bitwiseOR(when(c > 0, lit(1L)).otherwise(lit(0L))))
   }
 
   /** Hamming distance between two 64-bit signatures (popcount of XOR). */

@@ -1,0 +1,654 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+import graft.operators.{AsOfJoin, CdcMerge, IntervalJoin}
+import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
+
+/** One declared engine query: Spark implementation + (when
+  * SQL-expressible) the equivalent ANSI SQL for the DuckDB oracle.
+  *
+  * Contract (SURVEY.md §2.C): column names AND types must match
+  * between the Spark result and the oracle result — every computed
+  * column is aliased identically on both sides, `row_number`/`size`
+  * results are cast to BIGINT (DuckDB's window/len type), and
+  * order-dependent double aggregates are rounded on both sides so the
+  * hash compare is stable across engines.
+  *
+  * `headline` marks queries run by the sf0.1 bench (`graft.Bench`);
+  * the exact all-pairs O(n^2) variants are verify-only — their scale
+  * path is the LSH-bucketed queries.
+  */
+final case class Query(
+    name: String,
+    run: (SparkSession, String) => DataFrame,
+    oracle: Option[String],
+    headline: Boolean = true)
+
+object Catalog {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  // Deterministic cosine: cast float -> double, sequential fold.
+  private def cosineCols(a: Column, b: Column): Column = VF.cosine(a, b)
+
+  val all: Seq[Query] = Seq(
+
+    // ------------------------------------------------------------------
+    // Q1: filter + project with parquet pushdown (SURVEY §2.C Q1).
+    Query(
+      "q01_filter_project",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "lineitem")
+          .filter($"l_shipdate" >= lit("1997-01-01").cast("timestamp") &&
+                  $"l_shipdate" <  lit("1998-01-01").cast("timestamp") &&
+                  $"l_discount".between(0.05, 0.07) && $"l_quantity" < 25)
+          .select($"l_orderkey", $"l_linenumber", $"l_quantity",
+                  $"l_extendedprice", $"l_discount",
+                  ($"l_extendedprice" * $"l_discount").as("promo_revenue"))
+      },
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount,
+             |       l_extendedprice * l_discount AS promo_revenue
+             |FROM lineitem
+             |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+             |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 25""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Q2: TPC-H-Q1-style hash aggregation (partial+final via Catalyst).
+    Query(
+      "q02_group_agg",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "lineitem")
+          .groupBy($"l_returnflag", $"l_linestatus")
+          .agg(
+            sum($"l_quantity").as("sum_qty"),
+            round(sum($"l_extendedprice"), 2).as("sum_base_price"),
+            round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("sum_disc_price"),
+            round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount") * (lit(1.0) + $"l_tax")), 2).as("sum_charge"),
+            avg($"l_quantity").as("avg_qty"),
+            round(avg($"l_extendedprice"), 4).as("avg_price"),
+            count(lit(1)).as("count_order"))
+          .orderBy($"l_returnflag", $"l_linestatus")
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+             |       sum(l_quantity) AS sum_qty,
+             |       round(sum(l_extendedprice), 2) AS sum_base_price,
+             |       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+             |       round(sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)), 2) AS sum_charge,
+             |       avg(l_quantity) AS avg_qty,
+             |       round(avg(l_extendedprice), 4) AS avg_price,
+             |       count(*) AS count_order
+             |FROM lineitem GROUP BY l_returnflag, l_linestatus
+             |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Q3: 3-way join + agg + top-10 (TakeOrderedAndProject).
+    Query(
+      "q03_join_topk",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "customer")
+          .join(t(s, dir, "orders"), $"c_custkey" === $"o_custkey")
+          .join(t(s, dir, "lineitem"), $"o_orderkey" === $"l_orderkey")
+          .groupBy($"c_custkey", $"c_name")
+          .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("revenue"),
+               countDistinct($"o_orderkey").as("n_orders"))
+          .orderBy($"revenue".desc, $"c_custkey")
+          .limit(10)
+      },
+      Some("""SELECT c_custkey, c_name,
+             |       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+             |       count(DISTINCT o_orderkey) AS n_orders
+             |FROM customer JOIN orders ON c_custkey = o_custkey
+             |              JOIN lineitem ON o_orderkey = l_orderkey
+             |GROUP BY c_custkey, c_name
+             |ORDER BY revenue DESC, c_custkey LIMIT 10""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Q4: broadcast dim-chain join (region ⋈ nation broadcast to customer).
+    Query(
+      "q04_broadcast_join",
+      (s, dir) => {
+        import s.implicits._
+        val dims = t(s, dir, "nation")
+          .join(t(s, dir, "region"), $"n_regionkey" === $"r_regionkey")
+          .select($"n_nationkey", $"r_name")
+        t(s, dir, "customer")
+          .join(broadcast(dims), $"c_nationkey" === $"n_nationkey")
+          .groupBy($"r_name")
+          .agg(count(lit(1)).as("n_customers"),
+               round(sum($"c_acctbal"), 2).as("total_acctbal"),
+               round(avg($"c_acctbal"), 4).as("avg_acctbal"))
+          .orderBy($"r_name")
+      },
+      Some("""SELECT r_name,
+             |       count(*) AS n_customers,
+             |       round(sum(c_acctbal), 2) AS total_acctbal,
+             |       round(avg(c_acctbal), 4) AS avg_acctbal
+             |FROM customer JOIN nation ON c_nationkey = n_nationkey
+             |              JOIN region ON n_regionkey = r_regionkey
+             |GROUP BY r_name ORDER BY r_name""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Q5: left-anti join — customers with no orders.
+    Query(
+      "q05_anti_join",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "customer")
+          .join(t(s, dir, "orders").filter($"o_orderstatus" === "F"),
+                $"c_custkey" === $"o_custkey", "left_anti")
+          .select($"c_custkey", $"c_name", $"c_mktsegment")
+          .orderBy($"c_custkey")
+      },
+      Some("""SELECT c_custkey, c_name, c_mktsegment FROM customer c
+             |WHERE NOT EXISTS (SELECT 1 FROM orders o
+             |                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Q6: rollup on orders (status, priority).
+    Query(
+      "q06_rollup",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "orders")
+          .rollup($"o_orderstatus", $"o_orderpriority")
+          .agg(count(lit(1)).as("n_orders"),
+               round(sum($"o_totalprice"), 2).as("total_price"))
+          .select(coalesce($"o_orderstatus", lit("ALL")).as("status"),
+                  coalesce($"o_orderpriority", lit("ALL")).as("priority"),
+                  $"n_orders", $"total_price")
+          .orderBy($"status", $"priority")
+      },
+      Some("""SELECT coalesce(o_orderstatus, 'ALL') AS status,
+             |       coalesce(o_orderpriority, 'ALL') AS priority,
+             |       count(*) AS n_orders,
+             |       round(sum(o_totalprice), 2) AS total_price
+             |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+             |ORDER BY status, priority""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Q7: window ranking — top-3 orders per customer by totalprice.
+    Query(
+      "q07_window_topk",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"o_custkey")
+          .orderBy($"o_totalprice".desc, $"o_orderkey")
+        t(s, dir, "orders")
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .filter($"rn" <= 3)
+          .select($"o_custkey", $"o_orderkey", $"o_totalprice", $"rn")
+          .orderBy($"o_custkey", $"rn")
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+             |  SELECT o_custkey, o_orderkey, o_totalprice,
+             |         row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+             |  FROM orders)
+             |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Q8: as-of join — latest order on-or-before each event, per user.
+    // Right side pre-deduped to one row per (key, time) so the result
+    // is deterministic on both engines.
+    Query(
+      "q08_asof_join",
+      (s, dir) => {
+        import s.implicits._
+        val ordersByDay = t(s, dir, "orders")
+          .groupBy($"o_custkey", $"o_orderdate")
+          .agg(max($"o_orderkey").as("ok"))
+        val ev = t(s, dir, "events").select($"event_id", $"user_id", $"ts")
+        AsOfJoin.latestOnOrBefore(ev, ordersByDay,
+            leftKey = "user_id", rightKey = "o_custkey",
+            leftTime = "ts", rightTime = "o_orderdate",
+            rightVal = "ok", outCol = "last_orderkey")
+          .select($"event_id", $"user_id", $"last_orderkey")
+          .orderBy($"event_id")
+      },
+      Some("""WITH od AS (
+             |  SELECT o_custkey, o_orderdate, max(o_orderkey) AS ok
+             |  FROM orders GROUP BY o_custkey, o_orderdate)
+             |SELECT e.event_id, e.user_id, od.ok AS last_orderkey
+             |FROM events e ASOF LEFT JOIN od
+             |  ON e.user_id = od.o_custkey AND e.ts >= od.o_orderdate
+             |ORDER BY e.event_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Q9: exact distinct counts per event type.
+    Query(
+      "q09_distinct",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "events")
+          .groupBy($"event_type")
+          .agg(countDistinct($"user_id").as("n_users"),
+               count(lit(1)).as("n_events"))
+          .orderBy($"event_type")
+      },
+      Some("""SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // Q9b: HLL++ sketch counterpart (approximate — rows-only check;
+    // the scale path for count-distinct at 100 TB).
+    Query(
+      "q09b_approx_distinct",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "events")
+          .groupBy($"event_type")
+          .agg(approx_count_distinct($"user_id").as("n_users_approx"),
+               count(lit(1)).as("n_events"))
+          .orderBy($"event_type")
+      },
+      None),
+
+    // ------------------------------------------------------------------
+    // Q10: tumbling event-time windows (batch form of the streaming
+    // windowed count; the streaming variant with watermark is covered
+    // by StreamingSpec).
+    Query(
+      "q10_tumbling_window",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "events")
+          .groupBy(window($"ts", "1 hour").as("w"), $"event_type")
+          .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("total_value"))
+          .select(unix_millis($"w.start").as("w_start_ms"), $"event_type", $"n", $"total_value")
+          .orderBy($"w_start_ms", $"event_type")
+      },
+      Some("""SELECT (epoch_ms(ts) // 3600000) * 3600000 AS w_start_ms, event_type,
+             |       count(*) AS n, round(sum(value), 2) AS total_value
+             |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Q11: CDC latest-wins materialization (batch form of R4): events
+    // as a keyed changelog per user, latest row wins, latest 'error'
+    // acts as tombstone.
+    Query(
+      "q11_cdc_latest",
+      (s, dir) => {
+        import s.implicits._
+        CdcMerge.materialize(
+            t(s, dir, "events"),
+            keys = Seq("user_id"),
+            ordering = Seq($"ts".desc, $"event_id".desc),
+            isTombstone = $"event_type" === "error")
+          .select($"user_id", $"event_id".as("last_event_id"),
+                  $"event_type".as("last_type"), $"value".as("last_value"))
+          .orderBy($"user_id")
+      },
+      Some("""SELECT user_id, event_id AS last_event_id, event_type AS last_type, value AS last_value
+             |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+             |      FROM events)
+             |WHERE rn = 1 AND event_type <> 'error'
+             |ORDER BY user_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Q12: exact dedup — content fingerprint groups (md5 of the
+    // whitespace-normalized lowercased text; fixed 32-byte groupBy key
+    // instead of the full document at 100 TB).
+    Query(
+      "q12_exact_dedup",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "documents")
+          .groupBy(TF.fingerprint($"text").as("fp"))
+          .agg(count(lit(1)).as("n_docs"), min($"doc_id").as("first_doc"))
+          .orderBy($"fp")
+      },
+      Some("""SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp,
+             |       count(*) AS n_docs, min(doc_id) AS first_doc
+             |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Q13: brute-force top-k cosine neighbors for 10 query vectors.
+    Query(
+      "q13_topk_cosine",
+      (s, dir) => {
+        import s.implicits._
+        val e = t(s, dir, "embeddings")
+          .select($"vec_id", VF.asDouble($"embedding").as("v"))
+        val q = e.select($"vec_id".as("qid"), $"v".as("qv")).filter($"qid" < 10)
+        val sims = e.select($"vec_id".as("nid"), $"v".as("nv"))
+          .join(broadcast(q), $"nid" =!= $"qid")
+          .select($"qid", $"nid", cosineCols($"qv", $"nv").as("sim"))
+        val w = Window.partitionBy($"qid").orderBy($"sim".desc, $"nid")
+        sims.withColumn("rank", row_number().over(w).cast("long"))
+          .filter($"rank" <= 5)
+          .select($"qid", $"nid", $"rank", round($"sim", 4).as("sim_r"))
+          .orderBy($"qid", $"rank")
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |s AS (SELECT q.vec_id AS qid, c.vec_id AS nid,
+             |             list_dot_product(q.v, c.v) /
+             |               (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS sim
+             |      FROM e q JOIN e c ON c.vec_id <> q.vec_id WHERE q.vec_id < 10),
+             |r AS (SELECT qid, nid, sim,
+             |             row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+             |      FROM s)
+             |SELECT qid, nid, rank, round(sim, 4) AS sim_r FROM r WHERE rank <= 5
+             |ORDER BY qid, rank""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Q14: set operations on orders slices.
+    Query(
+      "q14_setops",
+      (s, dir) => {
+        import s.implicits._
+        val f = t(s, dir, "orders").filter($"o_orderstatus" === "F")
+          .select($"o_custkey").distinct()
+        val u = t(s, dir, "orders").filter($"o_orderpriority" === "1-URGENT")
+          .select($"o_custkey").distinct()
+        f.except(u).withColumn("op", lit("except"))
+          .unionByName(f.intersect(u).withColumn("op", lit("intersect")))
+          .select($"op", $"o_custkey")
+          .orderBy($"op", $"o_custkey")
+      },
+      Some("""WITH f AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'),
+             |     u AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+             |SELECT 'except' AS op, o_custkey FROM (SELECT * FROM f EXCEPT SELECT * FROM u)
+             |UNION ALL
+             |SELECT 'intersect' AS op, o_custkey FROM (SELECT * FROM f INTERSECT SELECT * FROM u)
+             |ORDER BY op, o_custkey""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Q15: MinHash+LSH near-dup candidates, verified with exact
+    // Jaccard. xxhash64-based signatures are not reproducible in
+    // DuckDB SQL -> rows-only check; the *verified* output equals
+    // q16's exact result whenever LSH recall is 1 at this threshold.
+    // Verify-only at O(n^2)-dense corpora; the bench path is this one
+    // (LSH), the oracle-checked exact one is q16.
+    Query(
+      "q15_minhash_neardup",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+          .select($"doc_id", array_distinct(TF.tokens($"text")).as("tk"))
+        val sig = docs.select($"doc_id",
+          TF.minhashSignature($"tk", 64).as("sig"))
+        val bands = sig.select($"doc_id",
+          explode(TF.minhashBands($"sig", 16, 4)).as("band"))
+        val cand = bands.as("a").join(bands.as("b"),
+            $"a.band" === $"b.band" && $"a.doc_id" < $"b.doc_id")
+          .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+          .dropDuplicates("doc_a", "doc_b")
+        val ta = docs.select($"doc_id".as("doc_a"), $"tk".as("tka"))
+        val tb = docs.select($"doc_id".as("doc_b"), $"tk".as("tkb"))
+        cand.join(ta, "doc_a").join(tb, "doc_b")
+          .withColumn("jaccard", round(
+            size(array_intersect($"tka", $"tkb")).cast("double") /
+            size(array_union($"tka", $"tkb")), 4))
+          .filter($"jaccard" >= 0.8)
+          .select($"doc_a", $"doc_b", $"jaccard")
+          .orderBy($"doc_a", $"doc_b")
+      },
+      None,
+      headline = false),
+
+    // ------------------------------------------------------------------
+    // Q16: exact all-pairs token-set Jaccard >= 0.8 (oracle-checked
+    // ground truth for q15; O(n^2) — verify-only, not benched).
+    Query(
+      "q16_jaccard_exact",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+          .select($"doc_id", array_distinct(TF.tokens($"text")).as("tk"))
+        val a = docs.select($"doc_id".as("doc_a"), $"tk".as("tka"))
+        val b = docs.select($"doc_id".as("doc_b"), $"tk".as("tkb"))
+        a.join(broadcast(b), $"doc_a" < $"doc_b")
+          .withColumn("jaccard", round(
+            size(array_intersect($"tka", $"tkb")).cast("double") /
+            size(array_union($"tka", $"tkb")), 4))
+          .filter($"jaccard" >= 0.8)
+          .select($"doc_a", $"doc_b", $"jaccard")
+          .orderBy($"doc_a", $"doc_b")
+      },
+      Some("""WITH tk AS (SELECT doc_id, list_distinct(string_split_regex(trim(text), '\s+')) AS tk
+             |           FROM documents)
+             |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             |       round(len(list_intersect(a.tk, b.tk))::DOUBLE /
+             |             len(list_distinct(list_concat(a.tk, b.tk))), 4) AS jaccard
+             |FROM tk a JOIN tk b ON a.doc_id < b.doc_id
+             |WHERE len(list_intersect(a.tk, b.tk))::DOUBLE /
+             |      len(list_distinct(list_concat(a.tk, b.tk))) >= 0.8
+             |ORDER BY doc_a, doc_b""".stripMargin),
+      headline = false),
+
+    // ------------------------------------------------------------------
+    // Q17: SimHash near-dup pairs — 64-bit signatures, 16-bit block
+    // bucketing, Hamming <= 12 verify. xxhash64-based -> rows-only.
+    Query(
+      "q17_simhash_neardup",
+      (s, dir) => {
+        import s.implicits._
+        val sigs = t(s, dir, "documents")
+          .select($"doc_id", TF.simhash64($"text").as("sig"))
+        val blocks = sigs.select($"doc_id", $"sig",
+          explode(sequence(lit(0), lit(3))).as("blk"))
+          .withColumn("blkval", expr("shiftrightunsigned(sig, blk * 16)").bitwiseAND(lit(0xFFFFL)))
+        val cand = blocks.as("a").join(blocks.as("b"),
+            $"a.blk" === $"b.blk" && $"a.blkval" === $"b.blkval" &&
+            $"a.doc_id" < $"b.doc_id")
+          .select($"a.doc_id".as("doc_a"), $"a.sig".as("sig_a"),
+                  $"b.doc_id".as("doc_b"), $"b.sig".as("sig_b"))
+          .dropDuplicates("doc_a", "doc_b")
+        cand.withColumn("hamming", TF.hamming64($"sig_a", $"sig_b"))
+          .filter($"hamming" <= 12)
+          .select($"doc_a", $"doc_b", $"hamming")
+          .orderBy($"doc_a", $"doc_b")
+      },
+      None,
+      headline = false),
+
+    // ------------------------------------------------------------------
+    // Q18: language-ID heuristic — stopword-marker scores + argmax.
+    Query(
+      "q18_langid",
+      (s, dir) => {
+        import s.implicits._
+        val en = Seq("the", "a", "of", "and", "to")
+        val de = Seq("der", "die", "das", "und", "ist")
+        val fr = Seq("le", "la", "et", "les", "est")
+        def score(markers: Seq[String]): Column =
+          size(filter(TF.tokens(lower($"text")), tok => tok.isInCollection(markers))).cast("long")
+        t(s, dir, "documents")
+          .select($"doc_id", $"lang",
+                  score(en).as("en_score"), score(de).as("de_score"), score(fr).as("fr_score"))
+          .withColumn("predicted",
+            when($"en_score" >= $"de_score" && $"en_score" >= $"fr_score" && $"en_score" > 0, "en")
+              .when($"de_score" >= $"fr_score" && $"de_score" > 0, "de")
+              .when($"fr_score" > 0, "fr")
+              .otherwise("und"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH sc AS (
+             |  SELECT doc_id, lang,
+             |    len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+             |        t -> t IN ('the','a','of','and','to'))) AS en_score,
+             |    len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+             |        t -> t IN ('der','die','das','und','ist'))) AS de_score,
+             |    len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+             |        t -> t IN ('le','la','et','les','est'))) AS fr_score
+             |  FROM documents)
+             |SELECT doc_id, lang, en_score, de_score, fr_score,
+             |  CASE WHEN en_score >= de_score AND en_score >= fr_score AND en_score > 0 THEN 'en'
+             |       WHEN de_score >= fr_score AND de_score > 0 THEN 'de'
+             |       WHEN fr_score > 0 THEN 'fr'
+             |       ELSE 'und' END AS predicted
+             |FROM sc ORDER BY doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Q19: text-quality metrics per document.
+    Query(
+      "q19_text_quality",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "documents")
+          .select($"doc_id",
+                  TF.tokenCount($"text").as("n_tokens"),
+                  TF.charCount($"text").as("n_chars_m"),
+                  round(TF.avgTokenLen($"text"), 4).as("avg_token_len"),
+                  round(TF.distinctTokenRatio($"text"), 4).as("distinct_ratio"))
+          .orderBy($"doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+             |  length(text) AS n_chars_m,
+             |  round(length(regexp_replace(text, '\s', '', 'g'))::DOUBLE /
+             |        len(string_split_regex(trim(text), '\s+')), 4) AS avg_token_len,
+             |  round(len(list_distinct(string_split_regex(trim(text), '\s+')))::DOUBLE /
+             |        len(string_split_regex(trim(text), '\s+')), 4) AS distinct_ratio
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Q20: corpus token frequency — top 50.
+    Query(
+      "q20_token_freq",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "documents")
+          .select(explode(TF.tokens($"text")).as("token"))
+          .groupBy($"token")
+          .agg(count(lit(1)).as("n"))
+          .orderBy($"n".desc, $"token")
+          .limit(50)
+      },
+      Some("""SELECT token, count(*) AS n
+             |FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS token FROM documents)
+             |GROUP BY token ORDER BY n DESC, token LIMIT 50""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Q21: embedding-cosine near-dup pairs (exact; oracle-checked).
+    Query(
+      "q21_embed_neardup",
+      (s, dir) => {
+        import s.implicits._
+        val e = t(s, dir, "embeddings")
+          .select($"vec_id", VF.asDouble($"embedding").as("v"))
+        val a = e.select($"vec_id".as("vec_a"), $"v".as("va"))
+        val b = e.select($"vec_id".as("vec_b"), $"v".as("vb"))
+        a.join(broadcast(b), $"vec_a" < $"vec_b")
+          .withColumn("sim", cosineCols($"va", $"vb"))
+          .filter($"sim" >= 0.35)
+          .select($"vec_a", $"vec_b", round($"sim", 4).as("sim_r"))
+          .orderBy($"vec_a", $"vec_b")
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+             |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             |       round(list_dot_product(a.v, b.v) /
+             |             (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) AS sim_r
+             |FROM e a JOIN e b ON a.vec_id < b.vec_id
+             |WHERE list_dot_product(a.v, b.v) /
+             |      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.35
+             |ORDER BY vec_a, vec_b""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Q22: LSH-bucketed ANN — random-hyperplane buckets as the shuffle
+    // key; top-3 within bucket for 10 query vectors. Deterministic but
+    // xxhash64-based -> rows-only.
+    Query(
+      "q22_ann_lsh",
+      (s, dir) => {
+        import s.implicits._
+        val e = t(s, dir, "embeddings")
+          .select($"vec_id", VF.asDouble($"embedding").as("v"))
+          .withColumn("bucket", VF.hyperplaneBucket($"v", 6))
+        val q = e.filter($"vec_id" < 10)
+          .select($"vec_id".as("qid"), $"v".as("qv"), $"bucket")
+        val cands = e.select($"vec_id".as("nid"), $"v".as("nv"), $"bucket")
+        val sims = q.join(cands, Seq("bucket")).filter($"nid" =!= $"qid")
+          .select($"qid", $"nid", cosineCols($"qv", $"nv").as("sim"))
+        val w = Window.partitionBy($"qid").orderBy($"sim".desc, $"nid")
+        sims.withColumn("rank", row_number().over(w).cast("long"))
+          .filter($"rank" <= 3)
+          .select($"qid", $"nid", $"rank", round($"sim", 4).as("sim_r"))
+          .orderBy($"qid", $"rank")
+      },
+      None),
+
+    // ------------------------------------------------------------------
+    // Q23: multimodal column plumbing — opaque binary payload + typed
+    // metadata (real decode is stubbed; the schema/bytes path is real).
+    Query(
+      "q23_multimodal_meta",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "documents")
+          .withColumn("payload", encode($"text", "UTF-8"))
+          .select($"doc_id",
+                  octet_length($"payload").cast("long").as("n_bytes"),
+                  sha2($"payload", 256).as("sha"))
+          .withColumn("frame_w", $"n_bytes" % 640)
+          .withColumn("frame_rate", $"n_bytes" % 30)
+          .orderBy($"doc_id")
+      },
+      Some("""SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes,
+             |       sha256(text) AS sha,
+             |       octet_length(encode(text))::BIGINT % 640 AS frame_w,
+             |       octet_length(encode(text))::BIGINT % 30 AS frame_rate
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Q24: rolling-hash document fingerprint — polynomial fold over
+    // md5-derived token hashes, mod 1e9+7 (order-sensitive, unlike the
+    // set fingerprint of q12).
+    Query(
+      "q24_rolling_fingerprint",
+      (s, dir) => {
+        import s.implicits._
+        val tokHash = (tok: Column) =>
+          conv(substring(md5(tok), 1, 8), 16, 10).cast("long")
+        t(s, dir, "documents")
+          .select($"doc_id",
+            aggregate(TF.tokens($"text"), lit(0L),
+              (acc, tok) => (acc * 31L + tokHash(tok)) % 1000000007L).as("rolling_fp"))
+          .orderBy($"doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  list_reduce(
+             |    list_prepend(0::BIGINT,
+             |      list_transform(string_split_regex(trim(text), '\s+'),
+             |                     t -> ('0x' || substr(md5(t), 1, 8))::BIGINT)),
+             |    (acc, x) -> (acc * 31 + x) % 1000000007) AS rolling_fp
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Q25: banded interval self-join on events (bucketized rewrite —
+    // equi-join instead of per-key nested loop).
+    Query(
+      "q25_interval_join",
+      (s, dir) => {
+        import s.implicits._
+        IntervalJoin.selfPairsWithin(
+            t(s, dir, "events"), keyCol = "user_id", tsCol = "ts",
+            idCol = "event_id", windowSeconds = 86400L)
+          .select($"user_id", $"first_id", $"second_id", $"gap_seconds")
+          .orderBy($"first_id", $"second_id")
+      },
+      Some("""SELECT a.user_id, a.event_id AS first_id, b.event_id AS second_id,
+             |       date_diff('second', a.ts, b.ts) AS gap_seconds
+             |FROM events a JOIN events b ON a.user_id = b.user_id
+             |WHERE (b.ts > a.ts OR (b.ts = a.ts AND a.event_id < b.event_id))
+             |  AND b.ts <= a.ts + INTERVAL 86400 SECOND
+             |ORDER BY first_id, second_id""".stripMargin))
+  )
+
+  val byName: Map[String, Query] = all.map(q => q.name -> q).toMap
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] =
+    all.map(q => q.name -> q.run).toMap
+
+  val oracleSql: Map[String, String] =
+    all.flatMap(q => q.oracle.map(o => q.name -> o)).toMap
+
+  val headline: Seq[Query] = all.filter(_.headline)
+}

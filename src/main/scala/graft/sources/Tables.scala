@@ -1,6 +1,8 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{expr, timestamp_micros}
+import org.apache.spark.sql.types.LongType
 
 /** Loaders for the driver-generated parquet tables (TESTDATA.md).
   *
@@ -16,7 +18,21 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events") events(spark, dir)
+    else spark.read.parquet(s"$dir/$name.parquet")
+
+  /** `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark's
+    * vectorized reader rejects ([PARQUET_TYPE_ILLEGAL]). Read it as a
+    * raw long (legacy nanosAsLong) and convert ns -> µs with *integer*
+    * division — `ts div 1000`, not `/ 1000`, because nanosecond epochs
+    * (~1.7e18) exceed double's 2^53 exact-integer range and a
+    * double-division roundtrip would corrupt low-order digits.
+    * Truncation matches DuckDB's ns->µs cast, so oracle timestamps
+    * agree. */
+  private def eventsRaw(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/events.parquet")
+  }
 
   def region(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "region")
   def nation(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "nation")
@@ -25,7 +41,12 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "lineitem")
-  def events(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "events")
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    val raw = eventsRaw(spark, dir)
+    if (raw.schema("ts").dataType == LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw
+  }
   def documents(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "embeddings")
 }
