@@ -17,7 +17,17 @@ object VectorFunctions {
   /** Cast a float embedding to double for stable arithmetic. */
   def asDouble(v: Column): Column = v.cast("array<double>")
 
-  def dot(a: Column, b: Column): Column =
+  /** Codegen'd native dot product (see [[DotProduct]]); bit-identical
+    * to [[dotHof]] but ~an order of magnitude faster in the hot path. */
+  def dot(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftshim.ColumnInterop
+    ColumnInterop.column(
+      DotProduct(ColumnInterop.expression(a), ColumnInterop.expression(b)))
+  }
+
+  /** Higher-order-function fold — kept as the composition reference
+    * and for engines/tests that want pure built-ins. */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
 
   def norm2(a: Column): Column = sqrt(dot(a, a))

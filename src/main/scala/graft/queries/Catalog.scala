@@ -314,12 +314,17 @@ object Catalog {
       "q13_topk_cosine",
       (s, dir) => {
         import s.implicits._
+        // Norms once per row (500 sqrt+dot) instead of per pair; the
+        // per-pair hot path is a single codegen'd dot product.
         val e = t(s, dir, "embeddings")
           .select($"vec_id", VF.asDouble($"embedding").as("v"))
-        val q = e.select($"vec_id".as("qid"), $"v".as("qv")).filter($"qid" < 10)
-        val sims = e.select($"vec_id".as("nid"), $"v".as("nv"))
+          .withColumn("nrm", sqrt(VF.dot($"v", $"v")))
+        val q = e.select($"vec_id".as("qid"), $"v".as("qv"), $"nrm".as("qnrm"))
+          .filter($"qid" < 10)
+        val sims = e.select($"vec_id".as("nid"), $"v".as("nv"), $"nrm".as("nnrm"))
           .join(broadcast(q), $"nid" =!= $"qid")
-          .select($"qid", $"nid", cosineCols($"qv", $"nv").as("sim"))
+          .select($"qid", $"nid",
+                  (VF.dot($"qv", $"nv") / ($"qnrm" * $"nnrm")).as("sim"))
         val w = Window.partitionBy($"qid").orderBy($"sim".desc, $"nid")
         sims.withColumn("rank", row_number().over(w).cast("long"))
           .filter($"rank" <= 5)
@@ -534,10 +539,11 @@ object Catalog {
         import s.implicits._
         val e = t(s, dir, "embeddings")
           .select($"vec_id", VF.asDouble($"embedding").as("v"))
-        val a = e.select($"vec_id".as("vec_a"), $"v".as("va"))
-        val b = e.select($"vec_id".as("vec_b"), $"v".as("vb"))
+          .withColumn("nrm", sqrt(VF.dot($"v", $"v")))
+        val a = e.select($"vec_id".as("vec_a"), $"v".as("va"), $"nrm".as("na"))
+        val b = e.select($"vec_id".as("vec_b"), $"v".as("vb"), $"nrm".as("nb"))
         a.join(broadcast(b), $"vec_a" < $"vec_b")
-          .withColumn("sim", cosineCols($"va", $"vb"))
+          .withColumn("sim", VF.dot($"va", $"vb") / ($"na" * $"nb"))
           .filter($"sim" >= 0.35)
           .select($"vec_a", $"vec_b", round($"sim", 4).as("sim_r"))
           .orderBy($"vec_a", $"vec_b")
