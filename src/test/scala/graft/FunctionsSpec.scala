@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
+
+class FunctionsSpec extends SparkSpec {
+
+  test("tokens / shingles / fingerprint") {
+    import spark.implicits._
+    val df = Seq(("a b c d", 1L), ("  A   b  ", 2L), ("x", 3L)).toDF("text", "id")
+    val sh = df.filter($"id" === 1)
+      .select(TF.shingles($"text", 2).as("s")).head().getSeq[String](0)
+    assert(sh == Seq("a b", "b c", "c d"))
+    // shorter than n -> single whole-text shingle
+    val short = df.filter($"id" === 3)
+      .select(TF.shingles($"text", 3).as("s")).head().getSeq[String](0)
+    assert(short == Seq("x"))
+    // fingerprint is whitespace/case-insensitive
+    val fps = Seq(("a b", 1), ("  A   B ", 2)).toDF("text", "id")
+      .select(TF.fingerprint($"text")).distinct().count()
+    assert(fps == 1)
+  }
+
+  test("minhash signature shape and determinism; identical docs collide") {
+    import spark.implicits._
+    val df = Seq(("spark is fast and general", 1L),
+                 ("spark is fast and general", 2L),
+                 ("completely different words here entirely", 3L))
+      .toDF("text", "id")
+      .select($"id", TF.minhashSignature(array_distinct(TF.tokens($"text")), 32).as("sig"))
+    val rows = df.collect().map(r => (r.getLong(0), r.getSeq[Long](1)))
+    assert(rows.forall(_._2.length == 32))
+    val byId = rows.toMap
+    assert(byId(1L) == byId(2L))     // identical text -> identical signature
+    assert(byId(1L) != byId(3L))     // different text -> different signature
+  }
+
+  test("simhash: equal for identical, hamming zero to self, small for near-dup") {
+    import spark.implicits._
+    val df = Seq(("the quick brown fox jumps over the lazy dog", 1L),
+                 ("the quick brown fox jumps over the lazy dog", 2L),
+                 ("the quick brown fox jumped over the lazy dog", 3L))
+      .toDF("text", "id")
+      .select($"id", TF.simhash64($"text").as("sig"))
+    val sigs = df.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(sigs(1L) == sigs(2L))
+    val ham = spark.range(1)
+      .select(TF.hamming64(lit(sigs(1L)), lit(sigs(3L))).as("h"))
+      .head().getLong(0)
+    assert(ham >= 0 && ham <= 16, s"near-dup hamming was $ham")
+    val self = spark.range(1)
+      .select(TF.hamming64(lit(sigs(1L)), lit(sigs(1L)))).head().getLong(0)
+    assert(self == 0)
+  }
+
+  test("vector math: dot, cosine, l2sq; native expression matches HOF fold bit-for-bit") {
+    import spark.implicits._
+    val df = Seq((Array(1.0, 2.0, 3.0), Array(4.0, 5.0, 6.0))).toDF("a", "b")
+    val row = df.select(
+      VF.dot($"a", $"b").as("d"),
+      VF.dotHof($"a", $"b").as("dh"),
+      VF.cosine($"a", $"a").as("self"),
+      VF.l2sq($"a", $"b").as("l2")).head()
+    assert(row.getDouble(0) == 32.0)
+    assert(row.getDouble(0) == row.getDouble(1))
+    assert(math.abs(row.getDouble(2) - 1.0) < 1e-12)
+    assert(row.getDouble(3) == 27.0)
+
+    // bit-identity on irrational values, not just integers
+    val v = Seq((Array(0.1, 0.2, 0.7, -0.3), Array(0.9, -0.4, 0.05, 2.2))).toDF("a", "b")
+    val r2 = v.select(VF.dot($"a", $"b"), VF.dotHof($"a", $"b")).head()
+    assert(java.lang.Double.doubleToLongBits(r2.getDouble(0)) ==
+           java.lang.Double.doubleToLongBits(r2.getDouble(1)))
+  }
+
+  test("quality metrics on a known document") {
+    import spark.implicits._
+    val row = Seq("Hello WORLD 123 !").toDF("text")
+      .select(TF.tokenCount($"text").as("n"),
+              TF.upperRatio($"text").as("u"),
+              TF.digitRatio($"text").as("d"),
+              TF.distinctTokenRatio($"text").as("r")).head()
+    assert(row.getLong(0) == 4)
+    assert(row.getDouble(1) == 6.0 / 17)   // ORLD + W + H... 6 uppercase chars
+    assert(row.getDouble(2) == 3.0 / 17)
+    assert(row.getDouble(3) == 1.0)
+  }
+
+  test("tokenJaccard: identical = 1, disjoint = 0") {
+    import spark.implicits._
+    val row = Seq(("a b c", "a b c", "x y z")).toDF("t1", "t2", "t3")
+      .select(TF.tokenJaccard($"t1", $"t2"), TF.tokenJaccard($"t1", $"t3")).head()
+    assert(row.getDouble(0) == 1.0)
+    assert(row.getDouble(1) == 0.0)
+  }
+}

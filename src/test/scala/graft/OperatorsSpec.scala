@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{AsOfJoin, CdcMerge, IntervalJoin}
+
+class OperatorsSpec extends SparkSpec {
+
+  test("AsOfJoin attaches latest right value on-or-before, per key") {
+    import spark.implicits._
+    val left = Seq(("k1", 10L), ("k1", 5L), ("k2", 7L), ("k3", 4L))
+      .toDF("k", "t")
+    val right = Seq(("k1", 5L, "A"), ("k1", 8L, "B"), ("k2", 9L, "C"))
+      .toDF("rk", "rt", "v")
+    val out = AsOfJoin.latestOnOrBefore(left, right,
+        "k", "rk", "t", "rt", "v", "asof_v")
+      .orderBy($"k", $"t")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), Option(r.getString(2))))
+    assert(out.toSeq == Seq(
+      ("k1", 5L, Some("A")),   // equal timestamp is inclusive
+      ("k1", 10L, Some("B")),  // latest <= 10 is B@8
+      ("k2", 7L, None),        // only right row is at 9 > 7
+      ("k3", 4L, None)))       // no right rows for k3
+  }
+
+  test("IntervalJoin pairs within band, once per pair, across bucket boundaries") {
+    import spark.implicits._
+    val base = 1700000000L // seconds
+    val events = Seq(
+      (1L, base + 0L, 10L),
+      (1L, base + 30L, 11L),
+      (1L, base + 100L, 12L),
+      (1L, base + 50L, 13L),
+      (2L, base + 50L, 20L),   // same ts pair, same key
+      (2L, base + 50L, 21L))
+      .toDF("user_id", "sec", "event_id")
+      .withColumn("ts", timestamp_seconds($"sec"))
+    val out = IntervalJoin.selfPairsWithin(events, "user_id", "ts", "event_id", 60L)
+      .select("first_id", "second_id", "gap_seconds")
+      .orderBy("first_id", "second_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq(
+      (10L, 11L, 30L),  // 0 -> 30
+      (10L, 13L, 50L),  // 0 -> 50
+      (11L, 13L, 20L),  // 30 -> 50
+      (13L, 12L, 50L),  // 50 -> 100, spans a 60s-bucket boundary
+      (20L, 21L, 0L)))  // equal ts paired once, lower id first
+  }
+
+  test("CdcMerge keeps latest per key and drops tombstoned keys") {
+    import spark.implicits._
+    val changes = Seq(
+      ("a", 1L, "UPSERT", "v1"),
+      ("a", 2L, "UPSERT", "v2"),
+      ("b", 3L, "UPSERT", "v3"),
+      ("b", 4L, "DELETE", null),
+      ("c", 5L, "UPSERT", "v5"),
+      ("c", 6L, "DELETE", null),
+      ("c", 7L, "UPSERT", "v7")) // delete-then-reinsert resurrects
+      .toDF("id", "lsn", "event_type", "payload")
+    val out = CdcMerge.materialize(changes, Seq("id"), Seq($"lsn".desc),
+        $"event_type" === "DELETE")
+      .select("id", "payload").orderBy("id").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(out.toSeq == Seq(("a", "v2"), ("c", "v7")))
+  }
+}

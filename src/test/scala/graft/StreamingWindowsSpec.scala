@@ -1,0 +1,103 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.Windows
+
+/** Watermark semantics with a manual-clock MemoryStream: windows
+  * finalize once the watermark passes; late data beyond the horizon is
+  * dropped — the engine's documented improvement over the reference's
+  * unbounded state (SURVEY.md §2.B Streaming).
+  */
+class StreamingWindowsSpec extends SparkSpec {
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  test("tumbling windows with watermark finalize and drop late data") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val ms = MemoryStream[(Timestamp, String)]
+    val counts = Windows.tumblingCounts(
+      ms.toDF().toDF("ts", "event_type"), "ts", "10 minutes", "10 minutes",
+      col("event_type"))
+    val q = counts
+      .select(col("window.start").as("w"), col("event_type"), col("n"))
+      .writeStream.format("memory").queryName("wc").outputMode("append").start()
+
+    // window [10:00,10:10): three clicks
+    ms.addData((ts(1), "click"), (ts(2), "click"), (ts(3), "click"))
+    q.processAllAvailable()
+    // advance event time far past the watermark horizon -> finalizes 10:00
+    ms.addData((Timestamp.valueOf("2024-01-01 11:00:00"), "view"))
+    q.processAllAvailable()
+    // watermark computed at the END of a batch applies from the NEXT
+    // batch — one benign propagation batch before the late row
+    ms.addData((Timestamp.valueOf("2024-01-01 11:01:00"), "view"))
+    q.processAllAvailable()
+    // late click for the finalized 10:00 window -> dropped
+    ms.addData((ts(4), "click"))
+    q.processAllAvailable()
+    // move watermark again so any (wrongly) accepted late row would emit
+    ms.addData((Timestamp.valueOf("2024-01-01 12:00:00"), "view"))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("wc")
+      .filter(col("event_type") === "click")
+      .collect().map(r => (r.getTimestamp(0), r.getLong(2)))
+    assert(rows.toSeq == Seq((Timestamp.valueOf("2024-01-01 10:00:00"), 3L)),
+      s"got ${rows.toSeq}") // late row did NOT bump the count to 4
+  }
+
+  test("watermarked dropDuplicates dedups redelivered events") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val ms = MemoryStream[(Timestamp, Long)]
+    val dedup = Windows.dedupByIds(
+      ms.toDF().toDF("ts", "event_id"), "ts", "10 minutes", "event_id")
+    val q = dedup.writeStream.format("memory").queryName("dd")
+      .outputMode("append").start()
+
+    ms.addData((ts(1), 100L), (ts(1), 100L), (ts(2), 101L))
+    q.processAllAvailable()
+    ms.addData((ts(3), 100L))  // same id, different ts -> distinct event
+    ms.addData((ts(1), 100L))  // exact redelivery -> dropped
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("dd").collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1))).sortBy(_._1.getTime)
+    assert(got.toSeq == Seq((ts(1), 100L), (ts(2), 101L), (ts(3), 100L)))
+  }
+
+  test("session windows group by gap") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val ms = MemoryStream[(Timestamp, Long)]
+    val sessions = Windows.sessionCounts(
+      ms.toDF().toDF("ts", "user_id"), "ts", "5 minutes", "10 minutes",
+      col("user_id"))
+    val q = sessions
+      .select(col("user_id"), col("n"))
+      .writeStream.format("memory").queryName("sess").outputMode("append").start()
+
+    // user 1: events at 10:01,10:03,10:05 (one session), 10:30 (another)
+    ms.addData((ts(1), 1L), (ts(3), 1L), (ts(5), 1L), (ts(30), 1L))
+    ms.addData((Timestamp.valueOf("2024-01-01 12:00:00"), 2L)) // advance watermark
+    q.processAllAvailable()
+    ms.addData((Timestamp.valueOf("2024-01-01 13:00:00"), 2L)) // flush
+    q.processAllAvailable()
+    q.stop()
+
+    val u1 = spark.table("sess").filter(col("user_id") === 1L)
+      .collect().map(_.getLong(1)).sorted
+    assert(u1.toSeq == Seq(1L, 3L), s"got ${u1.toSeq}")
+  }
+}
