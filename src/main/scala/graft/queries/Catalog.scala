@@ -645,7 +645,112 @@ object Catalog {
              |FROM events a JOIN events b ON a.user_id = b.user_id
              |WHERE (b.ts > a.ts OR (b.ts = a.ts AND a.event_id < b.event_id))
              |  AND b.ts <= a.ts + INTERVAL 86400 SECOND
-             |ORDER BY first_id, second_id""".stripMargin))
+             |ORDER BY first_id, second_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Q26: cube — all grouping-set combinations over two dims.
+    Query(
+      "q26_cube",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "orders")
+          .cube($"o_orderstatus", $"o_orderpriority")
+          .agg(count(lit(1)).as("n_orders"),
+               round(avg($"o_totalprice"), 4).as("avg_price"))
+          .select(coalesce($"o_orderstatus", lit("ALL")).as("status"),
+                  coalesce($"o_orderpriority", lit("ALL")).as("priority"),
+                  $"n_orders", $"avg_price")
+          .orderBy($"status", $"priority")
+      },
+      Some("""SELECT coalesce(o_orderstatus, 'ALL') AS status,
+             |       coalesce(o_orderpriority, 'ALL') AS priority,
+             |       count(*) AS n_orders,
+             |       round(avg(o_totalprice), 4) AS avg_price
+             |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+             |ORDER BY status, priority""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Q27: multiplicity-preserving set ops (UNION ALL / EXCEPT ALL /
+    // INTERSECT ALL) over order-priority slices.
+    Query(
+      "q27_setops_all",
+      (s, dir) => {
+        import s.implicits._
+        val f = t(s, dir, "orders").filter($"o_orderstatus" === "F").select($"o_custkey")
+        val u = t(s, dir, "orders").filter($"o_orderpriority" === "1-URGENT").select($"o_custkey")
+        f.exceptAll(u).groupBy($"o_custkey").agg(count(lit(1)).as("n"))
+          .withColumn("op", lit("except_all"))
+          .unionByName(
+            f.intersectAll(u).groupBy($"o_custkey").agg(count(lit(1)).as("n"))
+              .withColumn("op", lit("intersect_all")))
+          .select($"op", $"o_custkey", $"n")
+          .orderBy($"op", $"o_custkey")
+      },
+      Some("""WITH f AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'),
+             |     u AS (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+             |SELECT 'except_all' AS op, o_custkey, count(*) AS n
+             |FROM (SELECT * FROM f EXCEPT ALL SELECT * FROM u) GROUP BY 2
+             |UNION ALL
+             |SELECT 'intersect_all' AS op, o_custkey, count(*) AS n
+             |FROM (SELECT * FROM f INTERSECT ALL SELECT * FROM u) GROUP BY 2
+             |ORDER BY op, o_custkey""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Q28: scalar-function surface — string / date-time / math
+    // built-ins in one projected pipeline (SURVEY §2.B scalar
+    // functions; all codegen'd Catalyst built-ins).
+    Query(
+      "q28_scalar_funcs",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "orders")
+          .filter($"o_orderkey" % 100 === 0)
+          .select(
+            $"o_orderkey",
+            lower(substring($"o_orderpriority", 3, 20)).as("prio_word"),
+            length($"o_orderstatus").cast("long").as("status_len"),
+            concat_ws("|", $"o_orderstatus", $"o_orderpriority").as("tag"),
+            year($"o_orderdate").cast("long").as("y"),
+            month($"o_orderdate").cast("long").as("m"),
+            unix_millis(date_trunc("quarter", $"o_orderdate")).as("quarter_start_ms"),
+            round(pow($"o_totalprice", 0.5), 6).as("sqrt_price"),
+            round(log($"o_totalprice"), 6).as("ln_price"),
+            floor($"o_totalprice" / 1000).cast("long").as("price_kbucket"),
+            abs($"o_totalprice" * -1).as("abs_price"))
+          .orderBy($"o_orderkey")
+      },
+      Some("""SELECT o_orderkey,
+             |  lower(substr(o_orderpriority, 3)) AS prio_word,
+             |  length(o_orderstatus)::BIGINT AS status_len,
+             |  concat_ws('|', o_orderstatus, o_orderpriority) AS tag,
+             |  year(o_orderdate)::BIGINT AS y,
+             |  month(o_orderdate)::BIGINT AS m,
+             |  epoch_ms(date_trunc('quarter', o_orderdate)) AS quarter_start_ms,
+             |  round(sqrt(o_totalprice), 6) AS sqrt_price,
+             |  round(ln(o_totalprice), 6) AS ln_price,
+             |  floor(o_totalprice / 1000)::BIGINT AS price_kbucket,
+             |  abs(o_totalprice * -1) AS abs_price
+             |FROM orders WHERE o_orderkey % 100 = 0
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Q29: JSON extraction from the events `props` column (the
+    // engine's schema-on-read codec surface, from_json/get_json_object
+    // replacing the reference's Jackson decode at MessageConsumer.kt:29).
+    Query(
+      "q29_json_props",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "events")
+          .select($"event_id",
+                  get_json_object($"props", "$.k").cast("long").as("k"))
+          .groupBy($"k")
+          .agg(count(lit(1)).as("n"), min($"event_id").as("first_event"))
+          .orderBy($"k")
+      },
+      Some("""SELECT json_extract_string(props, '$.k')::BIGINT AS k,
+             |       count(*) AS n, min(event_id) AS first_event
+             |FROM events GROUP BY 1 ORDER BY k""".stripMargin))
   )
 
   val byName: Map[String, Query] = all.map(q => q.name -> q).toMap

@@ -2,9 +2,9 @@ package graft.streaming
 
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 import org.apache.spark.sql.types._
 
 import graft.operators.CdcMerge
@@ -136,6 +136,54 @@ object CdcStream {
         mergeBatch(batch, stateDir)
       }
       .start()
+  }
+
+  /** A decoded change row (typed twin of [[classify]]'s output). */
+  case class Change(event_type: String, id: String,
+                    create_time: Option[Long], update_time: Option[Long],
+                    message: Option[String], username: Option[String],
+                    lsn: Option[Long], ts_ms: Option[Long])
+
+  /** One emitted view update: `present=false` is a tombstone
+    * notification — the WsEvent DELETE analog
+    * (reference `MessageWebSocketHandler.kt:74-77`). */
+  case class ViewUpdate(id: String, present: Boolean,
+                        message: Option[String], username: Option[String],
+                        create_time: Option[Long], update_time: Option[Long])
+
+  /** Low-latency latest-wins view as a stateful operator:
+    * `flatMapGroupsWithState` keyed by id emits one update per changed
+    * key per micro-batch — the push-based twin of [[mergeBatch]]'s
+    * snapshot merge (SURVEY.md §2.B Streaming: the reference's
+    * WebSocket broadcast is per-event push, this is its Spark analog).
+    * State is one row per live key, evicted only by tombstone
+    * compaction upstream; on a cluster this runs on the RocksDB state
+    * store.
+    */
+  def latestWinsUpdates(changes: Dataset[Change]): Dataset[ViewUpdate] = {
+    val spark = changes.sparkSession
+    import spark.implicits._
+    changes
+      .filter(_.event_type != Malformed)
+      .groupByKey(_.id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (id: String, it: Iterator[Change], state: GroupState[Change]) =>
+          val all = state.getOption.iterator ++ it
+          val latest = all.maxBy(c => (c.lsn.getOrElse(Long.MinValue),
+                                       c.ts_ms.getOrElse(Long.MinValue)))
+          val changed = !state.getOption.contains(latest)
+          state.update(latest)
+          if (!changed) Iterator.empty
+          else Iterator.single(ViewUpdate(id, latest.event_type == Upsert,
+            latest.message, latest.username, latest.create_time, latest.update_time))
+      }
+  }
+
+  /** Adapt a decoded changelog DataFrame to the typed stream. */
+  def asChanges(decoded: DataFrame): Dataset[Change] = {
+    val spark = decoded.sparkSession
+    import spark.implicits._
+    decoded.as[Change]
   }
 
   /** Union-and-rewrite merge of one micro-batch into the parquet state

@@ -100,4 +100,26 @@ class StreamingWindowsSpec extends SparkSpec {
       .collect().map(_.getLong(1)).sorted
     assert(u1.toSeq == Seq(1L, 3L), s"got ${u1.toSeq}")
   }
+
+  test("stream-stream inner join within watermark") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val clicks = MemoryStream[(Timestamp, Long)]
+    val views = MemoryStream[(Timestamp, Long)]
+    val c = clicks.toDF().toDF("cts", "user").withWatermark("cts", "10 minutes")
+    val v = views.toDF().toDF("vts", "vuser").withWatermark("vts", "10 minutes")
+    val joined = c.join(v,
+      expr("user = vuser AND vts BETWEEN cts AND cts + INTERVAL 5 MINUTES"))
+    val q = joined.select(col("user"), col("cts"), col("vts"))
+      .writeStream.format("memory").queryName("ssj").outputMode("append").start()
+
+    clicks.addData((ts(1), 1L), (ts(20), 2L))
+    views.addData((ts(3), 1L), (ts(40), 2L))   // 1 matches (within 5m), 2 does not
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("ssj").collect().map(_.getLong(0))
+    assert(got.toSeq == Seq(1L), s"got ${got.toSeq}")
+  }
 }
