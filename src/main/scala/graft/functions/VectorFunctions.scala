@@ -47,32 +47,28 @@ object VectorFunctions {
   def l2sq(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0d), (acc, x) => acc + x)
 
-  /** Deterministic pseudo-random hyperplane sign for LSH: the sign of
-    * a hash of (plane index, dimension index). Used to build
-    * random-hyperplane signatures without any runtime RNG, so results
-    * are reproducible across runs and across the cluster.
-    */
-  private def planeSign(plane: Int, dim: Column): Column =
-    when(xxhash64(lit(plane), dim) % 2 === 0, lit(1.0d)).otherwise(lit(-1.0d))
-
   /** Random-hyperplane (SimHash-style) LSH bucket id for an embedding:
     * `bits` hyperplanes with deterministic +/-1 coefficients; the
     * bucket is the packed sign bits of the dot products. Vectors with
     * high cosine similarity collide with high probability; the bucket
     * id is then a shuffle key for candidate generation at scale
     * (turns O(n^2) similarity search into a per-bucket join).
+    *
+    * The hyperplane matrix is deterministic (seeded MurmurHash3 over
+    * (plane, dim)) and baked into the plan as literal arrays, so each
+    * row costs `bits` codegen'd [[DotProduct]]s — no per-element hash
+    * evaluation at runtime, reproducible across runs and executors.
     */
-  def hyperplaneBucket(vec: Column, bits: Int): Column = {
+  def hyperplaneBucket(vec: Column, bits: Int, dim: Int = 64): Column = {
     require(bits > 0 && bits <= 62, "bits must be in (0, 62]")
-    val v = asDouble(vec)
-    val bitCols = (0 until bits).map { p =>
-      // dot(v, plane_p) where plane_p[d] = deterministic +/-1
-      val proj = aggregate(
-        zip_with(v, sequence(lit(0), size(v) - 1), (x, i) => x * planeSign(p, i)),
-        lit(0.0d), (acc, x) => acc + x)
-      when(proj >= 0, lit(1L)).otherwise(lit(0L))
+    val planes: Seq[Column] = (0 until bits).map { p =>
+      typedlit((0 until dim).map { d =>
+        if ((scala.util.hashing.MurmurHash3.stringHash(s"$p:$d", 42) & 1) == 0) 1.0 else -1.0
+      })
     }
-    // pack bits: acc = acc*2 + bit  (equivalent to shift-or, codegen-friendly)
-    bitCols.foldLeft(lit(0L)) { (acc, b) => acc * 2 + b }
+    val v = asDouble(vec)
+    planes.foldLeft(lit(0L)) { (acc, plane) =>
+      shiftleft(acc, 1).bitwiseOR(when(dot(v, plane) >= 0, lit(1L)).otherwise(lit(0L)))
+    }
   }
 }

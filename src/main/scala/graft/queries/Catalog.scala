@@ -89,16 +89,25 @@ object Catalog {
 
     // ------------------------------------------------------------------
     // Q3: 3-way join + agg + top-10 (TakeOrderedAndProject).
+    // Pre-aggregate lineitem per order before joining: o_orderkey is
+    // unique in orders, so count(distinct o_orderkey) becomes a plain
+    // count over order-grained rows — kills the Expand+Exchange the
+    // distinct would cost, and shrinks the join input ~4x (lineitem
+    // rows -> orders rows) before any wide-side shuffle. At 100 TB the
+    // partial per-order sums combine map-side.
     Query(
       "q03_join_topk",
       (s, dir) => {
         import s.implicits._
+        val perOrder = t(s, dir, "lineitem")
+          .groupBy($"l_orderkey")
+          .agg(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("order_rev"))
         t(s, dir, "customer")
           .join(t(s, dir, "orders"), $"c_custkey" === $"o_custkey")
-          .join(t(s, dir, "lineitem"), $"o_orderkey" === $"l_orderkey")
+          .join(perOrder, $"o_orderkey" === $"l_orderkey")
           .groupBy($"c_custkey", $"c_name")
-          .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("revenue"),
-               countDistinct($"o_orderkey").as("n_orders"))
+          .agg(round(sum($"order_rev"), 2).as("revenue"),
+               count(lit(1)).as("n_orders"))
           .orderBy($"revenue".desc, $"c_custkey")
           .limit(10)
       },
