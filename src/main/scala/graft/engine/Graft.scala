@@ -35,6 +35,12 @@ object Graft {
       .config("spark.sql.parquet.aggregatePushdown", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+      // RocksDB state store: keyed streaming state (CDC latest-wins,
+      // dedup, windows) spills to local disk instead of executor heap —
+      // the difference between "works at sf0.1" and "works with 10^9
+      // live keys per executor" (SURVEY §4 streaming state row).
+      .config("spark.sql.streaming.stateStore.providerClass",
+              "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
 
   def session(master: String = "local[*]",
               shufflePartitions: Int = DefaultShufflePartitions): SparkSession = {

@@ -186,6 +186,30 @@ object CdcStream {
     decoded.as[Change]
   }
 
+  /** Kafka-source variant of the pipeline — the production wiring for
+    * the reference's topology (topic `messages.public.messages`,
+    * `startingOffsets=latest` per reference `application.yaml:12`).
+    * Requires the spark-sql-kafka connector package on the cluster
+    * classpath (not shipped in this build's jars — the decode path is
+    * unit-tested via [[decodeKafka]] on kafka-shaped records instead).
+    */
+  def runKafkaStream(spark: SparkSession, bootstrapServers: String, topic: String,
+                     checkpointDir: String, stateDir: String,
+                     trigger: Trigger = Trigger.ProcessingTime(100)): StreamingQuery = {
+    val raw = spark.readStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", bootstrapServers)
+      .option("subscribe", topic)
+      .option("startingOffsets", "latest")
+      .load()
+      .selectExpr("CAST(key AS STRING) AS key", "CAST(value AS STRING) AS value")
+    decodeKafka(raw).writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) => mergeBatch(batch, stateDir) }
+      .start()
+  }
+
   /** Union-and-rewrite merge of one micro-batch into the parquet state
     * snapshot. Test/local sink; a production deployment swaps this for
     * MERGE INTO on a transactional table — same latest-wins plan. */

@@ -1,0 +1,67 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.SkewJoin
+import graft.sinks.Sinks
+
+class ScaleToolsSpec extends SparkSpec {
+
+  test("salted join equals plain join result") {
+    import spark.implicits._
+    // one hot key (90% of rows) + tail
+    val left = ((1 to 900).map(i => ("hot", i.toLong)) ++
+                (1 to 100).map(i => (s"k$i", i.toLong)))
+      .toDF("k", "lv")
+    val right = Seq(("hot", "H"), ("k1", "A"), ("k2", "B")).toDF("rk", "rv")
+
+    val plain = left.join(right, $"k" === $"rk")
+      .select($"k", $"lv", $"rv").collect().map(_.toString).sorted
+    val salted = SkewJoin.saltedInner(left, right, "k", "rk", buckets = 8)
+      .select($"k", $"lv", $"rv").collect().map(_.toString).sorted
+    assert(salted.toSeq == plain.toSeq)
+    assert(plain.length == 902) // 900 hot + k1 + k2
+  }
+
+  test("date-partitioned sink prunes partitions on read") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("sink").toString + "/events"
+    val df = Seq(
+      ("2024-01-01 10:00:00", 1L), ("2024-01-02 11:00:00", 2L),
+      ("2024-01-02 12:00:00", 3L))
+      .toDF("ts_s", "id").withColumn("ts", to_timestamp($"ts_s")).drop("ts_s")
+    Sinks.writeDatePartitioned(df, "ts", dir)
+
+    val read = spark.read.parquet(dir).filter($"p_date" === "2024-01-02")
+    assert(read.count() == 2)
+    // partition filter must reach the scan (pruning, not post-filter)
+    val plan = read.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("p_date"), plan)
+  }
+
+  test("bucketed tables join without exchange") {
+    import spark.implicits._
+    val warehouse = Files.createTempDirectory("wh").toString
+    val a = (1L to 100L).map(i => (i, s"a$i")).toDF("k", "va")
+    val b = (1L to 100L).map(i => (i, s"b$i")).toDF("k", "vb")
+    Sinks.writeBucketed(a, "k", 4, "bucketed_a", s"$warehouse/a")
+    Sinks.writeBucketed(b, "k", 4, "bucketed_b", s"$warehouse/b")
+
+    // tiny tables would broadcast (also shuffle-free, but that's not
+    // the property under test) — force the sort-merge path
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("bucketed_a").join(spark.table("bucketed_b"), "k")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join should not shuffle:\n$plan")
+      assert(plan.contains("Bucketed: true"), plan)
+      assert(joined.count() == 100)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+    spark.sql("DROP TABLE IF EXISTS bucketed_a")
+    spark.sql("DROP TABLE IF EXISTS bucketed_b")
+  }
+}
