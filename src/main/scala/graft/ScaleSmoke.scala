@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Scale-behavior smoke: replicate sf0.1 lineitem/orders 10x (~6 M /
+  * 1.5 M rows) with shifted keys — NOT an oracle input, purely a
+  * plan-behavior probe — and time the agg / join / window shapes.
+  * Near-linear scaling vs the sf0.1 bench numbers means the plans
+  * have no accidental O(n^2) or single-task bottleneck; AQE handles
+  * partition sizing.
+  *
+  * Usage: runMain graft.ScaleSmoke [factor]
+  */
+object ScaleSmoke {
+  def main(args: Array[String]): Unit = {
+    val factor = args.headOption.map(_.toInt).getOrElse(10)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = graft.engine.Graft.session(s"local[$cpus]", cpus.toInt)
+    import spark.implicits._
+
+    val dir = "/root/testdata/sf0.1"
+    def replicate(df: org.apache.spark.sql.DataFrame, keyCols: Seq[String]) = {
+      val shifted = df.withColumn("__rep", explode(sequence(lit(0), lit(factor - 1))))
+      keyCols.foldLeft(shifted) { (d, k) =>
+        d.withColumn(k, col(k) + col("__rep") * lit(100000000L))
+      }.drop("__rep")
+    }
+    // cache the replicated inputs so the timings measure the query,
+    // not the on-the-fly data generation
+    val li = replicate(graft.sources.Tables.lineitem(spark, dir), Seq("l_orderkey")).cache()
+    val ord = replicate(graft.sources.Tables.orders(spark, dir), Seq("o_orderkey", "o_custkey")).cache()
+    println(s"SCALE inputs lineitem=${li.count()} orders=${ord.count()}")
+
+    def time(tag: String)(f: => Long): Unit = {
+      f // warm (janino)
+      val t0 = System.nanoTime(); val n = f
+      println(f"SCALE $tag rows=$n ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+
+    time(s"agg_${factor}x") {
+      li.groupBy($"l_returnflag", $"l_linestatus")
+        .agg(sum($"l_quantity"), sum($"l_extendedprice" * (lit(1.0) - $"l_discount")))
+        .count()
+    }
+    time(s"join_agg_${factor}x") {
+      li.groupBy($"l_orderkey").agg(sum($"l_extendedprice").as("rev"))
+        .join(ord, $"l_orderkey" === $"o_orderkey")
+        .groupBy($"o_custkey").agg(sum($"rev"))
+        .count()
+    }
+    time(s"window_${factor}x") {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy($"o_custkey").orderBy($"o_totalprice".desc)
+      ord.withColumn("rn", row_number().over(w)).filter($"rn" <= 3).count()
+    }
+    spark.stop()
+  }
+}

@@ -225,8 +225,11 @@ object CdcStream {
     val newState = CdcMerge.latestWins(
       unioned, Seq("id"),
       Seq(col("lsn").desc_nulls_last, col("ts_ms").desc_nulls_last))
+    // The window in latestWins leaves the frame hash-partitioned by id;
+    // write those partitions in parallel (coalesce(1) would serialize
+    // the state rewrite and cap merge throughput).
     val tmp = stateDir + ".tmp"
-    newState.coalesce(1).write.mode("overwrite").parquet(tmp)
+    newState.write.mode("overwrite").parquet(tmp)
     replace(Paths.get(tmp), statePath)
   }
 
