@@ -759,7 +759,92 @@ object Catalog {
       },
       Some("""SELECT json_extract_string(props, '$.k')::BIGINT AS k,
              |       count(*) AS n, min(event_id) AS first_event
-             |FROM events GROUP BY 1 ORDER BY k""".stripMargin))
+             |FROM events GROUP BY 1 ORDER BY k""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Q30: fact ⋈ two dimensions (part, supplier) with selective dim
+    // filters — both dims broadcast; filters prune before the join.
+    Query(
+      "q30_part_supplier",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "lineitem")
+          .join(broadcast(t(s, dir, "part").filter($"p_size" <= 20)),
+                $"l_partkey" === $"p_partkey")
+          .join(broadcast(t(s, dir, "supplier").filter($"s_acctbal" > 0)),
+                $"l_suppkey" === $"s_suppkey")
+          .groupBy($"p_brand")
+          .agg(countDistinct($"l_suppkey").as("n_suppliers"),
+               count(lit(1)).as("n_lines"),
+               round(sum($"l_extendedprice"), 2).as("rev"))
+          .orderBy($"p_brand")
+      },
+      Some("""SELECT p_brand,
+             |       count(DISTINCT l_suppkey) AS n_suppliers,
+             |       count(*) AS n_lines,
+             |       round(sum(l_extendedprice), 2) AS rev
+             |FROM lineitem JOIN part ON l_partkey = p_partkey
+             |              JOIN supplier ON l_suppkey = s_suppkey
+             |WHERE p_size <= 20 AND s_acctbal > 0
+             |GROUP BY p_brand ORDER BY p_brand""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Q31: IVF coarse quantizer over embeddings — per-label centroids
+    // via posexplode + positional average, then nearest-centroid
+    // assignment by cosine. The centroid table is tiny (labels ×
+    // dims) and broadcasts; assignment is one codegen'd dot per
+    // (vector, centroid). This is the training-free half of IVF: at
+    // 100 TB the centroid set comes from a sampled k-means, the
+    // assignment plan is unchanged.
+    Query(
+      "q31_centroid_assign",
+      (s, dir) => {
+        import s.implicits._
+        val e = t(s, dir, "embeddings")
+          .select($"vec_id", $"label", VF.asDouble($"embedding").as("v"))
+        // Centroid components rounded to 6 dp: the avg's partial-sum
+        // order differs across engines (and across runs under AQE), so
+        // unrounded centroids would differ in ULPs and cascade into
+        // the similarity ranking.
+        val centroids = e
+          .select($"label", posexplode($"v").as(Seq("pos", "x")))
+          .groupBy($"label", $"pos")
+          .agg(round(avg($"x"), 6).as("cx"))
+          .groupBy($"label")
+          .agg(array_sort(collect_list(struct($"pos", $"cx"))).as("pairs"))
+          .select($"label".as("c_label"),
+                  expr("transform(pairs, p -> p.cx)").as("cv"))
+          .withColumn("cnrm", sqrt(VF.dot($"cv", $"cv")))
+        val assigned = e
+          .withColumn("nrm", sqrt(VF.dot($"v", $"v")))
+          .join(broadcast(centroids))
+          .select($"vec_id", $"label", $"c_label",
+                  (VF.dot($"v", $"cv") / ($"nrm" * $"cnrm")).as("sim"))
+        val w = Window.partitionBy($"vec_id").orderBy($"sim".desc, $"c_label")
+        assigned
+          .withColumn("rn", row_number().over(w))
+          .filter($"rn" === 1)
+          .select($"vec_id", $"label", $"c_label".as("predicted"),
+                  round($"sim", 4).as("sim_r"))
+          .orderBy($"vec_id")
+      },
+      Some("""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+             |flat AS (SELECT label, unnest(v) AS x,
+             |                unnest(range(1, len(v) + 1)) AS pos FROM e),
+             |cent AS (SELECT label AS c_label,
+             |                array_agg(cx ORDER BY pos) AS cv
+             |         FROM (SELECT label, pos, round(avg(x), 6) AS cx FROM flat GROUP BY 1, 2)
+             |         GROUP BY label),
+             |assigned AS (
+             |  SELECT e.vec_id, e.label, c.c_label,
+             |         list_dot_product(e.v, c.cv) /
+             |           (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))) AS sim
+             |  FROM e CROSS JOIN cent c),
+             |ranked AS (SELECT vec_id, label, c_label, sim,
+             |                  row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, c_label) AS rn
+             |           FROM assigned)
+             |SELECT vec_id, label, c_label AS predicted, round(sim, 4) AS sim_r
+             |FROM ranked WHERE rn = 1 ORDER BY vec_id""".stripMargin))
   )
 
   val byName: Map[String, Query] = all.map(q => q.name -> q).toMap
