@@ -472,8 +472,12 @@ object Catalog {
         val en = Seq("the", "a", "of", "and", "to")
         val de = Seq("der", "die", "das", "und", "ist")
         val fr = Seq("le", "la", "et", "les", "est")
+        // One native regex scan per row instead of a per-token
+        // interpreted lambda (750k lambda evals at sf0.1 made this
+        // query 5-10x slower and timing-unstable).
         def score(markers: Seq[String]): Column =
-          size(filter(TF.tokens(lower($"text")), tok => tok.isInCollection(markers))).cast("long")
+          size(regexp_extract_all(lower($"text"),
+            lit("\\b(" + markers.mkString("|") + ")\\b"), lit(0))).cast("long")
         t(s, dir, "documents")
           .select($"doc_id", $"lang",
                   score(en).as("en_score"), score(de).as("de_score"), score(fr).as("fr_score"))
@@ -486,12 +490,9 @@ object Catalog {
       },
       Some("""WITH sc AS (
              |  SELECT doc_id, lang,
-             |    len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
-             |        t -> t IN ('the','a','of','and','to'))) AS en_score,
-             |    len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
-             |        t -> t IN ('der','die','das','und','ist'))) AS de_score,
-             |    len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
-             |        t -> t IN ('le','la','et','les','est'))) AS fr_score
+             |    len(regexp_extract_all(lower(text), '\b(the|a|of|and|to)\b')) AS en_score,
+             |    len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist)\b')) AS de_score,
+             |    len(regexp_extract_all(lower(text), '\b(le|la|et|les|est)\b')) AS fr_score
              |  FROM documents)
              |SELECT doc_id, lang, en_score, de_score, fr_score,
              |  CASE WHEN en_score >= de_score AND en_score >= fr_score AND en_score > 0 THEN 'en'
