@@ -49,4 +49,10 @@ object Tables {
   }
   def documents(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "embeddings")
+
+  /** Register every table as a temp view so the whole surface is also
+    * reachable through `spark.sql(...)` — the engine's SQL entry point
+    * (same Catalyst plans as the DataFrame API). */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    all.foreach(name => apply(spark, dir, name).createOrReplaceTempView(name))
 }

@@ -7,6 +7,7 @@ package graft.streaming
   * Usage: runMain graft.streaming.CdcDemo <inputDir> <workDir> [mode]
   *   mode = snapshot (default): foreachBatch merge into parquet state
   *   mode = lowlatency: flatMapGroupsWithState per-key update stream
+  *   mode = aggview: delta-maintained aggregate view from before/after images
   */
 object CdcDemo {
   def main(args: Array[String]): Unit = {
@@ -14,7 +15,13 @@ object CdcDemo {
     val mode = if (args.length > 2) args(2) else "snapshot"
     val spark = graft.engine.Graft.session("local[4]", 4)
 
-    if (mode == "lowlatency") {
+    if (mode == "aggview") {
+      val q = AggView.run(spark, inputDir, s"$workDir/checkpoint", s"$workDir/aggstate")
+      q.awaitTermination()
+      val view = AggView.readView(spark, s"$workDir/aggstate").orderBy("username")
+      view.show(100, truncate = false)
+      println(s"agg_rows=${view.count()}")
+    } else if (mode == "lowlatency") {
       val raw = spark.readStream.schema(CdcStream.fileRecordSchema).json(inputDir)
       val updates = CdcStream.latestWinsUpdates(
         CdcStream.asChanges(CdcStream.decodeFile(raw)))

@@ -250,6 +250,9 @@ object CdcStream {
               col("message"), col("username"))
   }
 
+  /** Atomic-ish directory swap shared by the snapshot-state writers. */
+  private[streaming] def swapDirs(src: Path, dst: Path): Unit = replace(src, dst)
+
   private def replace(src: Path, dst: Path): Unit = {
     def deleteRec(p: Path): Unit = if (Files.exists(p)) {
       if (Files.isDirectory(p))

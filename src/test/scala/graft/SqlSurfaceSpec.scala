@@ -1,0 +1,58 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** The same engine surface through `spark.sql(...)`: registered temp
+  * views + SQL text produce the same results (and plans) as the
+  * DataFrame API. */
+class SqlSurfaceSpec extends SparkSpec {
+
+  test("spark.sql over registered views matches the DataFrame catalog query") {
+    val dir = "/root/testdata/sf0.001"
+    graft.sources.Tables.registerAll(spark, dir)
+    val viaSql = spark.sql(
+      """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+        |       count(*) AS count_order
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+      .collect().map(_.toString)
+    val viaDf = graft.queries.Catalog.queries("q02_group_agg")(spark, dir)
+      .selectExpr("l_returnflag", "l_linestatus", "sum_qty", "count_order")
+      .collect().map(_.toString)
+    assert(viaSql.toSeq == viaDf.toSeq)
+  }
+
+  test("IntervalJoin property: equals naive O(n^2) band join") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val params = Gen.Parameters.default
+    val gen = for {
+      n <- Gen.choose(0, 60)
+      rows <- Gen.listOfN(n, for {
+        k <- Gen.oneOf(1L, 2L, 3L)
+        t <- Gen.choose(0L, 400L)
+      } yield (k, t))
+    } yield rows.zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong) }
+
+    (1 to 10).foreach { i =>
+      val rows = gen.apply(params, Seed(99L + i)).getOrElse(Nil)
+      if (rows.nonEmpty) {
+        val w = 60L
+        val expected = (for {
+          a <- rows; b <- rows
+          if a._1 == b._1
+          if (b._2 > a._2 || (b._2 == a._2 && a._3 < b._3)) && b._2 <= a._2 + w
+        } yield (a._1, a._3, b._3, b._2 - a._2)).sorted
+
+        val df = rows.toDF("user_id", "sec", "event_id")
+          .withColumn("ts", timestamp_seconds($"sec"))
+        val got = graft.operators.IntervalJoin
+          .selfPairsWithin(df, "user_id", "ts", "event_id", w)
+          .select("user_id", "first_id", "second_id", "gap_seconds")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+          .toList.sorted
+        assert(got == expected, s"seed ${99L + i}")
+      }
+    }
+  }
+}
