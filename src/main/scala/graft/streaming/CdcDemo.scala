@@ -15,7 +15,19 @@ object CdcDemo {
     val mode = if (args.length > 2) args(2) else "snapshot"
     val spark = graft.engine.Graft.session("local[4]", 4)
 
-    if (mode == "aggview") {
+    if (mode == "tws") {
+      val raw = spark.readStream.schema(CdcStream.fileRecordSchema).json(inputDir)
+      val updates = CdcStream.latestWinsUpdatesTws(
+        CdcStream.asChanges(CdcStream.decodeFile(raw)))
+      val q = updates.writeStream
+        .option("checkpointLocation", s"$workDir/checkpoint")
+        .format("console").option("truncate", "false")
+        .outputMode("update")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      println("tws_done")
+    } else if (mode == "aggview") {
       val q = AggView.run(spark, inputDir, s"$workDir/checkpoint", s"$workDir/aggstate")
       q.awaitTermination()
       val view = AggView.readView(spark, s"$workDir/aggstate").orderBy("username")

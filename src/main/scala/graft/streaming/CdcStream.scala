@@ -4,7 +4,7 @@ import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, StreamingQuery, TimeMode, TimerValues, Trigger, TTLConfig, ValueState}
 import org.apache.spark.sql.types._
 
 import graft.operators.CdcMerge
@@ -177,6 +177,49 @@ object CdcStream {
           else Iterator.single(ViewUpdate(id, latest.event_type == Upsert,
             latest.message, latest.username, latest.create_time, latest.update_time))
       }
+  }
+
+  /** Latest change per key, orderable tuple. */
+  private def changeOrder(c: Change): (Long, Long) =
+    (c.lsn.getOrElse(Long.MinValue), c.ts_ms.getOrElse(Long.MinValue))
+
+  /** Spark 4 `transformWithState` twin of [[latestWinsUpdates]]: the
+    * StatefulProcessor API with named `ValueState` — the engine's
+    * forward path for stateful CDC (per-state TTL via [[TTLConfig]]
+    * bounds state for sources whose keyspace grows without deletes;
+    * NONE here to match the reference's keep-everything semantics).
+    * Requires the RocksDB state store (the [[graft.engine.Graft]]
+    * default).
+    */
+  class LatestWinsProcessor(ttl: TTLConfig = TTLConfig.NONE)
+      extends StatefulProcessor[String, Change, ViewUpdate] {
+    @transient private var state: ValueState[Change] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[Change](
+        "latest", org.apache.spark.sql.Encoders.product[Change], ttl)
+
+    override def handleInputRows(key: String, rows: Iterator[Change],
+                                 timerValues: TimerValues): Iterator[ViewUpdate] = {
+      val prev = if (state.exists()) Option(state.get()) else None
+      val latest = (prev.iterator ++ rows).maxBy(changeOrder)
+      if (prev.contains(latest)) Iterator.empty
+      else {
+        state.update(latest)
+        Iterator.single(ViewUpdate(key, latest.event_type == Upsert,
+          latest.message, latest.username, latest.create_time, latest.update_time))
+      }
+    }
+  }
+
+  def latestWinsUpdatesTws(changes: Dataset[Change],
+                           ttl: TTLConfig = TTLConfig.NONE): Dataset[ViewUpdate] = {
+    val spark = changes.sparkSession
+    import spark.implicits._
+    changes
+      .filter(_.event_type != Malformed)
+      .groupByKey(_.id)
+      .transformWithState(new LatestWinsProcessor(ttl), TimeMode.None(), OutputMode.Update())
   }
 
   /** Adapt a decoded changelog DataFrame to the typed stream. */

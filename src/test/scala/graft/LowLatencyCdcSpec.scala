@@ -56,4 +56,42 @@ class LowLatencyCdcSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
     assert(out.toSeq == Seq(("k1", CdcStream.Upsert, 7L), ("k2", CdcStream.Delete, 8L)))
   }
+
+  test("transformWithState variant matches flatMapGroupsWithState semantics") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val ms = MemoryStream[Change]
+    val updates = CdcStream.latestWinsUpdatesTws(ms.toDS())
+    val q = updates.writeStream.format("memory").queryName("tws")
+      .outputMode("update").start()
+
+    ms.addData(up("a", 1, "v1"), up("b", 2, "b1"))
+    q.processAllAvailable()
+    ms.addData(up("a", 3, "v2"), del("b", 4))
+    q.processAllAvailable()
+    ms.addData(up("a", 1, "v1"))   // stale redelivery -> no regression
+    q.processAllAvailable()
+    q.stop()
+
+    val emissions = spark.table("tws").as[ViewUpdate].collect()
+    assert(emissions.length == 4, s"got ${emissions.toSeq}")
+    val lastA = emissions.filter(_.id == "a").last
+    assert(lastA.present && lastA.message.contains("v2"))
+    assert(!emissions.filter(_.id == "b").last.present)
+  }
+
+  test("envelope decode tolerates schema evolution (extra and missing fields)") {
+    import spark.implicits._
+    val lines = Seq(
+      // extra unknown fields at every level -> ignored
+      """{"key":{"id":"e1","shard":7},"value":{"before":null,"after":{"id":"e1","create_time":1,"update_time":1,"message":"m","username":"u","new_col":"x"},"source":{"lsn":1,"ts_ms":1,"txId":1,"sequence":"[1,2]"},"op":"c","ts_ms":1,"transaction":null}}""",
+      // missing optional fields (no source.txId, no ts_ms) -> nulls
+      """{"key":{"id":"e2"},"value":{"before":null,"after":{"id":"e2","create_time":2,"update_time":2,"message":"n","username":"u"},"source":{"lsn":2},"op":"c"}}""")
+    val df = spark.read.schema(CdcStream.fileRecordSchema).json(lines.toDS())
+    val out = CdcStream.decodeFile(df).orderBy("id")
+      .select("id", "event_type", "lsn").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq == Seq(("e1", CdcStream.Upsert, 1L), ("e2", CdcStream.Upsert, 2L)))
+  }
 }
