@@ -169,8 +169,7 @@ object CdcStream {
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
         (id: String, it: Iterator[Change], state: GroupState[Change]) =>
           val all = state.getOption.iterator ++ it
-          val latest = all.maxBy(c => (c.lsn.getOrElse(Long.MinValue),
-                                       c.ts_ms.getOrElse(Long.MinValue)))
+          val latest = all.maxBy(changeOrder)
           val changed = !state.getOption.contains(latest)
           state.update(latest)
           if (!changed) Iterator.empty
@@ -201,7 +200,9 @@ object CdcStream {
 
     override def handleInputRows(key: String, rows: Iterator[Change],
                                  timerValues: TimerValues): Iterator[ViewUpdate] = {
-      val prev = if (state.exists()) Option(state.get()) else None
+      // one state-store read: get() returns null when absent
+      // (exists() is itself a get underneath)
+      val prev = Option(state.get())
       val latest = (prev.iterator ++ rows).maxBy(changeOrder)
       if (prev.contains(latest)) Iterator.empty
       else {
@@ -216,10 +217,15 @@ object CdcStream {
                            ttl: TTLConfig = TTLConfig.NONE): Dataset[ViewUpdate] = {
     val spark = changes.sparkSession
     import spark.implicits._
+    // TTL-backed state requires processing-time mode — Spark rejects a
+    // non-NONE TTLConfig under TimeMode.None at processor init
+    // (StatefulProcessorCannotAssignTTLInTimeMode).
+    val ttlEnabled = ttl.ttlDuration != null && !ttl.ttlDuration.isZero
+    val timeMode = if (ttlEnabled) TimeMode.ProcessingTime() else TimeMode.None()
     changes
       .filter(_.event_type != Malformed)
       .groupByKey(_.id)
-      .transformWithState(new LatestWinsProcessor(ttl), TimeMode.None(), OutputMode.Update())
+      .transformWithState(new LatestWinsProcessor(ttl), timeMode, OutputMode.Update())
   }
 
   /** Adapt a decoded changelog DataFrame to the typed stream. */

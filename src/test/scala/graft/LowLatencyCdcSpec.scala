@@ -94,4 +94,24 @@ class LowLatencyCdcSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
     assert(out.toSeq == Seq(("e1", CdcStream.Upsert, 1L), ("e2", CdcStream.Upsert, 2L)))
   }
+
+  test("transformWithState with a real TTL starts and processes (processing-time mode)") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val ms = MemoryStream[Change]
+    val updates = CdcStream.latestWinsUpdatesTws(ms.toDS(),
+      org.apache.spark.sql.streaming.TTLConfig(java.time.Duration.ofHours(1)))
+    val q = updates.writeStream.format("memory").queryName("twsttl")
+      .outputMode("update").start()
+    ms.addData(up("x", 1, "v1"))
+    q.processAllAvailable()
+    ms.addData(up("x", 2, "v2"))
+    q.processAllAvailable()
+    q.stop()
+
+    val emissions = spark.table("twsttl").as[ViewUpdate].collect()
+    assert(emissions.length == 2 && emissions.last.message.contains("v2"),
+      s"got ${emissions.toSeq}")
+  }
 }
