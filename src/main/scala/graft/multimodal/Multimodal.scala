@@ -63,6 +63,54 @@ object Multimodal {
     }
   }
 
+  /** A sampled frame from a media payload (video frame-sampling
+    * shape: one media row explodes to `nFrames` frame rows). */
+  case class Frame(doc_id: Long, frame_idx: Int, offset_bytes: Long,
+                   features: Array[Float])
+
+  /** Frame sampling: every `stride` bytes becomes one "frame" whose
+    * features are the following `window` bytes scaled to [0,1).
+    * STUB for a real codec's keyframe extraction; the row-explosion
+    * shape (1 media row -> N frame rows, computed per partition,
+    * never on the driver) is the real design.
+    */
+  def sampleFrames(media: Dataset[MediaRecord], stride: Int, window: Int = 4): Dataset[Frame] = {
+    require(stride > 0 && window > 0)
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { rec =>
+        val n = rec.payload.length
+        (0 until n by stride).zipWithIndex.map { case (off, idx) =>
+          val feats = rec.payload.slice(off, math.min(n, off + window))
+            .map(b => (b & 0xFF) / 255.0f)
+          Frame(rec.doc_id, idx, off.toLong,
+            if (feats.nonEmpty) feats else Array(0.0f))
+        }
+      }
+    }
+  }
+
+  /** Feature "resize" (dimension change) via linear interpolation —
+    * STUB for a real image resample; runs inside the same typed
+    * Dataset plan. */
+  def resizeFeatures(decoded: Dataset[DecodedMedia], dim: Int): Dataset[DecodedMedia] = {
+    require(dim > 0)
+    val spark = decoded.sparkSession
+    import spark.implicits._
+    decoded.map { m =>
+      val src = m.features
+      val out = Array.tabulate(dim) { i =>
+        val pos = i.toDouble * (src.length - 1) / math.max(1, dim - 1)
+        val lo = pos.toInt
+        val hi = math.min(src.length - 1, lo + 1)
+        val frac = (pos - lo).toFloat
+        src(lo) * (1 - frac) + src(hi) * frac
+      }
+      m.copy(features = out)
+    }
+  }
+
   /** End-to-end: documents -> payloads -> decoded features table. */
   def pipeline(spark: SparkSession, documents: DataFrame): DataFrame =
     decodeStub(fromDocuments(documents)).toDF()

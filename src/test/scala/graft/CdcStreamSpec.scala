@@ -84,4 +84,18 @@ class CdcStreamSpec extends SparkSpec {
     assert(out.getString(0) == CdcStream.Delete)
     assert(out.getString(1) == "x") // id recovered from the key
   }
+
+  test("Debezium initial-snapshot records (op='r') materialize like inserts") {
+    import spark.implicits._
+    // Debezium's initial table snapshot emits op='r' with after set and
+    // before=null; the pipeline classifies by the payload, so snapshot
+    // rows bootstrap the view exactly like inserts (SURVEY R1 note).
+    val lines = Seq(
+      """{"key":{"id":"s1"},"value":{"before":null,"after":{"id":"s1","create_time":1,"update_time":1,"message":"from snapshot","username":"u"},"source":{"lsn":1,"ts_ms":1,"txId":1},"op":"r","ts_ms":1}}""",
+      """{"key":{"id":"s1"},"value":{"before":null,"after":{"id":"s1","create_time":1,"update_time":2,"message":"streamed later","username":"u"},"source":{"lsn":2,"ts_ms":2,"txId":2},"op":"u","ts_ms":2}}""")
+    val df = spark.read.schema(CdcStream.fileRecordSchema).json(lines.toDS())
+    val view = CdcStream.materialize(CdcStream.decodeFile(df))
+      .select("id", "message").collect().map(r => (r.getString(0), r.getString(1)))
+    assert(view.toSeq == Seq(("s1", "streamed later")))
+  }
 }

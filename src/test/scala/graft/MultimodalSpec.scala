@@ -32,4 +32,26 @@ class MultimodalSpec extends SparkSpec {
     val again = Multimodal.pipeline(spark, docs).orderBy("doc_id").collect()
     assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
+
+  test("frame sampling explodes media rows into offset-indexed frames") {
+    import spark.implicits._
+    val docs = Seq((1L, "abcdefghij")).toDF("doc_id", "text")  // 10 bytes
+    val frames = Multimodal.sampleFrames(
+      Multimodal.fromDocuments(docs), stride = 4, window = 4).collect()
+    assert(frames.map(f => (f.frame_idx, f.offset_bytes)).toSeq ==
+      Seq((0, 0L), (1, 4L), (2, 8L)))
+    assert(frames(0).features.length == 4)
+    assert(frames(2).features.length == 2) // tail frame clipped
+  }
+
+  test("feature resize interpolates to the target dimension") {
+    import spark.implicits._
+    val docs = Seq((1L, "hello world")).toDF("doc_id", "text")
+    val decoded = Multimodal.decodeStub(Multimodal.fromDocuments(docs))
+    val resized = Multimodal.resizeFeatures(decoded, 16).collect().head
+    assert(resized.features.length == 16)
+    val src = decoded.collect().head.features
+    // endpoints preserved by linear interpolation
+    assert(resized.features.head == src.head && resized.features.last == src.last)
+  }
 }
