@@ -20,6 +20,18 @@ object TextFunctions {
 
   def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
 
+  /** GPT-2-style ("BPE-ish") pre-tokenizer pattern: contraction
+    * suffixes, space-prefixed letter runs, digit runs, punctuation
+    * runs. RE2-compatible (no lookahead) so the DuckDB oracle applies
+    * the identical pattern. */
+  final val BpePattern = "'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\\s']+"
+
+  /** BPE-ish pre-tokens (whitespace runs are skipped, not emitted). */
+  def bpeTokens(text: Column): Column =
+    regexp_extract_all(text, lit(BpePattern), lit(0))
+
+  def bpeTokenCount(text: Column): Column = size(bpeTokens(text)).cast("long")
+
   /** Whitespace-normalized, lowercased canonical form. */
   def normalized(text: Column): Column = lower(regexp_replace(trim(text), "\\s+", " "))
 
@@ -32,8 +44,13 @@ object TextFunctions {
   /** SHA-256 content hash (collision-safe exact-dup key). */
   def contentSha(text: Column): Column = sha2(text, 256)
 
-  /** Word n-gram shingles: `["a b c", "b c d", ...]` from the token array. */
-  def shingles(text: Column, n: Int): Column = {
+  /** Word n-gram shingles: `["a b c", "b c d", ...]` from the token
+    * array (native single-pass expression, see [[WordShingles]]). */
+  def shingles(text: Column, n: Int): Column = WordShingles(tokens(text), n)
+
+  /** Built-ins-only shingles (interpreted per position; kept as the
+    * composition reference). */
+  def shinglesHof(text: Column, n: Int): Column = {
     val t = tokens(text)
     when(size(t) < n, array(concat_ws(" ", t)))
       .otherwise(transform(
@@ -41,12 +58,19 @@ object TextFunctions {
         i => concat_ws(" ", slice(t, i + 1, lit(n)))))
   }
 
-  /** MinHash signature: `k` permutations simulated as seeded xxhash64
-    * over the shingle set; signature element j = min over shingles of
-    * hash(shingle, j). Two documents' signatures agree at position j
-    * with probability = Jaccard similarity of their shingle sets.
+  /** MinHash signature: signature element j = min over shingles of a
+    * lane-j hash. Two documents' signatures agree at position j with
+    * probability = Jaccard similarity of their shingle sets. Native
+    * single-pass expression (see [[MinHashSignature]]); the pure
+    * higher-order-function composition is kept as
+    * [[minhashSignatureHof]] for reference.
     */
   def minhashSignature(shingleArr: Column, k: Int): Column =
+    MinHashSignature(shingleArr, k)
+
+  /** Built-ins-only MinHash (interpreted per element — ~40x slower in
+    * the sf0.1 near-dup pipeline; use [[minhashSignature]]). */
+  def minhashSignatureHof(shingleArr: Column, k: Int): Column =
     transform(sequence(lit(0), lit(k - 1)),
       seed => array_min(transform(shingleArr, sh => xxhash64(sh, seed))))
 

@@ -845,7 +845,91 @@ object Catalog {
              |                  row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, c_label) AS rn
              |           FROM assigned)
              |SELECT vec_id, label, c_label AS predicted, round(sim, 4) AS sim_r
-             |FROM ranked WHERE rn = 1 ORDER BY vec_id""".stripMargin))
+             |FROM ranked WHERE rn = 1 ORDER BY vec_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Q32: exact 3-shingle Jaccard near-dups. Unlike token-set Jaccard
+    // (q16, drowned in vocabulary overlap on this corpus), word
+    // 3-grams isolate the true planted near-duplicates: 25 pairs at
+    // sf0.01 with clean separation (nothing between J=0.1 and J=0.5).
+    Query(
+      "q32_shingle_jaccard",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+          .select($"doc_id", array_distinct(TF.shingles($"text", 3)).as("sh"))
+        val a = docs.select($"doc_id".as("doc_a"), $"sh".as("sha"))
+        val b = docs.select($"doc_id".as("doc_b"), $"sh".as("shb"))
+        a.join(broadcast(b), $"doc_a" < $"doc_b")
+          .withColumn("jaccard",
+            size(array_intersect($"sha", $"shb")).cast("double") /
+            size(array_union($"sha", $"shb")))
+          .filter($"jaccard" >= 0.5)
+          .select($"doc_a", $"doc_b", round($"jaccard", 4).as("jaccard_r"))
+          .orderBy($"doc_a", $"doc_b")
+      },
+      Some("""WITH tk AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM documents),
+             |sh AS (SELECT doc_id, list_distinct(list_transform(
+             |         generate_series(1, len(tk) - 2),
+             |         i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh FROM tk)
+             |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             |       round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+             |             len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard_r
+             |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+             |WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
+             |      len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+             |ORDER BY doc_a, doc_b""".stripMargin),
+      headline = false),
+
+    // ------------------------------------------------------------------
+    // Q33: the production near-dup pipeline — MinHash over 3-shingles,
+    // LSH banding (64 bands x 2 rows targets recall ~1.0 at J=0.5),
+    // exact-Jaccard verification of candidates. The scale path for
+    // q32's O(n^2): candidates ~ per-band collisions, not all pairs.
+    // xxhash64 signatures -> rows-only check.
+    Query(
+      "q33_minhash_shingle",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+          .select($"doc_id", array_distinct(TF.shingles($"text", 3)).as("sh"))
+        val sig = docs.select($"doc_id", TF.minhashSignature($"sh", 128).as("sig"))
+        val bands = sig.select($"doc_id",
+          explode(TF.minhashBands($"sig", 64, 2)).as("band"))
+        val cand = bands.as("a").join(bands.as("b"),
+            $"a.band" === $"b.band" && $"a.doc_id" < $"b.doc_id")
+          .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+          .dropDuplicates("doc_a", "doc_b")
+        val sa = docs.select($"doc_id".as("doc_a"), $"sh".as("sha"))
+        val sb = docs.select($"doc_id".as("doc_b"), $"sh".as("shb"))
+        cand.join(sa, "doc_a").join(sb, "doc_b")
+          .withColumn("jaccard",
+            size(array_intersect($"sha", $"shb")).cast("double") /
+            size(array_union($"sha", $"shb")))
+          .filter($"jaccard" >= 0.5)
+          .select($"doc_a", $"doc_b", round($"jaccard", 4).as("jaccard_r"))
+          .orderBy($"doc_a", $"doc_b")
+      },
+      None),
+
+    // ------------------------------------------------------------------
+    // Q34: token counting, whitespace + BPE-ish regex (both counts per
+    // document, plus the corpus totals shape via aggregation).
+    Query(
+      "q34_bpe_token_stats",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "documents")
+          .select($"doc_id",
+                  TF.tokenCount($"text").as("n_ws_tokens"),
+                  TF.bpeTokenCount($"text").as("n_bpe_tokens"))
+          .orderBy($"doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  len(string_split_regex(trim(text), '\s+')) AS n_ws_tokens,
+             |  len(regexp_extract_all(text,
+             |      '''(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s'']+')) AS n_bpe_tokens
+             |FROM documents ORDER BY doc_id""".stripMargin))
   )
 
   val byName: Map[String, Query] = all.map(q => q.name -> q).toMap
