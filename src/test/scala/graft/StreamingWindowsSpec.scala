@@ -122,4 +122,31 @@ class StreamingWindowsSpec extends SparkSpec {
     val got = spark.table("ssj").collect().map(_.getLong(0))
     assert(got.toSeq == Seq(1L), s"got ${got.toSeq}")
   }
+
+  test("sliding windows assign events to overlapping windows") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val ms = MemoryStream[(Timestamp, String)]
+    val counts = Windows.slidingCounts(
+      ms.toDF().toDF("ts", "event_type"), "ts", "10 minutes", "5 minutes",
+      "10 minutes", col("event_type"))
+    val q = counts
+      .select(col("window.start").as("w"), col("event_type"), col("n"))
+      .writeStream.format("memory").queryName("swc").outputMode("append").start()
+
+    // one event at 10:07 -> windows [10:00,10:10) and [10:05,10:15)
+    ms.addData((ts(7), "click"))
+    ms.addData((Timestamp.valueOf("2024-01-01 12:00:00"), "view"))
+    q.processAllAvailable()
+    ms.addData((Timestamp.valueOf("2024-01-01 13:00:00"), "view"))
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("swc").filter(col("event_type") === "click")
+      .collect().map(r => (r.getTimestamp(0), r.getLong(2))).sortBy(_._1.getTime)
+    assert(got.toSeq == Seq(
+      (Timestamp.valueOf("2024-01-01 10:00:00"), 1L),
+      (Timestamp.valueOf("2024-01-01 10:05:00"), 1L)), s"got ${got.toSeq}")
+  }
 }
