@@ -282,6 +282,65 @@ object CdcStream {
     replace(Paths.get(tmp), statePath)
   }
 
+  /** Bucketed incremental merge: state lives as `stateDir/b=<n>`
+    * partitions keyed by hash(id) % nBuckets; a micro-batch reads and
+    * rewrites ONLY the buckets its keys touch — per-batch cost is
+    * O(delta + touched-bucket rows), not O(total state). This is the
+    * plain-parquet approximation of transactional MERGE INTO file
+    * pruning, and lifts the measured O(state) throughput plateau of
+    * [[mergeBatch]] for small-delta / large-state workloads.
+    * Same latest-wins + retained-tombstones semantics.
+    */
+  def mergeBatchBucketed(batch: DataFrame, stateDir: String, nBuckets: Int): Unit = synchronized {
+    require(nBuckets > 0)
+    val spark = batch.sparkSession
+    val delta = batch.filter(col("event_type") =!= Malformed)
+      .withColumn("b", pmod(xxhash64(col("id")), lit(nBuckets)).cast("int"))
+      .cache()
+    try {
+      val affected = delta.select("b").distinct().collect().map(_.getInt(0)).sorted
+      if (affected.nonEmpty) {
+        val existingPaths = affected.map(b => s"$stateDir/b=$b")
+          .filter(p => Files.exists(Paths.get(p)))
+        val unioned =
+          if (existingPaths.nonEmpty)
+            spark.read.option("basePath", stateDir).parquet(existingPaths: _*)
+              .unionByName(delta)
+          else delta
+        val newState = CdcMerge.latestWins(
+          unioned, Seq("id"),
+          Seq(col("lsn").desc_nulls_last, col("ts_ms").desc_nulls_last))
+        val tmp = stateDir + ".tmpb"
+        // repartition by bucket before partitionBy: one writer and ONE
+        // file per bucket per merge — otherwise every task opens a
+        // writer per bucket and the state degrades into thousands of
+        // tiny files that compound across batches
+        newState.repartition(col("b"))
+          .write.mode("overwrite").partitionBy("b").parquet(tmp)
+        Files.createDirectories(Paths.get(stateDir))
+        affected.foreach { b =>
+          val src = Paths.get(s"$tmp/b=$b")
+          if (Files.exists(src)) swapDirs(src, Paths.get(s"$stateDir/b=$b"))
+        }
+        deleteRecursively(Paths.get(tmp))
+      }
+    } finally delta.unpersist()
+  }
+
+  /** File-source stream variant using the bucketed merge. */
+  def runFileStreamBucketed(spark: SparkSession, inputDir: String, checkpointDir: String,
+                            stateDir: String, nBuckets: Int,
+                            trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val raw = spark.readStream.schema(fileRecordSchema).json(inputDir)
+    decodeFile(raw).writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        mergeBatchBucketed(batch, stateDir, nBuckets)
+      }
+      .start()
+  }
+
   /** Read the materialized view (state minus tombstones) with proper
     * timestamp columns. An empty stream produces no state snapshot —
     * that's an empty view, not an error. */
@@ -302,13 +361,14 @@ object CdcStream {
   /** Atomic-ish directory swap shared by the snapshot-state writers. */
   private[streaming] def swapDirs(src: Path, dst: Path): Unit = replace(src, dst)
 
+  private[streaming] def deleteRecursively(p: Path): Unit = if (Files.exists(p)) {
+    if (Files.isDirectory(p))
+      Files.list(p).forEach(c => deleteRecursively(c))
+    Files.delete(p)
+  }
+
   private def replace(src: Path, dst: Path): Unit = {
-    def deleteRec(p: Path): Unit = if (Files.exists(p)) {
-      if (Files.isDirectory(p))
-        Files.list(p).forEach(c => deleteRec(c))
-      Files.delete(p)
-    }
-    deleteRec(dst)
+    deleteRecursively(dst)
     Files.move(src, dst, StandardCopyOption.ATOMIC_MOVE)
   }
 }

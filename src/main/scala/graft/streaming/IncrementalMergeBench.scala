@@ -1,0 +1,63 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Measures the O(state)-vs-O(delta) difference between the snapshot
+  * merge and the bucketed incremental merge: build a large state once,
+  * then apply many small update batches to both and time them.
+  *
+  * Usage: runMain graft.streaming.IncrementalMergeBench [stateKeys] [batches] [batchSize]
+  */
+object IncrementalMergeBench {
+
+  private def changes(spark: SparkSession, startLsn: Long, n: Long, keySpace: Long): DataFrame = {
+    import spark.implicits._
+    spark.range(n).select(
+      lit(CdcStream.Upsert).as("event_type"),
+      concat(lit("k"), pmod(xxhash64($"id" + startLsn), lit(keySpace))).as("id"),
+      (lit(startLsn) + $"id").as("create_time"),
+      (lit(startLsn) + $"id").as("update_time"),
+      concat(lit("payload message number "), $"id").as("message"),
+      concat(lit("user"), pmod($"id", lit(100))).as("username"),
+      (lit(startLsn) + $"id").as("lsn"),
+      (lit(startLsn) + $"id").as("ts_ms"))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val stateKeys = args.headOption.map(_.toLong).getOrElse(1000000L)
+    val batches = if (args.length > 1) args(1).toInt else 20
+    val batchSize = if (args.length > 2) args(2).toLong else 1000L
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = graft.engine.Graft.session(s"local[$cpus]", cpus.toInt)
+
+    val root = Files.createTempDirectory("incmerge").toString
+    val plainDir = s"$root/plain"; val bktDir = s"$root/bucketed"
+    val nBuckets = 1024
+
+    // seed both states with the same bulk load
+    val base = changes(spark, 0, stateKeys, stateKeys)
+    CdcStream.mergeBatch(base, plainDir)
+    CdcStream.mergeBatchBucketed(base, bktDir, nBuckets)
+
+    def applyDeltas(merge: DataFrame => Unit): Double = {
+      val t0 = System.nanoTime()
+      (1 to batches).foreach { i =>
+        merge(changes(spark, stateKeys + i.toLong * batchSize, batchSize, stateKeys))
+      }
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    val plainSec = applyDeltas(b => CdcStream.mergeBatch(b, plainDir))
+    val bktSec = applyDeltas(b => CdcStream.mergeBatchBucketed(b, bktDir, nBuckets))
+
+    // states must agree after the same deltas
+    val a = spark.read.parquet(plainDir).count()
+    val b = spark.read.parquet(bktDir).count()
+
+    println(f"""{"metric":"incremental_merge","state_keys":$stateKeys,"batches":$batches,"batch_size":$batchSize,"plain_sec_per_batch":${plainSec / batches}%.3f,"bucketed_sec_per_batch":${bktSec / batches}%.3f,"speedup":${plainSec / bktSec}%.1f,"rows_plain":$a,"rows_bucketed":$b}""")
+    spark.stop()
+  }
+}

@@ -98,4 +98,39 @@ class CdcStreamSpec extends SparkSpec {
       .select("id", "message").collect().map(r => (r.getString(0), r.getString(1)))
     assert(view.toSeq == Seq(("s1", "streamed later")))
   }
+
+  test("bucketed incremental merge produces the same view as the snapshot merge") {
+    val root = Files.createTempDirectory("cdcbkt").toString
+    val in = s"$root/in"; Files.createDirectories(Paths.get(in))
+    val lines = Seq(
+      env("a", 1, 1000, 1000, 1000, "hello", "u1"),
+      env("b", 2, 1500, 1500, 1500, "bye", "u2"),
+      env("a", 3, 2000, 1000, 2000, "hello v2", "u1"),
+      tombstone("b", 4, 2500),
+      env("c", 5, 3000, 3000, 3000, "c1", "u3"),
+      tombstone("c", 6, 3500),
+      env("c", 7, 4000, 4000, 4000, "c2", "u3"),
+      env("a", 3, 2000, 1000, 2000, "hello v2", "u1") // redelivery
+    )
+    Files.write(Paths.get(s"$in/batch1.json"), lines.mkString("\n").getBytes("UTF-8"))
+
+    val q1 = CdcStream.runFileStream(spark, in, s"$root/cp1", s"$root/plain")
+    q1.awaitTermination()
+    val q2 = CdcStream.runFileStreamBucketed(spark, in, s"$root/cp2", s"$root/bucketed", 8)
+    q2.awaitTermination()
+
+    def snap(dir: String) = CdcStream.readView(spark, dir).orderBy("id").collect()
+      .map(_.toString).toSeq
+    assert(snap(s"$root/bucketed") == snap(s"$root/plain"))
+    assert(snap(s"$root/bucketed").size == 2) // a + resurrected c
+
+    // second batch through the bucketed path: only affected buckets move
+    Files.write(Paths.get(s"$in/batch2.json"),
+      tombstone("a", 8, 5000).getBytes("UTF-8"))
+    val q3 = CdcStream.runFileStreamBucketed(spark, in, s"$root/cp2", s"$root/bucketed", 8)
+    q3.awaitTermination()
+    val ids = CdcStream.readView(spark, s"$root/bucketed").select("id")
+      .collect().map(_.getString(0))
+    assert(ids.toSeq == Seq("c"))
+  }
 }
