@@ -39,29 +39,29 @@ object AsOfJoin {
                        rightVal: String, outCol: String): DataFrame = {
     val leftCols = left.columns
     val l = left
-      .withColumn("__k", col(leftKey))
-      .withColumn("__t", col(leftTime))
-      .withColumn("__isRight", lit(0))
-      .withColumn("__v", lit(null).cast(right.schema(rightVal).dataType))
+      .withColumn("__graft_asof_k", col(leftKey))
+      .withColumn("__graft_asof_t", col(leftTime))
+      .withColumn("__graft_asof_r", lit(0))
+      .withColumn("__graft_asof_v", lit(null).cast(right.schema(rightVal).dataType))
     val r = right
       .select(
-        col(rightKey).as("__k"),
-        col(rightTime).as("__t"),
-        lit(1).as("__isRight"),
-        col(rightVal).as("__v"))
-    val unioned = l.select((leftCols.map(col) :+ col("__k") :+ col("__t") :+
-      col("__isRight") :+ col("__v")): _*)
+        col(rightKey).as("__graft_asof_k"),
+        col(rightTime).as("__graft_asof_t"),
+        lit(1).as("__graft_asof_r"),
+        col(rightVal).as("__graft_asof_v"))
+    val unioned = l.select((leftCols.map(col) :+ col("__graft_asof_k") :+ col("__graft_asof_t") :+
+      col("__graft_asof_r") :+ col("__graft_asof_v")): _*)
       .unionByName(r, allowMissingColumns = true)
 
     // Right rows sort before left rows at equal timestamps so that
     // "on or before" is inclusive.
-    val w = Window.partitionBy(col("__k"))
-      .orderBy(col("__t").asc, col("__isRight").desc)
+    val w = Window.partitionBy(col("__graft_asof_k"))
+      .orderBy(col("__graft_asof_t").asc, col("__graft_asof_r").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     unioned
-      .withColumn(outCol, last(col("__v"), ignoreNulls = true).over(w))
-      .filter(col("__isRight") === 0)
+      .withColumn(outCol, last(col("__graft_asof_v"), ignoreNulls = true).over(w))
+      .filter(col("__graft_asof_r") === 0)
       .select((leftCols.map(col) :+ col(outCol)): _*)
   }
 }

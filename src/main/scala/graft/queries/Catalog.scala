@@ -932,7 +932,32 @@ object Catalog {
              |  len(string_split_regex(trim(text), '\s+')) AS n_ws_tokens,
              |  len(regexp_extract_all(text,
              |      '''(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s'']+')) AS n_bpe_tokens
-             |FROM documents ORDER BY doc_id""".stripMargin))
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Q35: map-typed columns — JSON props decoded to map<string,string>
+    // via from_json, then map_keys / element_at (SURVEY §2.B map
+    // function surface).
+    Query(
+      "q35_map_funcs",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "events")
+          .withColumn("m", from_json($"props", org.apache.spark.sql.types.MapType(
+            org.apache.spark.sql.types.StringType, org.apache.spark.sql.types.StringType)))
+          .select($"event_id",
+                  size(map_keys($"m")).cast("long").as("n_keys"),
+                  concat_ws(",", array_sort(map_keys($"m"))).as("keys_sorted"),
+                  element_at($"m", "k").cast("long").as("k_value"))
+          .filter($"event_id" % 50 === 0)
+          .orderBy($"event_id")
+      },
+      Some("""SELECT event_id,
+             |  len(json_keys(props))::BIGINT AS n_keys,
+             |  array_to_string(list_sort(json_keys(props)), ',') AS keys_sorted,
+             |  json_extract_string(props, '$.k')::BIGINT AS k_value
+             |FROM events WHERE event_id % 50 = 0
+             |ORDER BY event_id""".stripMargin))
   )
 
   val byName: Map[String, Query] = all.map(q => q.name -> q).toMap
