@@ -894,11 +894,17 @@ object Catalog {
       "q33_minhash_shingle",
       (s, dir) => {
         import s.implicits._
+        // Banding derived from the target threshold/recall instead of
+        // hand-tuned constants (LshPlanner: detection prob for J under
+        // (b, r) is 1-(1-J^r)^b).
+        val lsh = graft.functions.LshPlanner.plan(
+          threshold = 0.5, targetRecall = 0.9999, maxSignature = 128)
         val docs = t(s, dir, "documents")
           .select($"doc_id", array_distinct(TF.shingles($"text", 3)).as("sh"))
-        val sig = docs.select($"doc_id", TF.minhashSignature($"sh", 128).as("sig"))
+        val sig = docs.select($"doc_id",
+          TF.minhashSignature($"sh", lsh.signatureLength).as("sig"))
         val bands = sig.select($"doc_id",
-          explode(TF.minhashBands($"sig", 64, 2)).as("band"))
+          explode(TF.minhashBands($"sig", lsh.bands, lsh.rowsPerBand)).as("band"))
         val cand = bands.as("a").join(bands.as("b"),
             $"a.band" === $"b.band" && $"a.doc_id" < $"b.doc_id")
           .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))

@@ -133,4 +133,23 @@ class CdcStreamSpec extends SparkSpec {
       .collect().map(_.getString(0))
     assert(ids.toSeq == Seq("c"))
   }
+
+  test("bucketed merge is idempotent under batch replay") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("cdcidem").toString
+    val batch = spark.read.schema(CdcStream.fileRecordSchema)
+      .json(Seq(
+        env("x", 1, 100, 100, 100, "one", "u"),
+        env("y", 2, 200, 200, 200, "two", "u"),
+        tombstone("x", 3, 300)).toDS())
+    val decoded = CdcStream.decodeFile(batch)
+    CdcStream.mergeBatchBucketed(decoded, s"$root/state", 8)
+    val first = spark.read.parquet(s"$root/state").orderBy("id", "lsn")
+      .collect().map(_.toString).toSeq
+    // at-least-once redelivery of the SAME batch
+    CdcStream.mergeBatchBucketed(decoded, s"$root/state", 8)
+    val second = spark.read.parquet(s"$root/state").orderBy("id", "lsn")
+      .collect().map(_.toString).toSeq
+    assert(first == second)
+  }
 }

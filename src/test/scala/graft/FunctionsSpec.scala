@@ -87,6 +87,21 @@ class FunctionsSpec extends SparkSpec {
     assert(row.getDouble(3) == 1.0)
   }
 
+
+  test("LshPlanner meets target recall with the most selective banding") {
+    import graft.functions.LshPlanner
+    val p = LshPlanner.plan(threshold = 0.8, targetRecall = 0.999, maxSignature = 64)
+    assert(p.signatureLength <= 64)
+    assert(p.detectProb(0.8) >= 0.999, s"plan $p prob ${p.detectProb(0.8)}")
+    // more selective than 1-row bands: some false-candidate suppression
+    assert(p.rowsPerBand >= 2, p.toString)
+    // q33's hand-tuned setting is confirmed by the model
+    val q33 = LshPlanner.Plan(64, 2)
+    assert(q33.detectProb(0.5) > 0.999999)
+    // and q15's ORIGINAL 16x4 setting is shown insufficient at J=0.8
+    assert(LshPlanner.Plan(16, 4).detectProb(0.8) < 0.9999)
+  }
+
   test("tokenJaccard: identical = 1, disjoint = 0") {
     import spark.implicits._
     val row = Seq(("a b c", "a b c", "x y z")).toDF("t1", "t2", "t3")
