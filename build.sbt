@@ -14,6 +14,10 @@ Test / fork := true
 // streaming checkpoints/memory sinks don't collide.
 Test / parallelExecution := false
 run / fork := true
+// Forked `run` output goes straight to this process's stdout/stderr with
+// NO "[info] "/"[error] " logger prefix — the driver parses Bench's JSON
+// line from stdout, and the sbt prefix broke that parse in rounds 1-2.
+outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
