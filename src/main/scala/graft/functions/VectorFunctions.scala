@@ -58,6 +58,11 @@ object VectorFunctions {
     * (plane, dim)) and baked into the plan as literal arrays, so each
     * row costs `bits` codegen'd [[DotProduct]]s — no per-element hash
     * evaluation at runtime, reproducible across runs and executors.
+    *
+    * `dim` MUST equal the actual embedding length: [[DotProduct]] folds
+    * over min(length), so a shorter plane would silently bucket on a
+    * prefix of the vector and degrade LSH recall. A runtime guard
+    * raises an error on the first mismatched row rather than truncate.
     */
   def hyperplaneBucket(vec: Column, bits: Int, dim: Int = 64): Column = {
     require(bits > 0 && bits <= 62, "bits must be in (0, 62]")
@@ -67,8 +72,11 @@ object VectorFunctions {
       })
     }
     val v = asDouble(vec)
-    planes.foldLeft(lit(0L)) { (acc, plane) =>
+    val packed = planes.foldLeft(lit(0L)) { (acc, plane) =>
       shiftleft(acc, 1).bitwiseOR(when(dot(v, plane) >= 0, lit(1L)).otherwise(lit(0L)))
     }
+    when(size(v) === dim, packed).otherwise(raise_error(concat(
+      lit(s"hyperplaneBucket: expected $dim-dim embedding, got "),
+      size(v).cast("string"), lit(" elements"))))
   }
 }

@@ -20,18 +20,29 @@ import org.apache.spark.sql.functions._
 object SkewJoin {
 
   /** Inner equi-join `left.key == right.key` with the left side's hot
-    * keys spread over `buckets` salt partitions. Deterministic: the
-    * salt is a hash of the whole left row's key + a monotonic id
-    * modulo buckets, not an RNG. */
+    * keys spread over `buckets` salt partitions.
+    *
+    * The salt is derived ONLY from deterministic row content —
+    * `xxhash64` over every left column — so a task retry or
+    * speculative re-execution recomputes the identical salt for the
+    * identical row. (A salt fed by `monotonically_increasing_id()` or
+    * `rand()` is a correctness hazard: it is assigned per partition
+    * layout, so a retried stage can re-salt rows differently and drop
+    * or duplicate them across the shuffle.) Fully identical duplicate
+    * rows share a salt and thus a task; skew relief comes from payload
+    * variety under the hot key, which is the common case.
+    */
   def saltedInner(left: DataFrame, right: DataFrame,
                   leftKey: String, rightKey: String,
                   buckets: Int): DataFrame = {
     require(buckets > 0)
     val l = left.withColumn("__salt",
-      pmod(xxhash64(col(leftKey), monotonically_increasing_id()), lit(buckets)).cast("int"))
+      pmod(xxhash64(left.columns.map(col).toIndexedSeq: _*), lit(buckets)).cast("int"))
     val r = right.withColumn("__salt",
       explode(sequence(lit(0), lit(buckets - 1))))
-    l.join(r, l("__salt") === r("__salt") && col(leftKey) === col(rightKey))
+    // Qualify both keys via the captured frames: bare col(...) fails
+    // analysis when leftKey == rightKey (both sides expose the name).
+    l.join(r, l("__salt") === r("__salt") && l(leftKey) === r(rightKey))
       .drop("__salt")
   }
 }

@@ -21,9 +21,13 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *   update (before=x, after=y):     group(x) += (-1, -val(x));
   *                                   group(y) += (+1, +val(y))
   *
-  * Groups whose running count reaches 0 are dropped from the view.
-  * The delta aggregation is a plain keyed sum — map-side combined,
-  * one shuffle per batch, no per-key state operator needed.
+  * Groups whose running count nets to exactly 0 are dropped from
+  * state; groups with a NEGATIVE count (a delete that arrived before
+  * its insert, e.g. replay across an out-of-order source) are kept as
+  * compensations so the late insert still nets correctly — the view
+  * ([[readView]]) exposes only n > 0. The delta aggregation is a plain
+  * keyed sum — map-side combined, one shuffle per batch, no per-key
+  * state operator needed.
   *
   * REQUIRES before-images on updates/deletes (REPLICA IDENTITY FULL):
   * an update arriving with `before=null` is indistinguishable from an
@@ -67,7 +71,12 @@ object AggView {
           .groupBy(col("username"))
           .agg(sum(col("n")).as("n"), sum(col("total_chars")).as("total_chars"))
       else agg
-    val newState = merged.filter(col("n") > 0)
+    // Keep every group with a non-zero running count. A negative count
+    // is a delete replayed/delivered before its insert: dropping it
+    // here would lose the compensating -1 and double-count the later
+    // insert. Negative groups stay in state until the insert nets them
+    // to zero (dropped) or positive (real); readView hides them.
+    val newState = merged.filter(col("n") =!= 0)
     val tmp = stateDir + ".tmp"
     newState.write.mode("overwrite").parquet(tmp)
     CdcStream.swapDirs(Paths.get(tmp), statePath)
@@ -87,7 +96,11 @@ object AggView {
       }
       .start()
 
+  /** The queryable view: groups with a positive count. In-flight
+    * compensation groups (n < 0, delete seen before its insert) are
+    * state, not results. */
   def readView(spark: SparkSession, stateDir: String): DataFrame =
-    if (Files.exists(Paths.get(stateDir))) spark.read.parquet(stateDir)
+    if (Files.exists(Paths.get(stateDir)))
+      spark.read.parquet(stateDir).filter(col("n") > 0)
     else spark.emptyDataFrame
 }

@@ -35,10 +35,15 @@ object Windows {
       .groupBy(session_window(col(tsCol), gap) +: keyCols: _*)
       .agg(count(lit(1)).as("n"))
 
-  /** Stateful exactly-once-per-id dedup within the watermark horizon. */
+  /** Stateful exactly-once-per-id dedup within the watermark horizon.
+    * Keyed on the ids ALONE — a redelivery of the same id with a
+    * different event timestamp is still a duplicate and is dropped
+    * (`dropDuplicatesWithinWatermark`, which also evicts per-id state
+    * once the watermark passes, unlike plain `dropDuplicates` whose
+    * state grows unboundedly on a stream). */
   def dedupByIds(events: DataFrame, tsCol: String, watermark: String,
                  idCols: String*): DataFrame =
     events
       .withWatermark(tsCol, watermark)
-      .dropDuplicates(idCols :+ tsCol)
+      .dropDuplicatesWithinWatermark(idCols)
 }

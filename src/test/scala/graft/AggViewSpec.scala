@@ -71,4 +71,36 @@ class AggViewSpec extends SparkSpec {
     assert(incremental.toSeq == Seq(("u1", 1L, 6L), ("u2", 1L, 1L)),
       s"got ${incremental.toSeq}")
   }
+
+  test("delete replayed before its insert nets to zero, not a double count") {
+    val root = Files.createTempDirectory("aggview3").toString
+    val in = s"$root/in"; Files.createDirectories(Paths.get(in))
+
+    // batch 1: the DELETE of carol's row arrives first (out-of-order
+    // delivery), plus one normal row for dave
+    val batch1 = Seq(
+      rec("z", 2, Some(("hello", "carol")), None),
+      rec("w", 3, None, Some(("hiya", "dave"))))
+    // batch 2: the matching INSERT for carol's row arrives late
+    val batch2 = Seq(rec("z", 1, None, Some(("hello", "carol"))))
+
+    Files.write(Paths.get(s"$in/b1.json"), batch1.mkString("\n").getBytes("UTF-8"))
+    val q1 = AggView.run(spark, in, s"$root/cp", s"$root/state")
+    q1.awaitTermination()
+    // mid-flight: the compensation (carol, -1) is state, not a result
+    val mid = AggView.readView(spark, s"$root/state")
+      .collect().map(_.getString(0)).sorted
+    assert(mid.toSeq == Seq("dave"), s"got ${mid.toSeq}")
+
+    Files.write(Paths.get(s"$in/b2.json"), batch2.mkString("\n").getBytes("UTF-8"))
+    val q2 = AggView.run(spark, in, s"$root/cp", s"$root/state")
+    q2.awaitTermination()
+
+    val end = AggView.readView(spark, s"$root/state")
+      .orderBy("username").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // carol's insert+delete net to zero; a dropped compensation would
+    // have shown carol as (1, 5) here
+    assert(end.toSeq == Seq(("dave", 1L, 4L)), s"got ${end.toSeq}")
+  }
 }

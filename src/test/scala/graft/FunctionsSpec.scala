@@ -74,6 +74,22 @@ class FunctionsSpec extends SparkSpec {
            java.lang.Double.doubleToLongBits(r2.getDouble(1)))
   }
 
+  test("hyperplaneBucket: deterministic, dim-checked") {
+    import spark.implicits._
+    val df = Seq((1L, Array.fill(8)(0.25f)), (2L, Array.fill(8)(0.25f)))
+      .toDF("id", "v")
+    val buckets = df.select(VF.hyperplaneBucket($"v", bits = 6, dim = 8).as("b"))
+      .collect().map(_.getLong(0))
+    assert(buckets(0) == buckets(1))          // identical vectors collide
+    assert(buckets(0) >= 0 && buckets(0) < (1L << 6))
+    // a vector whose length != dim must raise, not silently truncate
+    val bad = Seq((1L, Array.fill(12)(0.5f))).toDF("id", "v")
+    val e = intercept[Exception] {
+      bad.select(VF.hyperplaneBucket($"v", bits = 6, dim = 8)).collect()
+    }
+    assert(e.getMessage.contains("expected 8-dim"), e.getMessage)
+  }
+
   test("quality metrics on a known document") {
     import spark.implicits._
     val row = Seq("Hello WORLD 123 !").toDF("text")

@@ -23,6 +23,20 @@ class ScaleToolsSpec extends SparkSpec {
       .select($"k", $"lv", $"rv").collect().map(_.toString).sorted
     assert(salted.toSeq == plain.toSeq)
     assert(plain.length == 902) // 900 hot + k1 + k2
+    // the salt must actually spread the hot key over several buckets
+    val spread = left
+      .withColumn("__salt", pmod(xxhash64(left.columns.map(col).toIndexedSeq: _*), lit(8)))
+      .filter($"k" === "hot").select($"__salt").distinct().count()
+    assert(spread > 4, s"hot key only reached $spread of 8 salt buckets")
+  }
+
+  test("salted join works when both key columns share a name") {
+    import spark.implicits._
+    val left = (1 to 50).map(i => ("hot", i.toLong)).toDF("id", "lv")
+    val right = Seq(("hot", "H"), ("cold", "C")).toDF("id", "rv")
+    val n = SkewJoin.saltedInner(left, right, "id", "id", buckets = 4)
+      .select($"lv", $"rv").count()
+    assert(n == 50)
   }
 
   test("date-partitioned sink prunes partitions on read") {

@@ -54,7 +54,7 @@ class StreamingWindowsSpec extends SparkSpec {
       s"got ${rows.toSeq}") // late row did NOT bump the count to 4
   }
 
-  test("watermarked dropDuplicates dedups redelivered events") {
+  test("watermarked per-id dedup drops redeliveries even at a new ts") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
 
@@ -66,14 +66,15 @@ class StreamingWindowsSpec extends SparkSpec {
 
     ms.addData((ts(1), 100L), (ts(1), 100L), (ts(2), 101L))
     q.processAllAvailable()
-    ms.addData((ts(3), 100L))  // same id, different ts -> distinct event
+    ms.addData((ts(3), 100L))  // same id, later ts -> still a duplicate
     ms.addData((ts(1), 100L))  // exact redelivery -> dropped
     q.processAllAvailable()
     q.stop()
 
     val got = spark.table("dd").collect()
       .map(r => (r.getTimestamp(0), r.getLong(1))).sortBy(_._1.getTime)
-    assert(got.toSeq == Seq((ts(1), 100L), (ts(2), 101L), (ts(3), 100L)))
+    // exactly one row per id within the watermark horizon
+    assert(got.toSeq == Seq((ts(1), 100L), (ts(2), 101L)), s"got ${got.toSeq}")
   }
 
   test("session windows group by gap") {
