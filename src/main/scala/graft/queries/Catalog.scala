@@ -963,7 +963,325 @@ object Catalog {
              |  array_to_string(list_sort(json_keys(props)), ',') AS keys_sorted,
              |  json_extract_string(props, '$.k')::BIGINT AS k_value
              |FROM events WHERE event_id % 50 = 0
-             |ORDER BY event_id""".stripMargin))
+             |ORDER BY event_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Q36: pivot — long-to-wide with an explicit value list (no extra
+    // distinct-discovery job, which at 100 TB would be a full scan).
+    Query(
+      "q36_pivot",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "orders")
+          .groupBy($"o_orderpriority")
+          .pivot("o_orderstatus", Seq("F", "O", "P"))
+          .agg(count(lit(1)))
+          .select($"o_orderpriority",
+                  coalesce($"F", lit(0L)).as("F"),
+                  coalesce($"O", lit(0L)).as("O"),
+                  coalesce($"P", lit(0L)).as("P"))
+          .orderBy($"o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority,
+             |  count(*) FILTER (WHERE o_orderstatus = 'F') AS F,
+             |  count(*) FILTER (WHERE o_orderstatus = 'O') AS O,
+             |  count(*) FILTER (WHERE o_orderstatus = 'P') AS P
+             |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Q37: statistical aggregates — corr / stddev / covar / exact
+    // interpolated percentiles. All partial+final combinable
+    // (Catalyst's ImperativeAggregate path), so they scale like sum().
+    Query(
+      "q37_stats",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "lineitem")
+          .groupBy($"l_returnflag")
+          .agg(
+            round(corr($"l_quantity", $"l_extendedprice"), 4).as("corr_qty_price"),
+            round(stddev_samp($"l_discount"), 4).as("sd_disc"),
+            round(covar_samp($"l_quantity", $"l_extendedprice"), 2).as("cov_qp"),
+            round(percentile($"l_extendedprice", lit(0.5)), 2).as("median_price"),
+            round(percentile($"l_extendedprice", lit(0.9)), 2).as("p90_price"))
+          .orderBy($"l_returnflag")
+      },
+      Some("""SELECT l_returnflag,
+             |  round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+             |  round(stddev_samp(l_discount), 4) AS sd_disc,
+             |  round(covar_samp(l_quantity, l_extendedprice), 2) AS cov_qp,
+             |  round(quantile_cont(l_extendedprice, 0.5), 2) AS median_price,
+             |  round(quantile_cont(l_extendedprice, 0.9), 2) AS p90_price
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Q38: correlated EXISTS + scalar subquery through the SQL door —
+    // Catalyst decorrelates the EXISTS into a left-semi join and the
+    // scalar subquery into a broadcast single-row join; nothing is
+    // executed per-row.
+    Query(
+      "q38_subqueries",
+      (s, dir) => {
+        t(s, dir, "customer").createOrReplaceTempView("sub_customer")
+        t(s, dir, "orders").createOrReplaceTempView("sub_orders")
+        s.sql("""SELECT c_custkey, c_name FROM sub_customer c
+                |WHERE EXISTS (SELECT 1 FROM sub_orders o
+                |              WHERE o.o_custkey = c.c_custkey
+                |                AND o.o_totalprice > 300000)
+                |  AND c_acctbal > (SELECT avg(c_acctbal) FROM sub_customer)
+                |ORDER BY c_custkey""".stripMargin)
+      },
+      Some("""SELECT c_custkey, c_name FROM customer c
+             |WHERE EXISTS (SELECT 1 FROM orders o
+             |              WHERE o.o_custkey = c.c_custkey
+             |                AND o.o_totalprice > 300000)
+             |  AND c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Q39: positional token flattening (posexplode / UNNEST WITH
+    // ORDINALITY equivalent) — first-3-token prefix per document, the
+    // shape used for prefix-based language/boilerplate heuristics.
+    Query(
+      "q39_pos_tokens",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "documents")
+          .select($"doc_id", posexplode(split(trim($"text"), "\\s+")).as(Seq("pos", "tok")))
+          .filter($"pos" < 3)
+          .select($"doc_id", $"pos".cast("long").as("pos"), $"tok")
+          .orderBy($"doc_id", $"pos")
+      },
+      Some("""WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+             |           FROM documents)
+             |SELECT doc_id, z[2] - 1 AS pos, z[1] AS tok
+             |FROM (SELECT doc_id,
+             |             unnest(list_zip(toks, generate_series(1, len(toks)))) AS z
+             |      FROM d)
+             |WHERE z[2] <= 3 ORDER BY doc_id, pos""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Q40: batch sessionization — gap-based session ids via
+    // lag + running sum (the batch analog of session_window, which
+    // q-streaming covers in StreamingWindowsSpec). One shuffle on
+    // user_id; both window passes and the final aggregate reuse that
+    // partitioning.
+    Query(
+      "q40_sessionize",
+      (s, dir) => {
+        import s.implicits._
+        val gapMs = 12 * 3600 * 1000L
+        val byUser = Window.partitionBy($"user_id").orderBy($"tms", $"event_id")
+        t(s, dir, "events")
+          .select($"user_id", unix_millis($"ts").as("tms"), $"event_id")
+          .withColumn("new_s",
+            when(lag($"tms", 1).over(byUser).isNull ||
+                 $"tms" - lag($"tms", 1).over(byUser) > gapMs, 1L).otherwise(0L))
+          .withColumn("session_no",
+            sum($"new_s").over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+          .groupBy($"user_id", $"session_no")
+          .agg(count(lit(1)).as("n_events"),
+               ((max($"tms") - min($"tms")) / 1000).cast("long").as("dur_s"))
+          .orderBy($"user_id", $"session_no")
+      },
+      Some("""WITH e AS (SELECT user_id, epoch_ms(ts) AS tms, event_id FROM events),
+             |flagged AS (
+             |  SELECT *, CASE WHEN lag(tms) OVER w IS NULL
+             |                   OR tms - lag(tms) OVER w > 43200000
+             |                 THEN 1 ELSE 0 END AS new_s
+             |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tms, event_id)),
+             |sess AS (
+             |  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY tms, event_id
+             |                             ROWS UNBOUNDED PRECEDING) AS session_no
+             |  FROM flagged)
+             |SELECT user_id, session_no::BIGINT AS session_no, count(*) AS n_events,
+             |       ((max(tms) - min(tms)) // 1000)::BIGINT AS dur_s
+             |FROM sess GROUP BY user_id, session_no
+             |ORDER BY user_id, session_no""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Q41: min_by / max_by — arg-extrema with a composite (value, key)
+    // ordering struct for a deterministic winner under value ties.
+    Query(
+      "q41_minmax_by",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "customer")
+          .groupBy($"c_mktsegment")
+          .agg(
+            max_by($"c_name", struct($"c_acctbal", $"c_custkey")).as("top_name"),
+            round(max($"c_acctbal"), 2).as("top_bal"),
+            min_by($"c_name", struct($"c_acctbal", $"c_custkey")).as("bottom_name"),
+            round(min($"c_acctbal"), 2).as("bottom_bal"))
+          .orderBy($"c_mktsegment")
+      },
+      Some("""WITH ranked AS (
+             |  SELECT c_mktsegment, c_name, c_acctbal,
+             |         row_number() OVER (PARTITION BY c_mktsegment
+             |                            ORDER BY c_acctbal DESC, c_custkey DESC) AS rmax,
+             |         row_number() OVER (PARTITION BY c_mktsegment
+             |                            ORDER BY c_acctbal ASC, c_custkey ASC) AS rmin
+             |  FROM customer)
+             |SELECT m.c_mktsegment AS c_mktsegment,
+             |       m.c_name AS top_name, round(m.c_acctbal, 2) AS top_bal,
+             |       n.c_name AS bottom_name, round(n.c_acctbal, 2) AS bottom_bal
+             |FROM ranked m JOIN ranked n ON m.c_mktsegment = n.c_mktsegment
+             |WHERE m.rmax = 1 AND n.rmin = 1
+             |ORDER BY c_mktsegment""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Q42: explicit GROUPING SETS with grouping() disambiguation —
+    // complements q06 rollup / q26 cube; one Expand, one shuffle.
+    Query(
+      "q42_grouping_sets",
+      (s, dir) => {
+        t(s, dir, "lineitem").createOrReplaceTempView("gs_lineitem")
+        s.sql("""SELECT l_returnflag, l_linestatus,
+                |       (grouping(l_returnflag) * 2 + grouping(l_linestatus))
+                |         AS gid,
+                |       count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+                |FROM gs_lineitem
+                |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                |                        (l_returnflag), ())
+                |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin)
+          .withColumn("gid", col("gid").cast("long"))
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+             |       (grouping(l_returnflag) * 2 + grouping(l_linestatus))::BIGINT
+             |         AS gid,
+             |       count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+             |FROM lineitem
+             |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+             |                        (l_returnflag), ())
+             |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Q43: content-hash stable split — reproducible train/holdout
+    // bucketing by md5(text), the engine-agnostic way to split a
+    // corpus (survives repartitioning, re-ingestion, and engine swap,
+    // unlike rand() or monotonically_increasing_id).
+    Query(
+      "q43_stable_split",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "documents")
+          .withColumn("bucket",
+            (conv(substring(md5($"text"), 1, 4), 16, 10).cast("long") % 10))
+          .groupBy($"bucket")
+          .agg(count(lit(1)).as("n_docs"),
+               round(avg($"n_chars"), 2).as("avg_chars"))
+          .orderBy($"bucket")
+      },
+      Some("""SELECT ('0x' || substr(md5(text), 1, 4))::BIGINT % 10 AS bucket,
+             |       count(*) AS n_docs, round(avg(n_chars), 2) AS avg_chars
+             |FROM documents GROUP BY bucket ORDER BY bucket""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Q44: IVF-probed ANN — the scale path for similarity search.
+    // Coarse-quantize (per-label centroids, as q31), rank centroids
+    // per query, probe the top-2 cells, and brute-force ONLY inside
+    // probed cells: with nlist cells and nprobe probes the scan reads
+    // ~nprobe/nlist of the corpus instead of all of it. Centroids and
+    // the query set are broadcast; the big side is filtered by the
+    // broadcast join before any wide shuffle.
+    //
+    // Recall is a property of the data, not the operator: on this
+    // synthetic near-uniform corpus, recall@5 vs exact (q13) measures
+    // 0.32 at nprobe=2/nlist=10 (0.50 at nprobe=3) — real embedding
+    // distributions cluster far more sharply. nprobe is the
+    // recall-vs-scan-fraction knob; the within-cell ranking itself is
+    // exact and hash-verified against the DuckDB oracle.
+    Query(
+      "q44_ivf_ann",
+      (s, dir) => {
+        import s.implicits._
+        val e = t(s, dir, "embeddings")
+          .select($"vec_id", $"label", VF.asDouble($"embedding").as("v"))
+        // identical 6-dp-rounded centroid construction to q31
+        val centroids = e
+          .select($"label", posexplode($"v").as(Seq("pos", "x")))
+          .groupBy($"label", $"pos")
+          .agg(round(avg($"x"), 6).as("cx"))
+          .groupBy($"label")
+          .agg(array_sort(collect_list(struct($"pos", $"cx"))).as("pairs"))
+          .select($"label".as("c_label"),
+                  expr("transform(pairs, p -> p.cx)").as("cv"))
+          .withColumn("cnrm", sqrt(VF.dot($"cv", $"cv")))
+        val q = e.filter($"vec_id" < 10)
+          .select($"vec_id".as("qid"), $"v".as("qv"))
+          .withColumn("qnrm", sqrt(VF.dot($"qv", $"qv")))
+        val wq = Window.partitionBy($"qid").orderBy($"csim".desc, $"c_label")
+        val probes = q.join(broadcast(centroids))
+          .select($"qid", $"qv", $"qnrm", $"c_label",
+                  (VF.dot($"qv", $"cv") / ($"qnrm" * $"cnrm")).as("csim"))
+          .withColumn("crn", row_number().over(wq))
+          .filter($"crn" <= 2)
+          .select($"qid", $"qv", $"qnrm", $"c_label")
+        val sims = e
+          .withColumn("nrm", sqrt(VF.dot($"v", $"v")))
+          .join(broadcast(probes),
+                $"label" === $"c_label" && $"vec_id" =!= $"qid")
+          .select($"qid", $"vec_id".as("nid"),
+                  (VF.dot($"v", $"qv") / ($"nrm" * $"qnrm")).as("sim"))
+        val w = Window.partitionBy($"qid").orderBy($"sim".desc, $"nid")
+        sims.withColumn("rank", row_number().over(w).cast("long"))
+          .filter($"rank" <= 5)
+          .select($"qid", $"nid", $"rank", round($"sim", 4).as("sim_r"))
+          .orderBy($"qid", $"rank")
+      },
+      Some("""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+             |flat AS (SELECT label, unnest(v) AS x,
+             |                unnest(range(1, len(v) + 1)) AS pos FROM e),
+             |cent AS (SELECT label AS c_label, array_agg(cx ORDER BY pos) AS cv
+             |         FROM (SELECT label, pos, round(avg(x), 6) AS cx
+             |               FROM flat GROUP BY 1, 2)
+             |         GROUP BY label),
+             |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+             |cr AS (SELECT qid, c_label,
+             |              row_number() OVER (PARTITION BY qid ORDER BY
+             |                list_dot_product(qv, cv) /
+             |                  (sqrt(list_dot_product(qv, qv)) *
+             |                   sqrt(list_dot_product(cv, cv))) DESC,
+             |                c_label) AS crn
+             |       FROM q CROSS JOIN cent),
+             |probes AS (SELECT qid, c_label FROM cr WHERE crn <= 2),
+             |sims AS (SELECT p.qid, e.vec_id AS nid,
+             |                list_dot_product(e.v, q.qv) /
+             |                  (sqrt(list_dot_product(e.v, e.v)) *
+             |                   sqrt(list_dot_product(q.qv, q.qv))) AS sim
+             |         FROM probes p JOIN q ON q.qid = p.qid
+             |              JOIN e ON e.label = p.c_label AND e.vec_id <> p.qid),
+             |r AS (SELECT qid, nid, sim,
+             |             row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+             |      FROM sims)
+             |SELECT qid, nid, rank, round(sim, 4) AS sim_r FROM r WHERE rank <= 5
+             |ORDER BY qid, rank""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Q45: unpivot (wide-to-long melt) — the inverse of q36; constant
+    // per-row fanout, no shuffle at all.
+    Query(
+      "q45_unpivot",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "lineitem")
+          .filter($"l_orderkey" % 100 === 0)
+          .unpivot(
+            Array($"l_orderkey", $"l_linenumber"),
+            Array($"l_quantity", $"l_discount", $"l_tax"),
+            "metric", "value")
+          .orderBy($"l_orderkey", $"l_linenumber", $"metric")
+      },
+      Some("""SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric,
+             |       l_quantity AS value
+             |FROM lineitem WHERE l_orderkey % 100 = 0
+             |UNION ALL
+             |SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+             |FROM lineitem WHERE l_orderkey % 100 = 0
+             |UNION ALL
+             |SELECT l_orderkey, l_linenumber, 'l_tax', l_tax
+             |FROM lineitem WHERE l_orderkey % 100 = 0
+             |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin))
   )
 
   val byName: Map[String, Query] = all.map(q => q.name -> q).toMap
