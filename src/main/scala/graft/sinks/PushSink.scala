@@ -1,0 +1,116 @@
+package graft.sinks
+
+import java.io.IOException
+import java.net.{ServerSocket, Socket, SocketException}
+import java.nio.charset.StandardCharsets
+import java.util.concurrent.CopyOnWriteArrayList
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.streaming.CdcStream
+
+/** Push fan-out sink — the Spark analog of the reference's WebSocket
+  * broadcast (`MessageWebSocketHandler.kt:25,56-66` + registration
+  * `WebSocketConfiguration.kt:14-18`): every connected client receives
+  * every view update, serialized once per event; a failing client is
+  * dropped without affecting the others or the pipeline (the reference
+  * swallows per-session send failures at
+  * `MessageWebSocketHandler.kt:62-64`).
+  *
+  * Transport is a plain TCP line protocol (newline-delimited JSON)
+  * instead of WebSocket — the semantics under test (broadcast,
+  * per-client failure isolation, UPSERT/DELETE frame shape) are
+  * transport-independent and this keeps the engine dependency-free.
+  *
+  * Scale posture: what flows here is the CHANGE stream (one frame per
+  * changed key per micro-batch, from
+  * [[CdcStream.latestWinsUpdates]]), not table scans — the same
+  * driver-side volume the reference's single-JVM consumer handles. A
+  * deployment fanning out to many thousands of clients would put a
+  * broker between the query and the clients (executors publish via
+  * `foreachPartition`); the frame schema is identical either way.
+  */
+final class PushServer(port: Int = 0) extends AutoCloseable {
+
+  private val server = new ServerSocket(port)
+  private val clients = new CopyOnWriteArrayList[Socket]()
+  @volatile private var closed = false
+
+  /** Actual bound port (pass 0 to let the OS pick — tests do). */
+  val boundPort: Int = server.getLocalPort
+
+  private val acceptor = new Thread(() => {
+    try while (!closed) {
+      val s = server.accept()
+      s.setTcpNoDelay(true)
+      clients.add(s)
+    } catch {
+      case _: SocketException => () // server socket closed — shutdown
+      case _: IOException     => ()
+    }
+  }, s"push-server-accept-$boundPort")
+  acceptor.setDaemon(true)
+  acceptor.start()
+
+  def clientCount: Int = clients.size()
+
+  /** Send one frame to every connected client. Serialization happened
+    * once upstream; a client whose write fails is closed and removed,
+    * never failing the broadcast (reference semantics). */
+  def broadcast(frame: String): Unit = {
+    val bytes = (frame + "\n").getBytes(StandardCharsets.UTF_8)
+    clients.forEach { c =>
+      try {
+        val out = c.getOutputStream
+        out.write(bytes)
+        out.flush()
+      } catch {
+        case _: IOException =>
+          clients.remove(c)
+          try c.close() catch { case _: IOException => () }
+      }
+    }
+  }
+
+  override def close(): Unit = {
+    closed = true
+    try server.close() catch { case _: IOException => () }
+    clients.forEach(c => try c.close() catch { case _: IOException => () })
+    clients.clear()
+  }
+}
+
+object PushSink {
+
+  /** Serialize view updates to the reference's wire shape
+    * (`WsEvent(type, id, content)` — `MessageWebSocketHandler.kt:68-84`):
+    * `{"type":"UPSERT"|"DELETE","id":...,"content":{...}|null}`,
+    * with `content` null on DELETE exactly like the reference's
+    * tombstone frame. */
+  def toWireFrames(updates: Dataset[CdcStream.ViewUpdate]): DataFrame =
+    updates.toDF().select(
+      to_json(struct(
+        when(col("present"), lit(CdcStream.Upsert))
+          .otherwise(lit(CdcStream.Delete)).as("type"),
+        col("id"),
+        when(col("present"), struct(
+          col("create_time"), col("update_time"),
+          col("message"), col("username"))).as("content")
+      )).as("frame"))
+
+  /** Stream view updates into a [[PushServer]]: one broadcast per
+    * changed key per micro-batch. The collect is bounded by the change
+    * volume of the batch (not table size) — the driver is the fan-out
+    * point exactly as in the reference's consumer JVM. */
+  def run(updates: Dataset[CdcStream.ViewUpdate], server: PushServer,
+          checkpointDir: String): StreamingQuery =
+    toWireFrames(updates).writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("update")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.collect().foreach(r => server.broadcast(r.getString(0)))
+      }
+      .start()
+}

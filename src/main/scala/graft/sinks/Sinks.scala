@@ -12,13 +12,26 @@ object Sinks {
   /** Write date-partitioned parquet: `dir/p_date=YYYY-MM-DD/...`.
     * Downstream `spark.read.parquet(dir).filter($"p_date" === ...)`
     * prunes at file-listing time — verified by PartitionFilters in
-    * the scan node. */
+    * the scan node.
+    *
+    * Repartitions on the partition column first: without it every
+    * task opens a writer for every date it happens to hold, and the
+    * sink degrades into tasks×dates tiny files that compound across
+    * incremental writes. `filesPerDate` > 1 adds a deterministic
+    * content-hash sub-split for dates too large for one task. */
   def writeDatePartitioned(df: DataFrame, tsCol: String, dir: String,
-                           mode: SaveMode = SaveMode.Overwrite): Unit =
-    df.withColumn("p_date", to_date(col(tsCol)))
-      .write.mode(mode)
+                           mode: SaveMode = SaveMode.Overwrite,
+                           filesPerDate: Int = 1): Unit = {
+    require(filesPerDate > 0)
+    val dated = df.withColumn("p_date", to_date(col(tsCol)))
+    val placed =
+      if (filesPerDate == 1) dated.repartition(col("p_date"))
+      else dated.repartition(col("p_date"),
+        pmod(xxhash64(col(tsCol)), lit(filesPerDate)))
+    placed.write.mode(mode)
       .partitionBy("p_date")
       .parquet(dir)
+  }
 
   /** Write a bucketed table (requires a table name — bucketing is
     * metastore metadata). Two tables bucketed by the same key with the
