@@ -93,8 +93,12 @@ object Catalog {
     // unique in orders, so count(distinct o_orderkey) becomes a plain
     // count over order-grained rows — kills the Expand+Exchange the
     // distinct would cost, and shrinks the join input ~4x (lineitem
-    // rows -> orders rows) before any wide-side shuffle. At 100 TB the
-    // partial per-order sums combine map-side.
+    // rows -> orders rows) before any wide-side shuffle. Then reduce
+    // to customer grain BEFORE touching the customer table: the final
+    // join moves one pre-aggregated row per customer instead of one
+    // row per order, so the widest table in the customer join is the
+    // already-collapsed aggregate. At 100 TB the partial per-order
+    // and per-customer sums combine map-side.
     Query(
       "q03_join_topk",
       (s, dir) => {
@@ -102,12 +106,14 @@ object Catalog {
         val perOrder = t(s, dir, "lineitem")
           .groupBy($"l_orderkey")
           .agg(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("order_rev"))
-        t(s, dir, "customer")
-          .join(t(s, dir, "orders"), $"c_custkey" === $"o_custkey")
+        val perCust = t(s, dir, "orders")
           .join(perOrder, $"o_orderkey" === $"l_orderkey")
-          .groupBy($"c_custkey", $"c_name")
-          .agg(round(sum($"order_rev"), 2).as("revenue"),
-               count(lit(1)).as("n_orders"))
+          .groupBy($"o_custkey")
+          .agg(sum($"order_rev").as("rev_raw"), count(lit(1)).as("n_orders"))
+        perCust
+          .join(t(s, dir, "customer"), $"o_custkey" === $"c_custkey")
+          .select($"c_custkey", $"c_name",
+                  round($"rev_raw", 2).as("revenue"), $"n_orders")
           .orderBy($"revenue".desc, $"c_custkey")
           .limit(10)
       },
@@ -990,8 +996,12 @@ object Catalog {
 
     // ------------------------------------------------------------------
     // Q37: statistical aggregates — corr / stddev / covar / exact
-    // interpolated percentiles. All partial+final combinable
-    // (Catalyst's ImperativeAggregate path), so they scale like sum().
+    // interpolated percentiles. corr/stddev/covar are moment sketches
+    // (constant-size partial state, combine like sum). Exact
+    // `percentile` keeps a counts-map over DISTINCT values, so it is
+    // only scale-safe on bounded-cardinality columns — quantity
+    // (~50 values) and discount (11), here. For unbounded columns
+    // (price) the scale path is the approx sketch: q37b.
     Query(
       "q37_stats",
       (s, dir) => {
@@ -1002,17 +1012,39 @@ object Catalog {
             round(corr($"l_quantity", $"l_extendedprice"), 4).as("corr_qty_price"),
             round(stddev_samp($"l_discount"), 4).as("sd_disc"),
             round(covar_samp($"l_quantity", $"l_extendedprice"), 2).as("cov_qp"),
-            round(percentile($"l_extendedprice", lit(0.5)), 2).as("median_price"),
-            round(percentile($"l_extendedprice", lit(0.9)), 2).as("p90_price"))
+            round(percentile($"l_quantity", lit(0.5)), 2).as("median_qty"),
+            round(percentile($"l_discount", lit(0.9)), 4).as("p90_disc"))
           .orderBy($"l_returnflag")
       },
       Some("""SELECT l_returnflag,
              |  round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
              |  round(stddev_samp(l_discount), 4) AS sd_disc,
              |  round(covar_samp(l_quantity, l_extendedprice), 2) AS cov_qp,
-             |  round(quantile_cont(l_extendedprice, 0.5), 2) AS median_price,
-             |  round(quantile_cont(l_extendedprice, 0.9), 2) AS p90_price
+             |  round(quantile_cont(l_quantity, 0.5), 2) AS median_qty,
+             |  round(quantile_cont(l_discount, 0.9), 4) AS p90_disc
              |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Q37b: approximate percentiles on an unbounded-cardinality column
+    // — constant-memory mergeable sketch per group, the 100 TB path
+    // for quantiles over values that are distinct per row. Rows-only:
+    // DuckDB's approx_quantile is a different sketch, so the values
+    // are not cross-engine comparable by construction (same status as
+    // q09b's HLL).
+    Query(
+      "q37b_approx_quantile",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "lineitem")
+          .groupBy($"l_returnflag")
+          .agg(
+            round(approx_percentile($"l_extendedprice", lit(0.5), lit(1000)), 2)
+              .as("median_price_approx"),
+            round(approx_percentile($"l_extendedprice", lit(0.9), lit(1000)), 2)
+              .as("p90_price_approx"))
+          .orderBy($"l_returnflag")
+      },
+      None),
 
     // ------------------------------------------------------------------
     // Q38: correlated EXISTS + scalar subquery through the SQL door —
@@ -1281,7 +1313,65 @@ object Catalog {
              |UNION ALL
              |SELECT l_orderkey, l_linenumber, 'l_tax', l_tax
              |FROM lineitem WHERE l_orderkey % 100 = 0
-             |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin))
+             |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Q46: array higher-order functions — transform / filter /
+    // aggregate / sort_array over the embedding column. These stay
+    // inside codegen (NullIntolerant lambda eval), no UDF boundary;
+    // the sequential left fold keeps FP order deterministic for the
+    // cross-engine compare.
+    Query(
+      "q46_array_hofs",
+      (s, dir) => {
+        import s.implicits._
+        val v = VF.asDouble($"embedding")
+        t(s, dir, "embeddings")
+          .select($"vec_id",
+            round(aggregate(transform(v, x => x * lit(2.0)),
+                            lit(0.0), (acc, x) => acc + x), 4).as("sum2x"),
+            size(filter(v, x => x > 0)).cast("long").as("n_pos"),
+            round(element_at(sort_array(v), 1), 4).as("min_val"))
+          .orderBy($"vec_id")
+      },
+      Some("""SELECT vec_id,
+             |  round(list_aggregate(list_transform(embedding::DOUBLE[], x -> x * 2.0),
+             |                       'sum'), 4) AS sum2x,
+             |  len(list_filter(embedding::DOUBLE[], x -> x > 0))::BIGINT AS n_pos,
+             |  round(list_sort(embedding::DOUBLE[])[1], 4) AS min_val
+             |FROM embeddings ORDER BY vec_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Q47: analytic window family — lag / lead / ntile / running frame
+    // / first_value over one (partition, order) pair, so all five
+    // evaluate in a single Window operator on a single shuffle.
+    Query(
+      "q47_analytic_windows",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+        t(s, dir, "orders")
+          .filter($"o_custkey" % 100 === 7)
+          .select($"o_orderkey", $"o_custkey",
+            round(lag($"o_totalprice", 1).over(w), 2).as("prev_price"),
+            round(lead($"o_totalprice", 1).over(w), 2).as("next_price"),
+            ntile(4).over(w).cast("long").as("quartile"),
+            round(sum($"o_totalprice")
+              .over(w.rowsBetween(Window.unboundedPreceding, 0)), 2).as("run_total"),
+            round(first($"o_totalprice").over(w), 2).as("first_price"))
+          .orderBy($"o_custkey", $"o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_custkey,
+             |  round(lag(o_totalprice) OVER w, 2) AS prev_price,
+             |  round(lead(o_totalprice) OVER w, 2) AS next_price,
+             |  (ntile(4) OVER w)::BIGINT AS quartile,
+             |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+             |        ORDER BY o_orderdate, o_orderkey
+             |        ROWS UNBOUNDED PRECEDING), 2) AS run_total,
+             |  round(first_value(o_totalprice) OVER w, 2) AS first_price
+             |FROM orders WHERE o_custkey % 100 = 7
+             |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+             |ORDER BY o_custkey, o_orderkey""".stripMargin))
   )
 
   val byName: Map[String, Query] = all.map(q => q.name -> q).toMap
