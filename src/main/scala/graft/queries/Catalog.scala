@@ -960,6 +960,7 @@ object Catalog {
           .select($"event_id",
                   size(map_keys($"m")).cast("long").as("n_keys"),
                   concat_ws(",", array_sort(map_keys($"m"))).as("keys_sorted"),
+                  concat_ws(",", array_sort(map_values($"m"))).as("vals_sorted"),
                   element_at($"m", "k").cast("long").as("k_value"))
           .filter($"event_id" % 50 === 0)
           .orderBy($"event_id")
@@ -967,6 +968,8 @@ object Catalog {
       Some("""SELECT event_id,
              |  len(json_keys(props))::BIGINT AS n_keys,
              |  array_to_string(list_sort(json_keys(props)), ',') AS keys_sorted,
+             |  array_to_string(list_sort(list_transform(json_keys(props),
+             |      k -> json_extract_string(props, '$.' || k))), ',') AS vals_sorted,
              |  json_extract_string(props, '$.k')::BIGINT AS k_value
              |FROM events WHERE event_id % 50 = 0
              |ORDER BY event_id""".stripMargin)),
@@ -1371,7 +1374,63 @@ object Catalog {
              |  round(first_value(o_totalprice) OVER w, 2) AS first_price
              |FROM orders WHERE o_custkey % 100 = 7
              |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
-             |ORDER BY o_custkey, o_orderkey""".stripMargin))
+             |ORDER BY o_custkey, o_orderkey""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Q48: remaining string/date scalar surface — upper, regexp
+    // extract/replace, LIKE, trim, datediff — over a broadcast dim
+    // join (the heavy filter lands on orders before the join).
+    Query(
+      "q48_string_date_funcs",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "orders")
+          .filter($"o_orderkey" % 500 === 0)
+          .join(t(s, dir, "customer"), $"o_custkey" === $"c_custkey")
+          .select($"o_orderkey", $"c_custkey",
+            upper($"c_mktsegment").as("seg_u"),
+            regexp_extract($"c_name", "([0-9]+)$", 1).as("name_num"),
+            regexp_replace($"c_name", "^Customer#0*", "").as("short_name"),
+            $"c_name".like("%2").as("ends2"),
+            trim(concat(lit("  "), $"c_mktsegment", lit(" "))).as("seg_trim"),
+            datediff($"o_orderdate", lit("1995-01-01").cast("date"))
+              .cast("long").as("days_since"))
+          .orderBy($"o_orderkey")
+      },
+      Some("""SELECT o_orderkey, c_custkey,
+             |  upper(c_mktsegment) AS seg_u,
+             |  regexp_extract(c_name, '([0-9]+)$', 1) AS name_num,
+             |  regexp_replace(c_name, '^Customer#0*', '') AS short_name,
+             |  (c_name LIKE '%2') AS ends2,
+             |  trim(concat('  ', c_mktsegment, ' ')) AS seg_trim,
+             |  datediff('day', DATE '1995-01-01', o_orderdate::DATE)::BIGINT AS days_since
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |WHERE o_orderkey % 500 = 0 ORDER BY o_orderkey""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Q49: zip_with + reverse + array_contains over a documents ⋈
+    // embeddings join — the pairwise-lambda array surface not already
+    // exercised by the similarity queries.
+    Query(
+      "q49_zipwith_contains",
+      (s, dir) => {
+        import s.implicits._
+        val v = VF.asDouble($"embedding")
+        t(s, dir, "embeddings")
+          .join(t(s, dir, "documents"), $"vec_id" === $"doc_id")
+          .filter($"vec_id" % 25 === 0)
+          .select($"vec_id",
+            round(aggregate(zip_with(v, reverse(v), (a, b) => a * b),
+                            lit(0.0), (acc, x) => acc + x), 4).as("revdot"),
+            array_contains(split(trim($"text"), "\\s+"), "spark").as("has_spark"))
+          .orderBy($"vec_id")
+      },
+      Some("""SELECT vec_id,
+             |  round(list_dot_product(embedding::DOUBLE[],
+             |        list_reverse(embedding::DOUBLE[])), 4) AS revdot,
+             |  list_contains(string_split_regex(trim(text), '\s+'), 'spark') AS has_spark
+             |FROM embeddings JOIN documents ON vec_id = doc_id
+             |WHERE vec_id % 25 = 0 ORDER BY vec_id""".stripMargin))
   )
 
   val byName: Map[String, Query] = all.map(q => q.name -> q).toMap
