@@ -1,0 +1,245 @@
+package graft.streaming
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{FileAlreadyExistsException, Files, Path, Paths, StandardCopyOption, StandardOpenOption}
+import java.util.UUID
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.CdcMerge
+
+/** Multi-writer-safe bucketed CDC state: versioned bucket directories
+  * committed through a single manifest file — the plain-filesystem
+  * approximation of a transactional table format's snapshot +
+  * optimistic-commit protocol.
+  *
+  * [[CdcStream.mergeBatchBucketed]] swaps bucket directories in place,
+  * which is only safe under one `synchronized` JVM: a second writer
+  * interleaves swaps, and a reader can catch a bucket mid-move. Here:
+  *
+  *  - Layout: `root/b=<k>/v-<epoch>-<writer>/part-*.parquet` —
+  *    versions are immutable once written; `root/MANIFEST` maps each
+  *    bucket to its current version.
+  *  - Readers load the manifest once and read exactly the listed
+  *    version dirs: a consistent snapshot, never a half-committed mix.
+  *  - Writers do ALL heavy work (read touched buckets, union delta,
+  *    latest-wins, write new versions) outside any lock, then commit
+  *    under a short lock: re-read the manifest, and if another writer
+  *    committed since the snapshot was taken, abort, clean up, and
+  *    retry against the newer state (optimistic concurrency). The
+  *    lock guards only the manifest swap, so contention cost is
+  *    O(manifest), not O(data).
+  *  - GC keeps one superseded version per bucket as a grace window
+  *    for readers that loaded the previous manifest, deleting older
+  *    generations.
+  *
+  * The lock is a CREATE_NEW file with stale-age takeover — correct on
+  * a POSIX filesystem (atomic exclusive create); an object-store
+  * deployment swaps it for the store's conditional-put, with the rest
+  * of the protocol unchanged.
+  */
+object ManifestState {
+
+  final case class Manifest(epoch: Long, buckets: Map[Int, String])
+
+  private val writerId = UUID.randomUUID().toString.take(8)
+
+  // -- manifest codec (tiny hand-rolled JSON — no extra deps) ---------
+
+  private def render(m: Manifest): String = {
+    val bs = m.buckets.toSeq.sortBy(_._1)
+      .map { case (k, v) => s""""$k":"$v"""" }.mkString(",")
+    s"""{"epoch":${m.epoch},"buckets":{$bs}}"""
+  }
+
+  private def parse(s: String): Manifest = {
+    val epoch = """"epoch":(\d+)""".r.findFirstMatchIn(s)
+      .map(_.group(1).toLong)
+      .getOrElse(throw new IllegalStateException(s"bad manifest: $s"))
+    val buckets = """"(\d+)":"([^"]+)"""".r.findAllMatchIn(s)
+      .map(m => m.group(1).toInt -> m.group(2)).toMap
+    Manifest(epoch, buckets)
+  }
+
+  def readManifest(root: String): Manifest = {
+    val p = Paths.get(root, "MANIFEST")
+    if (Files.exists(p))
+      parse(new String(Files.readAllBytes(p), StandardCharsets.UTF_8))
+    else Manifest(0L, Map.empty)
+  }
+
+  private def writeManifest(root: String, m: Manifest): Unit = {
+    val tmp = Paths.get(root, s"MANIFEST.tmp-$writerId")
+    Files.write(tmp, render(m).getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, Paths.get(root, "MANIFEST"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  // -- lock: atomic exclusive create + stale takeover -----------------
+
+  private def withLock[T](root: String, timeoutMs: Long = 30000,
+                          staleMs: Long = 60000)(f: => T): T = {
+    val lock = Paths.get(root, "LOCK")
+    val deadline = System.currentTimeMillis() + timeoutMs
+    var held = false
+    while (!held) {
+      try {
+        Files.write(lock,
+          s"$writerId ${System.currentTimeMillis()}".getBytes(StandardCharsets.UTF_8),
+          StandardOpenOption.CREATE_NEW)
+        held = true
+      } catch {
+        case _: FileAlreadyExistsException =>
+          val age = try System.currentTimeMillis() -
+            Files.getLastModifiedTime(lock).toMillis
+          catch { case _: java.io.IOException => 0L } // vanished — retry
+          if (age > staleMs) {
+            // dead holder: break the lock; the CREATE_NEW race after
+            // the delete still admits exactly one winner
+            try Files.deleteIfExists(lock)
+            catch { case _: java.io.IOException => () }
+          } else if (System.currentTimeMillis() > deadline)
+            throw new IllegalStateException(s"lock timeout on $lock")
+          else Thread.sleep(20)
+      }
+    }
+    try f finally {
+      try Files.deleteIfExists(lock) catch { case _: java.io.IOException => () }
+    }
+  }
+
+  // -- snapshot reads -------------------------------------------------
+
+  private def versionPath(root: String, bucket: Int, version: String): String =
+    s"$root/b=$bucket/$version"
+
+  /** Read the state snapshot a manifest describes. */
+  def readSnapshot(spark: SparkSession, root: String,
+                   m: Manifest): DataFrame = {
+    val paths = m.buckets.toSeq.sortBy(_._1)
+      .map { case (k, v) => versionPath(root, k, v) }
+    if (paths.isEmpty) spark.emptyDataFrame else spark.read.parquet(paths: _*)
+  }
+
+  /** Read the current state (latest committed snapshot). */
+  def read(spark: SparkSession, root: String): DataFrame =
+    readSnapshot(spark, root, readManifest(root))
+
+  /** The queryable latest-wins view: state minus tombstones. */
+  def readView(spark: SparkSession, root: String): DataFrame = {
+    val s = read(spark, root)
+    if (s.columns.isEmpty) s else s.filter(col("event_type") === CdcStream.Upsert)
+  }
+
+  // -- the optimistic merge -------------------------------------------
+
+  /** Merge one micro-batch of decoded changes ([[CdcStream.classify]]
+    * schema) into the manifest state. Safe for concurrent writers:
+    * lost updates are prevented by the epoch check at commit; a loser
+    * recomputes against the winner's state and retries.
+    */
+  def mergeBatch(batch: DataFrame, root: String, nBuckets: Int,
+                 maxRetries: Int = 20): Unit = {
+    require(nBuckets > 0)
+    val spark = batch.sparkSession
+    Files.createDirectories(Paths.get(root))
+    val delta = batch.filter(col("event_type") =!= CdcStream.Malformed)
+      .withColumn("b", pmod(xxhash64(col("id")), lit(nBuckets)).cast("int"))
+      .cache()
+    try {
+      val affected = delta.select("b").distinct().collect().map(_.getInt(0)).sorted
+      if (affected.isEmpty) return
+
+      // distinguishes concurrent merges from the SAME writer object
+      // (threads sharing this JVM) — version/stage dirs must be unique
+      // per invocation, not per process
+      val callId = UUID.randomUUID().toString.take(8)
+      var attempt = 0
+      var committed = false
+      while (!committed) {
+        attempt += 1
+        if (attempt > maxRetries)
+          throw new IllegalStateException(s"merge lost the commit race $maxRetries times")
+        val base = readManifest(root)
+
+        // heavy phase — no lock held
+        val version = s"v-${base.epoch + 1}-$callId-$attempt"
+        val existing = affected.flatMap(k => base.buckets.get(k).map(v => (k, v)))
+        // partitionBy strips `b` into the directory name, so files read
+        // back from a version dir do NOT carry it — merge on the bare
+        // change schema and re-derive the bucket before writing
+        val bare = delta.drop("b")
+        val current =
+          if (existing.isEmpty) bare.limit(0)
+          else spark.read.parquet(existing.map { case (k, v) =>
+            versionPath(root, k, v) }.toIndexedSeq: _*)
+        val merged = CdcMerge.latestWins(
+          current.unionByName(bare), Seq("id"),
+          Seq(col("lsn").desc_nulls_last, col("ts_ms").desc_nulls_last))
+          .withColumn("b", pmod(xxhash64(col("id")), lit(nBuckets)).cast("int"))
+        // one writer task per touched bucket, one immutable version dir
+        // per bucket per commit
+        val tmp = s"$root/.stage-$version"
+        merged.repartition(col("b"))
+          .write.mode("overwrite").partitionBy("b").parquet(tmp)
+        // a bucket with no surviving rows (cannot happen while
+        // tombstones are retained, but don't bake that in) leaves the
+        // manifest instead of committing an unreadable empty dir
+        val written = affected.filter { k =>
+          val src = Paths.get(s"$tmp/b=$k")
+          val dst = Paths.get(versionPath(root, k, version))
+          Files.createDirectories(dst.getParent)
+          if (Files.exists(src)) {
+            Files.move(src, dst, StandardCopyOption.ATOMIC_MOVE); true
+          } else false
+        }
+        val emptied = affected.diff(written)
+        CdcStream.deleteRecursively(Paths.get(tmp))
+
+        // commit phase — lock guards only the manifest compare+swap
+        committed = withLock(root) {
+          val now = readManifest(root)
+          if (now.epoch == base.epoch) {
+            writeManifest(root,
+              Manifest(base.epoch + 1,
+                now.buckets ++ written.map(k => k -> version) -- emptied))
+            true
+          } else false
+        }
+        if (!committed) {
+          // lost the race: drop our orphaned versions, retry on top of
+          // the winner's state
+          affected.foreach { k =>
+            CdcStream.deleteRecursively(Paths.get(versionPath(root, k, version)))
+          }
+        }
+      }
+      gc(root)
+    } finally delta.unpersist()
+  }
+
+  /** Drop version dirs at least two generations behind the manifest.
+    * The immediately superseded version survives one more merge as a
+    * grace window for readers holding the previous manifest. */
+  private def gc(root: String): Unit = {
+    val m = readManifest(root)
+    m.buckets.foreach { case (k, live) =>
+      val dir = Paths.get(s"$root/b=$k")
+      if (Files.isDirectory(dir)) {
+        val listing = Files.list(dir)
+        val versions =
+          try listing.toArray.map(_.toString)
+            .map(p => p.substring(p.lastIndexOf('/') + 1))
+            .filter(_.startsWith("v-")).sortBy(versionEpoch)
+          finally listing.close()
+        val stale = versions.filterNot(_ == live).dropRight(1)
+        stale.foreach(v =>
+          CdcStream.deleteRecursively(Paths.get(versionPath(root, k, v))))
+      }
+    }
+  }
+
+  private def versionEpoch(v: String): Long =
+    v.split("-").lift(1).flatMap(e => scala.util.Try(e.toLong).toOption).getOrElse(0L)
+}

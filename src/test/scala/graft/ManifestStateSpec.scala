@@ -1,0 +1,154 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.streaming.{CdcStream, ManifestState}
+
+/** Manifest-committed bucketed CDC state: snapshot-isolated reads and
+  * optimistic multi-writer commits — the property the in-place
+  * directory-swap merge cannot provide beyond one JVM.
+  */
+class ManifestStateSpec extends SparkSpec {
+
+  private def changes(rows: Seq[(String, String, Long)]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("event_type", "id", "lsn")
+      .select(col("event_type"), col("id"),
+        lit(1L).as("create_time"), col("lsn").as("update_time"),
+        concat(lit("m-"), col("id"), lit("-"), col("lsn")).as("message"),
+        lit("u").as("username"), col("lsn"),
+        (col("lsn") * 10).as("ts_ms"))
+  }
+
+  private def up(id: String, lsn: Long) = (CdcStream.Upsert, id, lsn)
+  private def del(id: String, lsn: Long) = (CdcStream.Delete, id, lsn)
+
+  test("sequential merges equal the single-writer bucketed merge") {
+    val rootA = Files.createTempDirectory("mstate").toString
+    val rootB = Files.createTempDirectory("bstate").toString
+    val batches = Seq(
+      Seq(up("a", 1), up("b", 2), up("c", 3)),
+      Seq(up("a", 4), del("b", 5), up("d", 6)),
+      Seq(del("d", 7), up("b", 8), up("a", 2) /* stale redelivery */ ))
+
+    batches.foreach { b =>
+      ManifestState.mergeBatch(changes(b), rootA, nBuckets = 4)
+      CdcStream.mergeBatchBucketed(changes(b), rootB, nBuckets = 4)
+    }
+    val got = ManifestState.read(spark, rootA)
+      .select("id", "event_type", "lsn").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).sorted
+    val want = spark.read.parquet(rootB)
+      .select("id", "event_type", "lsn").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).sorted
+    assert(got.toSeq == want.toSeq, s"got ${got.toSeq}")
+    // latest-wins semantics spot checks
+    val byId = got.toSeq.groupBy(_._1)
+    assert(byId("a") == Seq(("a", CdcStream.Upsert, 4L)))  // stale lsn=2 lost
+    assert(byId("b") == Seq(("b", CdcStream.Upsert, 8L)))  // delete then re-upsert
+    assert(byId("d") == Seq(("d", CdcStream.Delete, 7L)))  // tombstone retained
+    // view hides tombstones
+    val view = ManifestState.readView(spark, rootA).select("id")
+      .collect().map(_.getString(0)).sorted
+    assert(view.toSeq == Seq("a", "b", "c"))
+  }
+
+  test("concurrent writers lose no updates; epoch counts every commit") {
+    val root = Files.createTempDirectory("mstate-conc").toString
+    val writers = 4
+    val batchesPerWriter = 3
+    val pool = Executors.newFixedThreadPool(writers)
+    val start = new CountDownLatch(1)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+
+    (0 until writers).foreach { w =>
+      pool.submit(new Runnable {
+        override def run(): Unit = {
+          start.await()
+          try (0 until batchesPerWriter).foreach { i =>
+            // writers collide on ids AND buckets: w0/w2 share key
+            // space, as do w1/w3; lsn encodes global order
+            val base = (w % 2) * 100
+            ManifestState.mergeBatch(
+              changes(Seq(
+                up(s"k${base + i}", w * 1000L + i * 10 + 1),
+                up(s"shared${w % 2}", w * 1000L + i * 10 + 2))),
+              root, nBuckets = 4)
+          } catch { case t: Throwable => failures.add(t) }
+        }
+      })
+    }
+    start.countDown()
+    pool.shutdown()
+    assert(pool.awaitTermination(120, TimeUnit.SECONDS), "writers timed out")
+    assert(failures.isEmpty, s"writer failed: ${failures.peek()}")
+
+    val m = ManifestState.readManifest(root)
+    assert(m.epoch == writers * batchesPerWriter, s"epoch ${m.epoch}")
+    val state = ManifestState.read(spark, root)
+      .select("id", "lsn").collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    // every non-shared key from every writer survived — no lost updates
+    (0 until writers).foreach { w =>
+      (0 until batchesPerWriter).foreach { i =>
+        val id = s"k${(w % 2) * 100 + i}"
+        assert(state.contains(id), s"lost $id")
+      }
+    }
+    // shared keys hold the max-lsn write among their contenders:
+    // shared0 is written by w0 (lsn 2,12,22) and w2 (2002,2012,2022),
+    // shared1 by w1 (1002..1022) and w3 (3002..3022)
+    assert(state("shared0") == 2022L, s"shared0 = ${state("shared0")}")
+    assert(state("shared1") == 3022L, s"shared1 = ${state("shared1")}")
+    // reads stay consistent after everything
+    assert(ManifestState.readView(spark, root).count() == state.size)
+  }
+
+  test("a reader mid-stream always sees a complete committed snapshot") {
+    val root = Files.createTempDirectory("mstate-read").toString
+    ManifestState.mergeBatch(changes(Seq(up("a", 1), up("b", 1))), root, 4)
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val writer = new Thread(() => {
+      try (2 to 12).foreach { lsn =>
+        ManifestState.mergeBatch(
+          changes(Seq(up("a", lsn.toLong), up(s"x$lsn", lsn.toLong))), root, 4)
+      } catch { case t: Throwable => failures.add(t) }
+      finally stop.set(true)
+    })
+    writer.start()
+    try while (!stop.get()) {
+      // each read resolves one manifest: per-snapshot invariants must
+      // hold no matter where the writer is
+      val rows = ManifestState.read(spark, root)
+        .select("id", "lsn").collect().map(r => (r.getString(0), r.getLong(1)))
+      val byId = rows.groupBy(_._1)
+      assert(byId.forall(_._2.length == 1), s"dup ids in snapshot: ${rows.toSeq}")
+      val aLsn = byId("a").head._2
+      // x<k> committed implies a's lsn >= k (they commit in the same batch)
+      byId.keys.filter(_.startsWith("x")).foreach { x =>
+        assert(aLsn >= x.drop(1).toLong, s"snapshot tore: a@$aLsn but $x present")
+      }
+    } finally writer.join()
+    assert(failures.isEmpty, s"writer failed: ${failures.peek()}")
+  }
+
+  test("gc keeps one superseded generation per bucket") {
+    val root = Files.createTempDirectory("mstate-gc").toString
+    (1 to 6).foreach { lsn =>
+      ManifestState.mergeBatch(changes(Seq(up("only", lsn.toLong))), root, 2)
+    }
+    val bucketDirs = Files.list(Paths.get(root)).toArray.map(_.toString)
+      .filter(_.contains("/b="))
+    assert(bucketDirs.length == 1) // one key -> one bucket
+    val versions = Files.list(Paths.get(bucketDirs.head)).toArray.length
+    assert(versions <= 2, s"gc left $versions versions")
+    val m = ManifestState.readManifest(root)
+    assert(m.epoch == 6)
+    val st = ManifestState.read(spark, root).select("lsn").collect().map(_.getLong(0))
+    assert(st.toSeq == Seq(6L))
+  }
+}
