@@ -35,12 +35,14 @@ object IncrementalMergeBench {
 
     val root = Files.createTempDirectory("incmerge").toString
     val plainDir = s"$root/plain"; val bktDir = s"$root/bucketed"
+    val mfDir = s"$root/manifest"
     val nBuckets = 1024
 
-    // seed both states with the same bulk load
+    // seed all three states with the same bulk load
     val base = changes(spark, 0, stateKeys, stateKeys)
     CdcStream.mergeBatch(base, plainDir)
     CdcStream.mergeBatchBucketed(base, bktDir, nBuckets)
+    ManifestState.mergeBatch(base, mfDir, nBuckets)
 
     def applyDeltas(merge: DataFrame => Unit): Double = {
       val t0 = System.nanoTime()
@@ -52,12 +54,16 @@ object IncrementalMergeBench {
 
     val plainSec = applyDeltas(b => CdcStream.mergeBatch(b, plainDir))
     val bktSec = applyDeltas(b => CdcStream.mergeBatchBucketed(b, bktDir, nBuckets))
+    // manifest mode = bucketed + snapshot isolation + commit protocol;
+    // its delta vs bucketed is the price of multi-writer safety
+    val mfSec = applyDeltas(b => ManifestState.mergeBatch(b, mfDir, nBuckets))
 
     // states must agree after the same deltas
     val a = spark.read.parquet(plainDir).count()
     val b = spark.read.parquet(bktDir).count()
+    val c = ManifestState.read(spark, mfDir).count()
 
-    println(f"""{"metric":"incremental_merge","state_keys":$stateKeys,"batches":$batches,"batch_size":$batchSize,"plain_sec_per_batch":${plainSec / batches}%.3f,"bucketed_sec_per_batch":${bktSec / batches}%.3f,"speedup":${plainSec / bktSec}%.1f,"rows_plain":$a,"rows_bucketed":$b}""")
+    println(f"""{"metric":"incremental_merge","state_keys":$stateKeys,"batches":$batches,"batch_size":$batchSize,"plain_sec_per_batch":${plainSec / batches}%.3f,"bucketed_sec_per_batch":${bktSec / batches}%.3f,"manifest_sec_per_batch":${mfSec / batches}%.3f,"speedup":${plainSec / bktSec}%.1f,"rows_plain":$a,"rows_bucketed":$b,"rows_manifest":$c}""")
     spark.stop()
   }
 }

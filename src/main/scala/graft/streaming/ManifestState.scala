@@ -215,16 +215,20 @@ object ManifestState {
           }
         }
       }
-      gc(root)
+      // only this commit's buckets can have gained a superseded
+      // version — scanning all buckets would pay nBuckets directory
+      // listings per merge for nothing
+      gc(root, affected)
     } finally delta.unpersist()
   }
 
-  /** Drop version dirs at least two generations behind the manifest.
-    * The immediately superseded version survives one more merge as a
-    * grace window for readers holding the previous manifest. */
-  private def gc(root: String): Unit = {
+  /** Drop version dirs at least two generations behind the manifest in
+    * the given buckets. The immediately superseded version survives one
+    * more merge as a grace window for readers holding the previous
+    * manifest. */
+  private def gc(root: String, bucketsToScan: Seq[Int]): Unit = {
     val m = readManifest(root)
-    m.buckets.foreach { case (k, live) =>
+    bucketsToScan.flatMap(k => m.buckets.get(k).map(k -> _)).foreach { case (k, live) =>
       val dir = Paths.get(s"$root/b=$k")
       if (Files.isDirectory(dir)) {
         val listing = Files.list(dir)
