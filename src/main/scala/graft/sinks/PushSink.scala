@@ -105,10 +105,13 @@ object PushSink {
     * volume of the batch (not table size) — the driver is the fan-out
     * point exactly as in the reference's consumer JVM. */
   def run(updates: Dataset[CdcStream.ViewUpdate], server: PushServer,
-          checkpointDir: String): StreamingQuery =
+          checkpointDir: String,
+          trigger: org.apache.spark.sql.streaming.Trigger =
+            org.apache.spark.sql.streaming.Trigger.ProcessingTime(100)): StreamingQuery =
     toWireFrames(updates).writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode("update")
+      .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         batch.collect().foreach(r => server.broadcast(r.getString(0)))
       }

@@ -16,6 +16,11 @@ import org.apache.spark.sql.streaming.Trigger
   *  - `lowlatency`: flatMapGroupsWithState per-key updates into a
   *    memory sink (the push path, analog of the reference's WebSocket
   *    broadcast)
+  *  - `push`: the full reference-parity path — per-key updates
+  *    broadcast through [[graft.sinks.PushServer]] and observed by a
+  *    real TCP client, so the number includes serialization, the
+  *    driver fan-out, and the socket hop (what the reference's ≤ 1 s
+  *    bound actually measures end-to-end)
   *
   * First `warmup` events are excluded — they pay one-time codegen
   * compilation that a long-lived pipeline amortizes.
@@ -34,7 +39,29 @@ object CdcLatencyBench {
     val spark = graft.engine.Graft.session("local[4]", 4)
 
     val (q, viewHas) =
-      if (mode == "lowlatency") {
+      if (mode == "push") {
+        val server = new graft.sinks.PushServer()
+        val client = new java.net.Socket("127.0.0.1", server.boundPort)
+        val reader = new java.io.BufferedReader(new java.io.InputStreamReader(
+          client.getInputStream, java.nio.charset.StandardCharsets.UTF_8))
+        val seen = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+        val drain = new Thread(() => {
+          try {
+            var line = reader.readLine()
+            while (line != null) {
+              """"id":"([^"]+)"""".r.findFirstMatchIn(line)
+                .foreach(m => seen.add(m.group(1)))
+              line = reader.readLine()
+            }
+          } catch { case _: java.io.IOException => () }
+        }, "push-client-drain")
+        drain.setDaemon(true); drain.start()
+        val raw = spark.readStream.schema(CdcStream.fileRecordSchema).json(in)
+        val updates = CdcStream.latestWinsUpdates(
+          CdcStream.asChanges(CdcStream.decodeFile(raw)))
+        val query = graft.sinks.PushSink.run(updates, server, s"$root/cp")
+        (query, (id: String) => seen.contains(id))
+      } else if (mode == "lowlatency") {
         val raw = spark.readStream.schema(CdcStream.fileRecordSchema).json(in)
         val updates = CdcStream.latestWinsUpdates(
           CdcStream.asChanges(CdcStream.decodeFile(raw)))
