@@ -760,15 +760,21 @@ object Catalog {
       "q29_json_props",
       (s, dir) => {
         import s.implicits._
+        // json_tuple is the multi-field single-parse form of
+        // get_json_object — one JSON parse per row however many
+        // fields are pulled (a Generator, so it rides in a select)
         t(s, dir, "events")
-          .select($"event_id",
-                  get_json_object($"props", "$.k").cast("long").as("k"))
+          .select($"event_id", json_tuple($"props", "k", "u").as(Seq("kv", "uv")))
+          .select($"event_id", $"kv".cast("long").as("k"),
+                  coalesce($"uv", lit("-")).as("u"))
           .groupBy($"k")
-          .agg(count(lit(1)).as("n"), min($"event_id").as("first_event"))
+          .agg(count(lit(1)).as("n"), min($"event_id").as("first_event"),
+               count(when($"u" =!= "-", 1)).as("n_with_u"))
           .orderBy($"k")
       },
       Some("""SELECT json_extract_string(props, '$.k')::BIGINT AS k,
-             |       count(*) AS n, min(event_id) AS first_event
+             |       count(*) AS n, min(event_id) AS first_event,
+             |       count(json_extract_string(props, '$.u')) AS n_with_u
              |FROM events GROUP BY 1 ORDER BY k""".stripMargin)),
 
     // ------------------------------------------------------------------

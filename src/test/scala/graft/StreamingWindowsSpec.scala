@@ -102,6 +102,29 @@ class StreamingWindowsSpec extends SparkSpec {
     assert(u1.toSeq == Seq(1L, 3L), s"got ${u1.toSeq}")
   }
 
+  test("complete output mode re-emits the whole aggregate each batch") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val ms = MemoryStream[(Timestamp, String)]
+    val counts = ms.toDF().toDF("ts", "event_type")
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    val q = counts.writeStream.format("memory").queryName("cm")
+      .outputMode("complete").start()
+
+    ms.addData((ts(1), "click"), (ts(2), "view"))
+    q.processAllAvailable()
+    ms.addData((ts(3), "click"))
+    q.processAllAvailable()
+    q.stop()
+
+    // complete mode: the memory sink holds the FULL current aggregate,
+    // including groups untouched by the last batch
+    val got = spark.table("cm").collect()
+      .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    assert(got.toSeq == Seq(("click", 2L), ("view", 1L)), s"got ${got.toSeq}")
+  }
+
   test("stream-stream inner join within watermark") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
