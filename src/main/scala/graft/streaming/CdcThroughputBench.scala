@@ -11,12 +11,13 @@ import java.nio.file.{Files, Paths}
   * Spring listener per Kafka partition (`MessageConsumer.kt:28-52`);
   * this measures the engine's bulk replacement for the same work.
   *
-  * Usage: runMain graft.streaming.CdcThroughputBench [nEvents] [files]
+  * Usage: runMain graft.streaming.CdcThroughputBench [nEvents] [files] [snapshot|manifest]
   */
 object CdcThroughputBench {
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toInt).getOrElse(200000)
     val files = if (args.length > 1) args(1).toInt else 8
+    val mode = if (args.length > 2) args(2) else "snapshot"
     val root = Files.createTempDirectory("cdctp").toString
     val in = s"$root/in"; Files.createDirectories(Paths.get(in))
 
@@ -42,12 +43,25 @@ object CdcThroughputBench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = graft.engine.Graft.session(s"local[$cpus]", cpus.toInt)
     val t0 = System.nanoTime()
-    val q = CdcStream.runFileStream(spark, in, s"$root/cp", s"$root/state")
+    val q =
+      if (mode == "manifest") {
+        val raw = spark.readStream.schema(CdcStream.fileRecordSchema).json(in)
+        CdcStream.decodeFile(raw).writeStream
+          .option("checkpointLocation", s"$root/cp")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .foreachBatch {
+            (b: org.apache.spark.sql.DataFrame, _: Long) =>
+              ManifestState.mergeBatch(b, s"$root/state", nBuckets = 1024)
+          }
+          .start()
+      } else CdcStream.runFileStream(spark, in, s"$root/cp", s"$root/state")
     q.awaitTermination()
     val sec = (System.nanoTime() - t0) / 1e9
-    val viewRows = CdcStream.readView(spark, s"$root/state").count()
+    val viewRows =
+      if (mode == "manifest") ManifestState.readView(spark, s"$root/state").count()
+      else CdcStream.readView(spark, s"$root/state").count()
     val total = perFile.toLong * files
-    println(f"""{"metric":"cdc_throughput","unit":"events_per_sec","events":$total,"sec":$sec%.2f,"events_per_sec":${total / sec}%.0f,"view_rows":$viewRows}""")
+    println(f"""{"metric":"cdc_throughput","mode":"$mode","unit":"events_per_sec","events":$total,"sec":$sec%.2f,"events_per_sec":${total / sec}%.0f,"view_rows":$viewRows}""")
     spark.stop()
   }
 }

@@ -1,0 +1,66 @@
+package graft
+
+import graft.queries.Catalog
+
+/** Plan-shape regression tests: the scale properties OPERATORS.md and
+  * SCALE.md claim are asserted here against the actual physical plans,
+  * so an accidental change that un-pushes a filter, loses a broadcast,
+  * or adds a shuffle fails the suite instead of surfacing at 100 TB.
+  * (sf0.001 inputs — plan shape, not timing.)
+  */
+class PlanAssertionsSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    Catalog.byName(name).run(spark, dir).queryExecution.executedPlan.toString
+
+  private def countOf(haystack: String, needle: String): Int =
+    haystack.sliding(needle.length).count(_ == needle)
+
+  test("q01: filters push to the parquet scan; schema is pruned") {
+    val p = plan("q01_filter_project")
+    assert(p.contains("PushedFilters: ["), p.take(2000))
+    assert(p.contains("l_shipdate"), "shipdate filter not pushed")
+    // pruned read: the scan must not materialize unprojected columns
+    assert(!p.contains("l_returnflag"), "scan reads columns the query never uses")
+  }
+
+  test("q04: dimension chain joins are broadcast, not shuffled") {
+    val p = plan("q04_broadcast_join")
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(!p.contains("SortMergeJoin"), "dim join fell back to SMJ")
+  }
+
+  test("q03: exactly two hash exchanges, both over pre-aggregated data") {
+    val p = plan("q03_join_topk")
+    assert(countOf(p, "Exchange hashpartitioning") == 2,
+      s"expected 2 hash exchanges:\n${p.take(3000)}")
+    assert(p.contains("TakeOrderedAndProject"), "top-k lost its TakeOrdered rewrite")
+  }
+
+  test("q40: both window passes and the aggregate share one hash exchange") {
+    val p = plan("q40_sessionize")
+    assert(countOf(p, "Exchange hashpartitioning") == 1,
+      s"sessionize should shuffle once on user_id:\n${p.take(3000)}")
+  }
+
+  test("q44: candidate join is broadcast-pruned hash join, big side scans once") {
+    val p = plan("q44_ivf_ann")
+    assert(p.contains("BroadcastHashJoin"), "IVF candidate join must be broadcast hash")
+    // the only non-hash join allowed is the intentional 10x10
+    // query-by-centroid cross; the corpus-sized side must never SMJ
+    assert(!p.contains("SortMergeJoin"), "candidate join fell back to SMJ")
+    assert(countOf(p, "BroadcastNestedLoopJoin") <= 1,
+      "unexpected second nested-loop join")
+  }
+
+  test("q47: five analytics run in a single Window operator") {
+    val p = plan("q47_analytic_windows")
+    // one Window node (running-frame sum folds into the same pass),
+    // one shuffle for the partitionBy
+    assert(countOf(p, "Window ") + countOf(p, "RunningWindowFunction") >= 1)
+    assert(countOf(p, "Exchange hashpartitioning") == 1,
+      s"analytic windows should shuffle once:\n${p.take(3000)}")
+  }
+}
