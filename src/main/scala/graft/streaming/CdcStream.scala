@@ -259,6 +259,26 @@ object CdcStream {
       .start()
   }
 
+  /** Bootstrap the state from a batch read of the base table — the
+    * non-Debezium half of R1's initial snapshot ("batch
+    * spark.read.parquet/JDBC of the base table unioned ahead of the
+    * stream", SURVEY §2.A). Every row becomes an UPSERT fenced at
+    * `fenceLsn`; the subsequent change stream wins for any key it
+    * touches with lsn > fenceLsn, and latest-wins makes a replayed
+    * pre-fence change a no-op. `table` must carry the base-table
+    * columns (`id`, `create_time`, `update_time`, `message`,
+    * `username`) with epoch-millis times.
+    */
+  def bootstrapFromTable(table: DataFrame, stateDir: String,
+                         fenceLsn: Long = 0L): Unit =
+    mergeBatch(
+      table.select(
+        lit(Upsert).as("event_type"),
+        col("id"), col("create_time"), col("update_time"),
+        col("message"), col("username"),
+        lit(fenceLsn).as("lsn"), lit(fenceLsn).as("ts_ms")),
+      stateDir)
+
   /** Union-and-rewrite merge of one micro-batch into the parquet state
     * snapshot. Test/local sink; a production deployment swaps this for
     * MERGE INTO on a transactional table — same latest-wins plan. */

@@ -99,6 +99,35 @@ class CdcStreamSpec extends SparkSpec {
     assert(view.toSeq == Seq(("s1", "streamed later")))
   }
 
+  test("batch-table bootstrap then stream: fence keeps stale replays out") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("cdcboot").toString
+    val in = s"$root/in"; Files.createDirectories(Paths.get(in))
+    val state = s"$root/state"
+
+    // initial snapshot of the base table (batch read), fenced at lsn 100
+    val snapshot = Seq(
+      ("a", 10L, 10L, "a v1", "u1"),
+      ("b", 20L, 20L, "b v1", "u2"))
+      .toDF("id", "create_time", "update_time", "message", "username")
+    CdcStream.bootstrapFromTable(snapshot, state, fenceLsn = 100L)
+    assert(CdcStream.readView(spark, state).count() == 2)
+
+    // change stream on top: update a (post-fence), delete b
+    // (post-fence), and a REPLAYED pre-fence change of a that must lose
+    val lines = Seq(
+      env("a", 150, 1000, 10, 1000, "a v2", "u1"),
+      tombstone("b", 151, 1500),
+      env("a", 50, 500, 10, 500, "a stale pre-snapshot", "u1"))
+    Files.write(Paths.get(s"$in/changes.json"), lines.mkString("\n").getBytes("UTF-8"))
+    val q = CdcStream.runFileStream(spark, in, s"$root/cp", state)
+    q.awaitTermination()
+
+    val view = CdcStream.readView(spark, state)
+      .select("id", "message").collect().map(r => (r.getString(0), r.getString(1)))
+    assert(view.toSeq.sorted == Seq(("a", "a v2"))) // b deleted, stale replay lost
+  }
+
   test("bucketed incremental merge produces the same view as the snapshot merge") {
     val root = Files.createTempDirectory("cdcbkt").toString
     val in = s"$root/in"; Files.createDirectories(Paths.get(in))
