@@ -124,7 +124,8 @@ object CdcStream {
     * latest-wins. Idempotent: replaying a batch yields the same state.
     */
   def runFileStream(spark: SparkSession, inputDir: String, checkpointDir: String,
-                    stateDir: String, trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+                    stateDir: String, trigger: Trigger = Trigger.AvailableNow(),
+                    deadLetterDir: Option[String] = None): StreamingQuery = {
     val raw = spark.readStream
       .schema(fileRecordSchema)
       .json(inputDir)
@@ -132,7 +133,16 @@ object CdcStream {
     decoded.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // dead-letter the malformed rows (reference drops them on the
+        // floor, index.html:213-215; we keep them inspectable) before
+        // the merge filters them out
+        deadLetterDir.foreach { dir =>
+          val bad = batch.filter(col("event_type") === Malformed)
+          if (!bad.isEmpty)
+            bad.withColumn("batch_id", lit(batchId))
+              .write.mode("append").parquet(dir)
+        }
         mergeBatch(batch, stateDir)
       }
       .start()

@@ -45,7 +45,9 @@ class CdcStreamSpec extends SparkSpec {
     Files.write(Paths.get(s"$in/batch1.json"),
       lines.mkString("\n").getBytes("UTF-8"))
 
-    val q = CdcStream.runFileStream(spark, in, cp, state)
+    val dead = s"$root/dead"
+    val q = CdcStream.runFileStream(spark, in, cp, state,
+      deadLetterDir = Some(dead))
     q.awaitTermination()
 
     val view = CdcStream.readView(spark, state)
@@ -57,9 +59,11 @@ class CdcStreamSpec extends SparkSpec {
       ("c", 4000L, 4000L, "c2", "u3")))       // delete-then-reinsert resurrects
     // b tombstoned away
 
-    // malformed record was counted, not fatal
+    // malformed record was counted AND dead-lettered, not fatal
     val batch = spark.read.schema(CdcStream.fileRecordSchema).json(in)
     assert(CdcStream.malformedCount(CdcStream.decodeFile(batch)) == 1)
+    val dl = spark.read.parquet(dead)
+    assert(dl.count() == 1 && dl.columns.contains("batch_id"))
 
     // Phase 2: append a new file (delete a), resume from checkpoint —
     // only the new file is processed.
