@@ -53,54 +53,28 @@ object ScaleSmoke {
       val w = Window.partitionBy($"o_custkey").orderBy($"o_totalprice".desc)
       ord.withColumn("rn", row_number().over(w)).filter($"rn" <= 3).count()
     }
-    // gap-sessionization shape (q40): two window passes + aggregate,
-    // all sharing one shuffle on the partition key
+    // gap-sessionization shape — the SAME operator as q40
+    // (operators.Sessionize), on 15x its row count
     time(s"sessionize_${factor}x") {
-      import org.apache.spark.sql.expressions.Window
-      val byC = Window.partitionBy($"o_custkey").orderBy($"tms", $"o_orderkey")
       // o_orderdate reads as TIMESTAMP_NTZ here; session TZ is pinned
       // UTC so the cast is an identity relabel
-      ord.select($"o_custkey",
-          unix_millis($"o_orderdate".cast("timestamp")).as("tms"), $"o_orderkey")
-        .withColumn("new_s",
-          when(lag($"tms", 1).over(byC).isNull ||
-               $"tms" - lag($"tms", 1).over(byC) > 30L * 86400000L, 1L).otherwise(0L))
-        .withColumn("session_no",
-          sum($"new_s").over(byC.rowsBetween(Window.unboundedPreceding, 0)))
-        .groupBy($"o_custkey", $"session_no").agg(count(lit(1)))
+      graft.operators.Sessionize.stats(
+        ord.select($"o_custkey",
+          unix_millis($"o_orderdate".cast("timestamp")).as("tms"), $"o_orderkey"),
+        keyCol = "o_custkey", tmsCol = "tms", tieCol = "o_orderkey",
+        gapMs = 30L * 86400000L)
         .count()
     }
-    // IVF-probe shape (q44) over replicated embeddings: centroid
-    // build + broadcast-pruned candidate join stays ~nprobe/nlist
+    // IVF-probe shape — the SAME operator as q44 (operators.IvfAnn):
+    // centroid build + broadcast-pruned candidate join, ~nprobe/nlist scan
     val emb = replicate(graft.sources.Tables.embeddings(spark, dir), Seq("vec_id"))
       .withColumn("label", pmod(xxhash64($"vec_id"), lit(10)).cast("int")).cache()
     println(s"SCALE inputs embeddings=${emb.count()}")
     time(s"ivf_ann_${factor}x") {
-      import org.apache.spark.sql.expressions.Window
       import graft.functions.{VectorFunctions => VF}
-      val e = emb.select($"vec_id", $"label", VF.asDouble($"embedding").as("v"))
-      val centroids = e
-        .select($"label", posexplode($"v").as(Seq("pos", "x")))
-        .groupBy($"label", $"pos").agg(round(avg($"x"), 6).as("cx"))
-        .groupBy($"label")
-        .agg(array_sort(collect_list(struct($"pos", $"cx"))).as("pairs"))
-        .select($"label".as("c_label"), expr("transform(pairs, p -> p.cx)").as("cv"))
-        .withColumn("cnrm", sqrt(VF.dot($"cv", $"cv")))
-      val q = e.filter($"vec_id" < 10)
-        .select($"vec_id".as("qid"), $"v".as("qv"))
-        .withColumn("qnrm", sqrt(VF.dot($"qv", $"qv")))
-      val wq = Window.partitionBy($"qid").orderBy($"csim".desc, $"c_label")
-      val probes = q.join(broadcast(centroids))
-        .select($"qid", $"qv", $"qnrm", $"c_label",
-                (VF.dot($"qv", $"cv") / ($"qnrm" * $"cnrm")).as("csim"))
-        .withColumn("crn", row_number().over(wq)).filter($"crn" <= 2)
-        .select($"qid", $"qv", $"qnrm", $"c_label")
-      val w = Window.partitionBy($"qid").orderBy($"sim".desc, $"nid")
-      e.withColumn("nrm", sqrt(VF.dot($"v", $"v")))
-        .join(broadcast(probes), $"label" === $"c_label" && $"vec_id" =!= $"qid")
-        .select($"qid", $"vec_id".as("nid"),
-                (VF.dot($"v", $"qv") / ($"nrm" * $"qnrm")).as("sim"))
-        .withColumn("rank", row_number().over(w)).filter($"rank" <= 5)
+      graft.operators.IvfAnn.topK(
+        emb.select($"vec_id", $"label", VF.asDouble($"embedding").as("v")),
+        isQuery = $"vec_id" < 10, nprobe = 2, k = 5)
         .count()
     }
     spark.stop()

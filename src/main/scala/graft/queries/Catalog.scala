@@ -1111,18 +1111,11 @@ object Catalog {
       "q40_sessionize",
       (s, dir) => {
         import s.implicits._
-        val gapMs = 12 * 3600 * 1000L
-        val byUser = Window.partitionBy($"user_id").orderBy($"tms", $"event_id")
-        t(s, dir, "events")
-          .select($"user_id", unix_millis($"ts").as("tms"), $"event_id")
-          .withColumn("new_s",
-            when(lag($"tms", 1).over(byUser).isNull ||
-                 $"tms" - lag($"tms", 1).over(byUser) > gapMs, 1L).otherwise(0L))
-          .withColumn("session_no",
-            sum($"new_s").over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
-          .groupBy($"user_id", $"session_no")
-          .agg(count(lit(1)).as("n_events"),
-               ((max($"tms") - min($"tms")) / 1000).cast("long").as("dur_s"))
+        graft.operators.Sessionize.stats(
+          t(s, dir, "events")
+            .select($"user_id", unix_millis($"ts").as("tms"), $"event_id"),
+          keyCol = "user_id", tmsCol = "tms", tieCol = "event_id",
+          gapMs = 12 * 3600 * 1000L)
           .orderBy($"user_id", $"session_no")
       },
       Some("""WITH e AS (SELECT user_id, epoch_ms(ts) AS tms, event_id FROM events),
@@ -1236,37 +1229,12 @@ object Catalog {
       "q44_ivf_ann",
       (s, dir) => {
         import s.implicits._
-        val e = t(s, dir, "embeddings")
-          .select($"vec_id", $"label", VF.asDouble($"embedding").as("v"))
-        // identical 6-dp-rounded centroid construction to q31
-        val centroids = e
-          .select($"label", posexplode($"v").as(Seq("pos", "x")))
-          .groupBy($"label", $"pos")
-          .agg(round(avg($"x"), 6).as("cx"))
-          .groupBy($"label")
-          .agg(array_sort(collect_list(struct($"pos", $"cx"))).as("pairs"))
-          .select($"label".as("c_label"),
-                  expr("transform(pairs, p -> p.cx)").as("cv"))
-          .withColumn("cnrm", sqrt(VF.dot($"cv", $"cv")))
-        val q = e.filter($"vec_id" < 10)
-          .select($"vec_id".as("qid"), $"v".as("qv"))
-          .withColumn("qnrm", sqrt(VF.dot($"qv", $"qv")))
-        val wq = Window.partitionBy($"qid").orderBy($"csim".desc, $"c_label")
-        val probes = q.join(broadcast(centroids))
-          .select($"qid", $"qv", $"qnrm", $"c_label",
-                  (VF.dot($"qv", $"cv") / ($"qnrm" * $"cnrm")).as("csim"))
-          .withColumn("crn", row_number().over(wq))
-          .filter($"crn" <= 2)
-          .select($"qid", $"qv", $"qnrm", $"c_label")
-        val sims = e
-          .withColumn("nrm", sqrt(VF.dot($"v", $"v")))
-          .join(broadcast(probes),
-                $"label" === $"c_label" && $"vec_id" =!= $"qid")
-          .select($"qid", $"vec_id".as("nid"),
-                  (VF.dot($"v", $"qv") / ($"nrm" * $"qnrm")).as("sim"))
-        val w = Window.partitionBy($"qid").orderBy($"sim".desc, $"nid")
-        sims.withColumn("rank", row_number().over(w).cast("long"))
-          .filter($"rank" <= 5)
+        // shared operator (operators.IvfAnn) — centroid construction
+        // identical to q31, 6-dp rounded
+        graft.operators.IvfAnn.topK(
+          t(s, dir, "embeddings")
+            .select($"vec_id", $"label", VF.asDouble($"embedding").as("v")),
+          isQuery = $"vec_id" < 10, nprobe = 2, k = 5)
           .select($"qid", $"nid", $"rank", round($"sim", 4).as("sim_r"))
           .orderBy($"qid", $"rank")
       },

@@ -32,20 +32,50 @@ import graft.streaming.CdcStream
   * broker between the query and the clients (executors publish via
   * `foreachPartition`); the frame schema is identical either way.
   */
-final class PushServer(port: Int = 0) extends AutoCloseable {
+final class PushServer(port: Int = 0, outboxFrames: Int = 1024) extends AutoCloseable {
+
+  /** One connected client: a bounded outbox drained by its own writer
+    * thread. `broadcast` only ever enqueues, so a STALLED client (hung
+    * reader, TCP backpressure — no IOException, the write just blocks)
+    * fills its own queue and gets evicted; it can never block the
+    * streaming pipeline or starve the other clients. */
+  private final class Client(val socket: Socket) {
+    val outbox = new java.util.concurrent.LinkedBlockingQueue[Array[Byte]](outboxFrames)
+    @volatile var dead = false
+    val writer = new Thread(() => {
+      try {
+        val out = socket.getOutputStream
+        while (!dead) {
+          val frame = outbox.poll(1, java.util.concurrent.TimeUnit.SECONDS)
+          if (frame != null) { out.write(frame); out.flush() }
+        }
+      } catch {
+        case _: IOException | _: InterruptedException => ()
+      } finally evict(this)
+    }, s"push-client-writer-${socket.getPort}")
+    writer.setDaemon(true)
+  }
 
   private val server = new ServerSocket(port)
-  private val clients = new CopyOnWriteArrayList[Socket]()
+  private val clients = new CopyOnWriteArrayList[Client]()
   @volatile private var closed = false
 
   /** Actual bound port (pass 0 to let the OS pick — tests do). */
   val boundPort: Int = server.getLocalPort
 
+  private def evict(c: Client): Unit = {
+    c.dead = true
+    clients.remove(c)
+    try c.socket.close() catch { case _: IOException => () }
+  }
+
   private val acceptor = new Thread(() => {
     try while (!closed) {
       val s = server.accept()
       s.setTcpNoDelay(true)
-      clients.add(s)
+      val c = new Client(s)
+      clients.add(c)
+      c.writer.start()
     } catch {
       case _: SocketException => () // server socket closed — shutdown
       case _: IOException     => ()
@@ -56,28 +86,22 @@ final class PushServer(port: Int = 0) extends AutoCloseable {
 
   def clientCount: Int = clients.size()
 
-  /** Send one frame to every connected client. Serialization happened
-    * once upstream; a client whose write fails is closed and removed,
-    * never failing the broadcast (reference semantics). */
+  /** Enqueue one frame for every connected client. Serialization
+    * happened once upstream. Never blocks: a client that cannot keep
+    * up (full outbox) or whose writer died is evicted, exactly like
+    * the reference swallowing per-session send failures — the other
+    * clients and the pipeline are unaffected. */
   def broadcast(frame: String): Unit = {
     val bytes = (frame + "\n").getBytes(StandardCharsets.UTF_8)
     clients.forEach { c =>
-      try {
-        val out = c.getOutputStream
-        out.write(bytes)
-        out.flush()
-      } catch {
-        case _: IOException =>
-          clients.remove(c)
-          try c.close() catch { case _: IOException => () }
-      }
+      if (c.dead || !c.outbox.offer(bytes)) evict(c)
     }
   }
 
   override def close(): Unit = {
     closed = true
     try server.close() catch { case _: IOException => () }
-    clients.forEach(c => try c.close() catch { case _: IOException => () })
+    clients.forEach(evict)
     clients.clear()
   }
 }

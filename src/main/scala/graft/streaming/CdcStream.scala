@@ -136,12 +136,23 @@ object CdcStream {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         // dead-letter the malformed rows (reference drops them on the
         // floor, index.html:213-215; we keep them inspectable) before
-        // the merge filters them out
+        // the merge filters them out. Partitioned by batch_id with
+        // dynamic overwrite so a REPLAYED micro-batch (crash between
+        // this write and the checkpoint commit) rewrites its own
+        // partition instead of appending duplicates — the sink stays
+        // idempotent like the merge itself. The cached filter costs
+        // one job; the guarded write reuses it.
         deadLetterDir.foreach { dir =>
-          val bad = batch.filter(col("event_type") === Malformed)
-          if (!bad.isEmpty)
-            bad.withColumn("batch_id", lit(batchId))
-              .write.mode("append").parquet(dir)
+          val bad = batch.filter(col("event_type") === Malformed).cache()
+          try {
+            if (!bad.isEmpty)
+              bad.withColumn("batch_id", lit(batchId))
+                .coalesce(1)
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
+                .parquet(dir)
+          } finally bad.unpersist()
         }
         mergeBatch(batch, stateDir)
       }

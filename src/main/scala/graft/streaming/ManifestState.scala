@@ -78,15 +78,34 @@ object ManifestState {
 
   // -- lock: atomic exclusive create + stale takeover -----------------
 
+  /** Acquire `root/LOCK`, run `f` with an ownership token, release.
+    *
+    * Stale takeover cannot be made race-free with delete+create alone:
+    * two breakers can both observe staleness, the first re-acquires,
+    * and the second would delete a FRESH lock (two holders). Two
+    * defenses close this:
+    *  - takeover captures the stale file by an ATOMIC_MOVE to a unique
+    *    tombstone (only one breaker can capture it) before deleting;
+    *  - `f` receives a token and must call [[stillHolds]] immediately
+    *    before its irreversible step — if a breaker stole the lock
+    *    despite the above (arbitrarily long pause between acquire and
+    *    commit), the victim observes foreign lock content and aborts.
+    * The residual window (holder verifies, then pauses > staleMs
+    * before the manifest move) is the same lease-expiry caveat every
+    * lock-without-storage-fencing has; an object-store deployment
+    * replaces this file dance with a conditional-put and loses the
+    * caveat too.
+    */
   private def withLock[T](root: String, timeoutMs: Long = 30000,
-                          staleMs: Long = 60000)(f: => T): T = {
+                          staleMs: Long = 60000)(f: String => T): T = {
     val lock = Paths.get(root, "LOCK")
+    val token = s"$writerId-${UUID.randomUUID().toString.take(8)}"
     val deadline = System.currentTimeMillis() + timeoutMs
     var held = false
     while (!held) {
       try {
         Files.write(lock,
-          s"$writerId ${System.currentTimeMillis()}".getBytes(StandardCharsets.UTF_8),
+          s"$token ${System.currentTimeMillis()}".getBytes(StandardCharsets.UTF_8),
           StandardOpenOption.CREATE_NEW)
         held = true
       } catch {
@@ -95,19 +114,42 @@ object ManifestState {
             Files.getLastModifiedTime(lock).toMillis
           catch { case _: java.io.IOException => 0L } // vanished — retry
           if (age > staleMs) {
-            // dead holder: break the lock; the CREATE_NEW race after
-            // the delete still admits exactly one winner
-            try Files.deleteIfExists(lock)
-            catch { case _: java.io.IOException => () }
+            // capture-then-verify-then-delete: the atomic move admits
+            // exactly one breaker; if what we captured turns out FRESH
+            // (the holder re-acquired between our staleness check and
+            // the move) we restore it best-effort — and even when the
+            // restore loses a race, the falsely-evicted holder self-
+            // detects via stillHolds before committing
+            val tomb = Paths.get(root, s"LOCK.broken-$token")
+            try {
+              Files.move(lock, tomb, StandardCopyOption.ATOMIC_MOVE)
+              val content = new String(Files.readAllBytes(tomb), StandardCharsets.UTF_8)
+              val heldSince = content.split(" ").lift(1).flatMap(
+                t => scala.util.Try(t.toLong).toOption).getOrElse(0L)
+              if (System.currentTimeMillis() - heldSince > staleMs)
+                Files.deleteIfExists(tomb) // genuinely dead holder
+              else
+                try Files.move(tomb, lock, StandardCopyOption.ATOMIC_MOVE)
+                catch { case _: java.io.IOException => Files.deleteIfExists(tomb) }
+            } catch { case _: java.io.IOException => () } // lost the capture race
           } else if (System.currentTimeMillis() > deadline)
             throw new IllegalStateException(s"lock timeout on $lock")
           else Thread.sleep(20)
       }
     }
-    try f finally {
-      try Files.deleteIfExists(lock) catch { case _: java.io.IOException => () }
+    try f(token) finally {
+      // delete only our own lock — if a breaker stole it, the current
+      // file belongs to someone else
+      if (stillHolds(root, token))
+        try Files.deleteIfExists(lock) catch { case _: java.io.IOException => () }
     }
   }
+
+  /** True iff `root/LOCK` still carries this holder's token. */
+  private def stillHolds(root: String, token: String): Boolean =
+    try new String(Files.readAllBytes(Paths.get(root, "LOCK")),
+                   StandardCharsets.UTF_8).startsWith(token + " ")
+    catch { case _: java.io.IOException => false }
 
   // -- snapshot reads -------------------------------------------------
 
@@ -157,55 +199,69 @@ object ManifestState {
       val callId = UUID.randomUUID().toString.take(8)
       var attempt = 0
       var committed = false
+      var lastFailure: Throwable = null
       while (!committed) {
         attempt += 1
         if (attempt > maxRetries)
-          throw new IllegalStateException(s"merge lost the commit race $maxRetries times")
+          throw new IllegalStateException(
+            s"merge lost the commit race $maxRetries times", lastFailure)
         val base = readManifest(root)
-
-        // heavy phase — no lock held
         val version = s"v-${base.epoch + 1}-$callId-$attempt"
-        val existing = affected.flatMap(k => base.buckets.get(k).map(v => (k, v)))
-        // partitionBy strips `b` into the directory name, so files read
-        // back from a version dir do NOT carry it — merge on the bare
-        // change schema and re-derive the bucket before writing
-        val bare = delta.drop("b")
-        val current =
-          if (existing.isEmpty) bare.limit(0)
-          else spark.read.parquet(existing.map { case (k, v) =>
-            versionPath(root, k, v) }.toIndexedSeq: _*)
-        val merged = CdcMerge.latestWins(
-          current.unionByName(bare), Seq("id"),
-          Seq(col("lsn").desc_nulls_last, col("ts_ms").desc_nulls_last))
-          .withColumn("b", pmod(xxhash64(col("id")), lit(nBuckets)).cast("int"))
-        // one writer task per touched bucket, one immutable version dir
-        // per bucket per commit
-        val tmp = s"$root/.stage-$version"
-        merged.repartition(col("b"))
-          .write.mode("overwrite").partitionBy("b").parquet(tmp)
-        // a bucket with no surviving rows (cannot happen while
-        // tombstones are retained, but don't bake that in) leaves the
-        // manifest instead of committing an unreadable empty dir
-        val written = affected.filter { k =>
-          val src = Paths.get(s"$tmp/b=$k")
-          val dst = Paths.get(versionPath(root, k, version))
-          Files.createDirectories(dst.getParent)
-          if (Files.exists(src)) {
-            Files.move(src, dst, StandardCopyOption.ATOMIC_MOVE); true
-          } else false
-        }
-        val emptied = affected.diff(written)
-        CdcStream.deleteRecursively(Paths.get(tmp))
+        try {
+          // heavy phase — no lock held
+          val existing = affected.flatMap(k => base.buckets.get(k).map(v => (k, v)))
+          // partitionBy strips `b` into the directory name, so files read
+          // back from a version dir do NOT carry it — merge on the bare
+          // change schema and re-derive the bucket before writing
+          val bare = delta.drop("b")
+          val current =
+            if (existing.isEmpty) bare.limit(0)
+            else spark.read.parquet(existing.map { case (k, v) =>
+              versionPath(root, k, v) }.toIndexedSeq: _*)
+          val merged = CdcMerge.latestWins(
+            current.unionByName(bare), Seq("id"),
+            Seq(col("lsn").desc_nulls_last, col("ts_ms").desc_nulls_last))
+            .withColumn("b", pmod(xxhash64(col("id")), lit(nBuckets)).cast("int"))
+          // one writer task per touched bucket, one immutable version dir
+          // per bucket per commit
+          val tmp = s"$root/.stage-$version"
+          merged.repartition(col("b"))
+            .write.mode("overwrite").partitionBy("b").parquet(tmp)
+          // a bucket with no surviving rows (cannot happen while
+          // tombstones are retained, but don't bake that in) leaves the
+          // manifest instead of committing an unreadable empty dir
+          val written = affected.filter { k =>
+            val src = Paths.get(s"$tmp/b=$k")
+            val dst = Paths.get(versionPath(root, k, version))
+            Files.createDirectories(dst.getParent)
+            if (Files.exists(src)) {
+              Files.move(src, dst, StandardCopyOption.ATOMIC_MOVE); true
+            } else false
+          }
+          val emptied = affected.diff(written)
+          CdcStream.deleteRecursively(Paths.get(tmp))
 
-        // commit phase — lock guards only the manifest compare+swap
-        committed = withLock(root) {
-          val now = readManifest(root)
-          if (now.epoch == base.epoch) {
-            writeManifest(root,
-              Manifest(base.epoch + 1,
-                now.buckets ++ written.map(k => k -> version) -- emptied))
-            true
-          } else false
+          // commit phase — lock guards only the manifest compare+swap.
+          // Conflict detection is PER-BUCKET: a concurrent commit to
+          // disjoint buckets does not invalidate this one (a global
+          // epoch compare would make disjoint writers livelock under
+          // load). stillHolds closes the lease-theft edge (withLock doc).
+          committed = withLock(root) { token =>
+            val now = readManifest(root)
+            val conflict = affected.exists(k =>
+              now.buckets.get(k) != base.buckets.get(k))
+            if (!conflict && stillHolds(root, token)) {
+              writeManifest(root,
+                Manifest(now.epoch + 1,
+                  now.buckets ++ written.map(k => k -> version) -- emptied))
+              true
+            } else false
+          }
+        } catch {
+          // the heavy phase reads version dirs that concurrent GC may
+          // delete once their grace window closes — that's a lost race,
+          // not a caller-visible failure; recompute on the new manifest
+          case e: Exception => lastFailure = e; committed = false
         }
         if (!committed) {
           // lost the race: drop our orphaned versions, retry on top of
@@ -223,9 +279,12 @@ object ManifestState {
   }
 
   /** Drop version dirs at least two generations behind the manifest in
-    * the given buckets. The immediately superseded version survives one
-    * more merge as a grace window for readers holding the previous
-    * manifest. */
+    * the given buckets. Only versions with an epoch strictly BELOW the
+    * live one are candidates — a higher-epoch dir is another writer's
+    * in-flight (pre-commit) version and must be left alone (its writer
+    * deletes it on race loss, or it becomes live). Of the superseded
+    * versions, the newest survives one more merge as a grace window
+    * for readers holding the previous manifest. */
   private def gc(root: String, bucketsToScan: Seq[Int]): Unit = {
     val m = readManifest(root)
     bucketsToScan.flatMap(k => m.buckets.get(k).map(k -> _)).foreach { case (k, live) =>
@@ -235,10 +294,12 @@ object ManifestState {
         val versions =
           try listing.toArray.map(_.toString)
             .map(p => p.substring(p.lastIndexOf('/') + 1))
-            .filter(_.startsWith("v-")).sortBy(versionEpoch)
+            .filter(_.startsWith("v-"))
           finally listing.close()
-        val stale = versions.filterNot(_ == live).dropRight(1)
-        stale.foreach(v =>
+        val superseded = versions
+          .filter(v => versionEpoch(v) < versionEpoch(live))
+          .sortBy(versionEpoch)
+        superseded.dropRight(1).foreach(v =>
           CdcStream.deleteRecursively(Paths.get(versionPath(root, k, v))))
       }
     }
