@@ -469,8 +469,7 @@ object Catalog {
           .select($"doc_a", $"doc_b", $"hamming")
           .orderBy($"doc_a", $"doc_b")
       },
-      None,
-      headline = false),
+      None),
 
     // ------------------------------------------------------------------
     // Q18: language-ID heuristic — stopword-marker scores + argmax.

@@ -36,6 +36,16 @@ class FunctionsSpec extends SparkSpec {
     assert(byId(1L) != byId(3L))     // different text -> different signature
   }
 
+  test("native SimHash64 is bit-identical to the HOF composition") {
+    import spark.implicits._
+    val docs = Seq("the quick brown fox", "pack my box with five dozen jugs",
+                   "", "one", "repeated repeated repeated words words")
+      .toDF("text")
+    val rows = docs.select(TF.simhash64($"text").as("native"),
+                           TF.simhash64Hof($"text").as("hof")).collect()
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1), r.toString))
+  }
+
   test("simhash: equal for identical, hamming zero to self, small for near-dup") {
     import spark.implicits._
     val df = Seq(("the quick brown fox jumps over the lazy dog", 1L),
