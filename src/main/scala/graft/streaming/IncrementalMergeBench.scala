@@ -58,12 +58,32 @@ object IncrementalMergeBench {
     // its delta vs bucketed is the price of multi-writer safety
     val mfSec = applyDeltas(b => ManifestState.mergeBatch(b, mfDir, nBuckets))
 
-    // states must agree after the same deltas
+    // row-identity check point: all three modes have seen exactly the
+    // same deltas HERE (the concurrent phase below adds further
+    // batches to the manifest state only)
     val a = spark.read.parquet(plainDir).count()
     val b = spark.read.parquet(bktDir).count()
     val c = ManifestState.read(spark, mfDir).count()
 
-    println(f"""{"metric":"incremental_merge","state_keys":$stateKeys,"batches":$batches,"batch_size":$batchSize,"plain_sec_per_batch":${plainSec / batches}%.3f,"bucketed_sec_per_batch":${bktSec / batches}%.3f,"manifest_sec_per_batch":${mfSec / batches}%.3f,"speedup":${plainSec / bktSec}%.1f,"rows_plain":$a,"rows_bucketed":$b,"rows_manifest":$c}""")
+    // concurrent manifest writers: same TOTAL batch count split over 2
+    // threads against one state — measures what the optimistic commit
+    // actually costs under contention (disjoint buckets mostly commit
+    // in parallel; colliding ones retry)
+    val mfcSec = {
+      val t0 = System.nanoTime()
+      val threads = (0 until 2).map { w =>
+        new Thread(() => (1 to batches / 2).foreach { i =>
+          ManifestState.mergeBatch(
+            changes(spark, stateKeys + (w * batches + i + batches).toLong * batchSize,
+                    batchSize, stateKeys),
+            mfDir, nBuckets)
+        })
+      }
+      threads.foreach(_.start()); threads.foreach(_.join())
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    println(f"""{"metric":"incremental_merge","state_keys":$stateKeys,"batches":$batches,"batch_size":$batchSize,"plain_sec_per_batch":${plainSec / batches}%.3f,"bucketed_sec_per_batch":${bktSec / batches}%.3f,"manifest_sec_per_batch":${mfSec / batches}%.3f,"manifest_2writer_sec_per_batch":${mfcSec / batches}%.3f,"speedup":${plainSec / bktSec}%.1f,"rows_plain":$a,"rows_bucketed":$b,"rows_manifest":$c}""")
     spark.stop()
   }
 }

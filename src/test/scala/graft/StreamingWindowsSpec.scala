@@ -102,6 +102,28 @@ class StreamingWindowsSpec extends SparkSpec {
     assert(u1.toSeq == Seq(1L, 3L), s"got ${u1.toSeq}")
   }
 
+  test("rate-micro-batch source feeds the window transforms") {
+    // the declared source surface includes the rate family
+    // (SURVEY §2.B scans); rate-micro-batch emits a deterministic
+    // rowsPerBatch with event timestamps, so it composes with the
+    // watermarked transforms like any other stream
+    val counts = Windows.tumblingCounts(
+      spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", "10").load()
+        .selectExpr("timestamp AS ts", "CAST(value % 2 AS STRING) AS event_type"),
+      "ts", "10 seconds", "0 seconds", col("event_type"))
+    val q = counts.writeStream.format("memory").queryName("ratewc")
+      .outputMode("update").start()
+    // the rate family is UNBOUNDED — processAllAvailable would never
+    // return; poll the sink until the first batch lands
+    def total(): Long = spark.table("ratewc")
+      .agg(coalesce(sum(col("n")), lit(0L))).head().getLong(0)
+    val deadline = System.nanoTime() + 60e9.toLong
+    while (total() < 10 && System.nanoTime() < deadline) Thread.sleep(100)
+    q.stop()
+    assert(total() >= 10, s"rate source produced ${total()} rows")
+  }
+
   test("complete output mode re-emits the whole aggregate each batch") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
