@@ -1403,7 +1403,52 @@ object Catalog {
              |        list_reverse(embedding::DOUBLE[])), 4) AS revdot,
              |  list_contains(string_split_regex(trim(text), '\s+'), 'spark') AS has_spark
              |FROM embeddings JOIN documents ON vec_id = doc_id
-             |WHERE vec_id % 25 = 0 ORDER BY vec_id""".stripMargin))
+             |WHERE vec_id % 25 = 0 ORDER BY vec_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Q50: TF-IDF — term frequency per (doc, token), document
+    // frequency per token, top-3 scoring tokens per document. Three
+    // aggregations over one tokenized frame plus a broadcast-sized
+    // df table joined back; the rank key is the ROUNDED score (ln()
+    // can differ in ULPs across engines/libms, and a tie at rank 3
+    // must break identically on both sides).
+    Query(
+      "q50_tfidf",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+        val nDocs = docs.count().toDouble // tiny table; plan constant
+        val toks = docs
+          .select($"doc_id", explode(split(trim($"text"), "\\s+")).as("tok"))
+        val tf = toks.groupBy($"doc_id", $"tok").agg(count(lit(1)).as("tf"))
+        val df = toks.groupBy($"tok")
+          .agg(countDistinct($"doc_id").as("df"))
+        val scored = tf.join(broadcast(df), "tok")
+          .select($"doc_id", $"tok",
+            round($"tf" * log(lit(nDocs) / $"df"), 4).as("tfidf"))
+        val w = Window.partitionBy($"doc_id").orderBy($"tfidf".desc, $"tok")
+        scored.withColumn("rnk", row_number().over(w).cast("long"))
+          .filter($"rnk" <= 3)
+          .select($"doc_id", $"rnk", $"tok", $"tfidf")
+          .orderBy($"doc_id", $"rnk")
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+             |  FROM documents),
+             |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+             |df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+             |n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+             |scored AS (
+             |  SELECT tf.doc_id, tf.tok,
+             |         round(tf.tf * ln(n.n / df.df), 4) AS tfidf
+             |  FROM tf JOIN df USING (tok) CROSS JOIN n),
+             |ranked AS (
+             |  SELECT doc_id, tok, tfidf,
+             |         row_number() OVER (PARTITION BY doc_id
+             |                            ORDER BY tfidf DESC, tok) AS rnk
+             |  FROM scored)
+             |SELECT doc_id, rnk, tok, tfidf FROM ranked WHERE rnk <= 3
+             |ORDER BY doc_id, rnk""".stripMargin))
   )
 
   val byName: Map[String, Query] = all.map(q => q.name -> q).toMap
