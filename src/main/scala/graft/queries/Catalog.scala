@@ -1334,7 +1334,9 @@ object Catalog {
             ntile(4).over(w).cast("long").as("quartile"),
             round(sum($"o_totalprice")
               .over(w.rowsBetween(Window.unboundedPreceding, 0)), 2).as("run_total"),
-            round(first($"o_totalprice").over(w), 2).as("first_price"))
+            round(first($"o_totalprice").over(w), 2).as("first_price"),
+            round(percent_rank().over(w), 4).as("pct_rank"),
+            round(cume_dist().over(w), 4).as("cum_dist"))
           .orderBy($"o_custkey", $"o_orderkey")
       },
       Some("""SELECT o_orderkey, o_custkey,
@@ -1344,7 +1346,9 @@ object Catalog {
              |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey
              |        ORDER BY o_orderdate, o_orderkey
              |        ROWS UNBOUNDED PRECEDING), 2) AS run_total,
-             |  round(first_value(o_totalprice) OVER w, 2) AS first_price
+             |  round(first_value(o_totalprice) OVER w, 2) AS first_price,
+             |  round(percent_rank() OVER w, 4) AS pct_rank,
+             |  round(cume_dist() OVER w, 4) AS cum_dist
              |FROM orders WHERE o_custkey % 100 = 7
              |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
              |ORDER BY o_custkey, o_orderkey""".stripMargin)),
@@ -1404,6 +1408,29 @@ object Catalog {
              |  list_contains(string_split_regex(trim(text), '\s+'), 'spark') AS has_spark
              |FROM embeddings JOIN documents ON vec_id = doc_id
              |WHERE vec_id % 25 = 0 ORDER BY vec_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Q51: stratified content-hash split — q43's stable bucketing
+    // WITHIN language strata, so each language keeps the same
+    // train/holdout proportions (the sampling shape a multilingual
+    // corpus needs; rand()-based stratified sampling is not
+    // reproducible across engines or repartitionings).
+    Query(
+      "q51_stratified_split",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "documents")
+          .withColumn("bucket",
+            (conv(substring(md5($"text"), 1, 4), 16, 10).cast("long") % 5))
+          .groupBy($"lang", $"bucket")
+          .agg(count(lit(1)).as("n_docs"),
+               round(avg($"n_chars"), 2).as("avg_chars"))
+          .orderBy($"lang", $"bucket")
+      },
+      Some("""SELECT lang, ('0x' || substr(md5(text), 1, 4))::BIGINT % 5 AS bucket,
+             |       count(*) AS n_docs, round(avg(n_chars), 2) AS avg_chars
+             |FROM documents GROUP BY lang, bucket
+             |ORDER BY lang, bucket""".stripMargin)),
 
     // ------------------------------------------------------------------
     // Q50: TF-IDF — term frequency per (doc, token), document
