@@ -29,6 +29,10 @@ object Sinks {
       else dated.repartition(col("p_date"),
         pmod(xxhash64(col(tsCol)), lit(filesPerDate)))
     placed.write.mode(mode)
+      // zstd over default snappy for the long-lived fact tables: ~30%
+      // smaller at comparable scan speed — at 100 TB that is tens of
+      // TB of storage and scan I/O per copy
+      .option("compression", "zstd")
       .partitionBy("p_date")
       .parquet(dir)
   }
