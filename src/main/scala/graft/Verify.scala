@@ -15,11 +15,13 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    // dump queries 4 at a time: each is small at sf0.01 and mostly
+    // dump queries a few at a time: each is small at sf0.01 and mostly
     // latency-bound (plan + a few tasks), so overlapping them cuts the
     // driver's correctness-gate wall-clock ~3x; SparkSession is
-    // thread-safe and every query writes its own directory
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    // thread-safe and every query writes its own directory. Pool size
+    // follows the session's core count so one knob governs both.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, math.min(8, cpus.toInt / 4)))
     val tasks = SparkEntry.queries.toSeq.map { case (name, fn) =>
       pool.submit(new Runnable {
         override def run(): Unit =

@@ -36,8 +36,11 @@ case class SimHash64(child: Expression)
     while (i < n) {
       val s = arr.getUTF8String(i)
       // Spark's xxhash64 function semantics: XXH64 of the UTF-8 bytes,
-      // seed 42
-      val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), 42L)
+      // seed 42; a NULL element passes the seed through unchanged
+      // (matching xxhash64(null) in the HOF reference composition)
+      val h =
+        if (s == null) 42L
+        else XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), 42L)
       var b = 0
       while (b < 64) {
         // counts(0) tracks bit 63 (MSB-first, matching the HOF masks)

@@ -119,6 +119,16 @@ object TextFunctions {
   def hamming64(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b)).cast("long")
 
+  /** Stable content-hash bucket in [0, n): first 4 hex chars of
+    * md5(content) as an integer, mod n. The train/holdout split
+    * invariant lives HERE — q43 (corpus split), q51 (stratified
+    * split), and the DuckDB oracle's `('0x'||substr(md5(x),1,4))::BIGINT
+    * % n` must all agree on the 4-hex-char derivation. */
+  def stableBucket(content: Column, n: Int): Column = {
+    require(n > 0)
+    conv(substring(md5(content), 1, 4), 16, 10).cast("long") % n
+  }
+
   /** Jaccard similarity of the distinct-token sets of two documents. */
   def tokenJaccard(a: Column, b: Column): Column = {
     val ta = array_distinct(tokens(a))

@@ -1198,8 +1198,7 @@ object Catalog {
       (s, dir) => {
         import s.implicits._
         t(s, dir, "documents")
-          .withColumn("bucket",
-            (conv(substring(md5($"text"), 1, 4), 16, 10).cast("long") % 10))
+          .withColumn("bucket", TF.stableBucket($"text", 10))
           .groupBy($"bucket")
           .agg(count(lit(1)).as("n_docs"),
                round(avg($"n_chars"), 2).as("avg_chars"))
@@ -1420,8 +1419,7 @@ object Catalog {
       (s, dir) => {
         import s.implicits._
         t(s, dir, "documents")
-          .withColumn("bucket",
-            (conv(substring(md5($"text"), 1, 4), 16, 10).cast("long") % 5))
+          .withColumn("bucket", TF.stableBucket($"text", 5))
           .groupBy($"lang", $"bucket")
           .agg(count(lit(1)).as("n_docs"),
                round(avg($"n_chars"), 2).as("avg_chars"))
@@ -1448,8 +1446,10 @@ object Catalog {
         val toks = docs
           .select($"doc_id", explode(split(trim($"text"), "\\s+")).as("tok"))
         val tf = toks.groupBy($"doc_id", $"tok").agg(count(lit(1)).as("tf"))
-        val df = toks.groupBy($"tok")
-          .agg(countDistinct($"doc_id").as("df"))
+        // tf has exactly one row per (doc, tok), so document frequency
+        // is a plain count over it — no second token scan, no
+        // distinct-expansion aggregate
+        val df = tf.groupBy($"tok").agg(count(lit(1)).as("df"))
         val scored = tf.join(broadcast(df), "tok")
           .select($"doc_id", $"tok",
             round($"tf" * log(lit(nDocs) / $"df"), 4).as("tfidf"))

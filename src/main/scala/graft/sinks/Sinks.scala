@@ -44,6 +44,7 @@ object Sinks {
                     table: String, path: String): Unit =
     df.write.mode(SaveMode.Overwrite)
       .option("path", path)
+      .option("compression", "zstd") // same storage rationale as the date sink
       .bucketBy(buckets, bucketCol)
       .sortBy(bucketCol)
       .format("parquet")

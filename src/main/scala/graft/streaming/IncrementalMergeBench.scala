@@ -69,6 +69,7 @@ object IncrementalMergeBench {
     // threads against one state — measures what the optimistic commit
     // actually costs under contention (disjoint buckets mostly commit
     // in parallel; colliding ones retry)
+    val concBatches = 2 * (batches / 2) // what actually runs below
     val mfcSec = {
       val t0 = System.nanoTime()
       val threads = (0 until 2).map { w =>
@@ -83,7 +84,7 @@ object IncrementalMergeBench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    println(f"""{"metric":"incremental_merge","state_keys":$stateKeys,"batches":$batches,"batch_size":$batchSize,"plain_sec_per_batch":${plainSec / batches}%.3f,"bucketed_sec_per_batch":${bktSec / batches}%.3f,"manifest_sec_per_batch":${mfSec / batches}%.3f,"manifest_2writer_sec_per_batch":${mfcSec / batches}%.3f,"speedup":${plainSec / bktSec}%.1f,"rows_plain":$a,"rows_bucketed":$b,"rows_manifest":$c}""")
+    println(f"""{"metric":"incremental_merge","state_keys":$stateKeys,"batches":$batches,"batch_size":$batchSize,"plain_sec_per_batch":${plainSec / batches}%.3f,"bucketed_sec_per_batch":${bktSec / batches}%.3f,"manifest_sec_per_batch":${mfSec / batches}%.3f,"manifest_2writer_sec_per_batch":${mfcSec / math.max(1, concBatches)}%.3f,"speedup":${plainSec / bktSec}%.1f,"rows_plain":$a,"rows_bucketed":$b,"rows_manifest":$c}""")
     spark.stop()
   }
 }

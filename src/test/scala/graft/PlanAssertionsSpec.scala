@@ -55,11 +55,13 @@ class PlanAssertionsSpec extends SparkSpec {
       "unexpected second nested-loop join")
   }
 
-  test("q47: five analytics run in a single Window operator") {
+  test("q47: the full ranking/analytic family runs in a single Window operator") {
     val p = plan("q47_analytic_windows")
-    // one Window node (running-frame sum folds into the same pass),
-    // one shuffle for the partitionBy
-    assert(countOf(p, "Window ") + countOf(p, "RunningWindowFunction") >= 1)
+    // exactly one Window node — all seven analytics (lag/lead/ntile/
+    // percent_rank/cume_dist/running sum/first) share the (partition,
+    // order) pair, so a second Window appearing means the frames split
+    assert(countOf(p, "Window ") == 1,
+      s"expected exactly 1 Window operator:\n${p.take(3000)}")
     assert(countOf(p, "Exchange hashpartitioning") == 1,
       s"analytic windows should shuffle once:\n${p.take(3000)}")
   }

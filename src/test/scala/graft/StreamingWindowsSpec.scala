@@ -115,13 +115,16 @@ class StreamingWindowsSpec extends SparkSpec {
     val q = counts.writeStream.format("memory").queryName("ratewc")
       .outputMode("update").start()
     // the rate family is UNBOUNDED — processAllAvailable would never
-    // return; poll the sink until the first batch lands
+    // return; poll the sink until the first batch lands, and stop the
+    // query even if the poll throws (a leaked rate stream would keep
+    // producing for the rest of the shared-session suite)
     def total(): Long = spark.table("ratewc")
       .agg(coalesce(sum(col("n")), lit(0L))).head().getLong(0)
-    val deadline = System.nanoTime() + 60e9.toLong
-    while (total() < 10 && System.nanoTime() < deadline) Thread.sleep(100)
-    q.stop()
-    assert(total() >= 10, s"rate source produced ${total()} rows")
+    try {
+      val deadline = System.nanoTime() + 60e9.toLong
+      while (total() < 10 && System.nanoTime() < deadline) Thread.sleep(100)
+      assert(total() >= 10, s"rate source produced ${total()} rows")
+    } finally q.stop()
   }
 
   test("complete output mode re-emits the whole aggregate each batch") {
