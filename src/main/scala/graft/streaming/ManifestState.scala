@@ -69,9 +69,25 @@ object ManifestState {
     else Manifest(0L, Map.empty)
   }
 
+  /** Manifest as of a past commit (time travel). Every commit archives
+    * its manifest under `manifests/<epoch>` — a few bytes each, kept
+    * forever; whether the DATA a historical manifest references still
+    * exists is governed by `keepGenerations` at merge time. */
+  def readManifestAt(root: String, epoch: Long): Manifest = {
+    val p = Paths.get(root, "manifests", epoch.toString)
+    require(Files.exists(p), s"no archived manifest for epoch $epoch at $p")
+    parse(new String(Files.readAllBytes(p), StandardCharsets.UTF_8))
+  }
+
   private def writeManifest(root: String, m: Manifest): Unit = {
     val tmp = Paths.get(root, s"MANIFEST.tmp-$writerId")
     Files.write(tmp, render(m).getBytes(StandardCharsets.UTF_8))
+    // archive first, then swap the current pointer: a crash between
+    // the two loses only the archive copy of an uncommitted epoch
+    val hist = Paths.get(root, "manifests")
+    Files.createDirectories(hist)
+    Files.write(hist.resolve(m.epoch.toString),
+      render(m).getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, Paths.get(root, "MANIFEST"),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
@@ -168,6 +184,13 @@ object ManifestState {
   def read(spark: SparkSession, root: String): DataFrame =
     readSnapshot(spark, root, readManifest(root))
 
+  /** Time travel: the state exactly as of commit `epoch`. Valid while
+    * the versions that manifest references survive GC — i.e. for the
+    * most recent `keepGenerations` commits touching each bucket
+    * (older reads fail on the missing version dir). */
+  def readAt(spark: SparkSession, root: String, epoch: Long): DataFrame =
+    readSnapshot(spark, root, readManifestAt(root, epoch))
+
   /** The queryable latest-wins view: state minus tombstones. */
   def readView(spark: SparkSession, root: String): DataFrame = {
     val s = read(spark, root)
@@ -178,11 +201,14 @@ object ManifestState {
 
   /** Merge one micro-batch of decoded changes ([[CdcStream.classify]]
     * schema) into the manifest state. Safe for concurrent writers:
-    * lost updates are prevented by the epoch check at commit; a loser
-    * recomputes against the winner's state and retries.
+    * lost updates are prevented by the per-bucket check at commit; a
+    * loser recomputes against the winner's state and retries.
+    * `keepGenerations` superseded versions per bucket survive GC —
+    * generation 1 is the reader grace window, more buys time travel
+    * depth ([[readAt]]).
     */
   def mergeBatch(batch: DataFrame, root: String, nBuckets: Int,
-                 maxRetries: Int = 20): Unit = {
+                 maxRetries: Int = 20, keepGenerations: Int = 1): Unit = {
     require(nBuckets > 0)
     val spark = batch.sparkSession
     Files.createDirectories(Paths.get(root))
@@ -274,7 +300,7 @@ object ManifestState {
       // only this commit's buckets can have gained a superseded
       // version — scanning all buckets would pay nBuckets directory
       // listings per merge for nothing
-      gc(root, affected)
+      gc(root, affected, keepGenerations)
     } finally delta.unpersist()
   }
 
@@ -285,7 +311,8 @@ object ManifestState {
     * deletes it on race loss, or it becomes live). Of the superseded
     * versions, the newest survives one more merge as a grace window
     * for readers holding the previous manifest. */
-  private def gc(root: String, bucketsToScan: Seq[Int]): Unit = {
+  private def gc(root: String, bucketsToScan: Seq[Int],
+                 keepGenerations: Int = 1): Unit = {
     val m = readManifest(root)
     bucketsToScan.flatMap(k => m.buckets.get(k).map(k -> _)).foreach { case (k, live) =>
       val dir = Paths.get(s"$root/b=$k")
@@ -299,7 +326,7 @@ object ManifestState {
         val superseded = versions
           .filter(v => versionEpoch(v) < versionEpoch(live))
           .sortBy(versionEpoch)
-        superseded.dropRight(1).foreach(v =>
+        superseded.dropRight(math.max(1, keepGenerations)).foreach(v =>
           CdcStream.deleteRecursively(Paths.get(versionPath(root, k, v))))
       }
     }

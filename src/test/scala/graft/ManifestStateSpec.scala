@@ -136,6 +136,33 @@ class ManifestStateSpec extends SparkSpec {
     assert(failures.isEmpty, s"writer failed: ${failures.peek()}")
   }
 
+  test("time travel: readAt returns each archived epoch within retention") {
+    val root = Files.createTempDirectory("mstate-tt").toString
+    // one key -> one bucket; keep 3 superseded generations
+    ManifestState.mergeBatch(changes(Seq(up("k", 1))), root, 2, keepGenerations = 3)
+    ManifestState.mergeBatch(changes(Seq(up("k", 2), up("j", 3))), root, 2,
+      keepGenerations = 3)
+    ManifestState.mergeBatch(changes(Seq(del("j", 4))), root, 2, keepGenerations = 3)
+    ManifestState.mergeBatch(changes(Seq(up("k", 5))), root, 2, keepGenerations = 3)
+
+    def viewAt(epoch: Long): Seq[(String, Long)] =
+      ManifestState.readAt(spark, root, epoch)
+        .filter(col("event_type") === CdcStream.Upsert)
+        .select("id", "lsn").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq.sorted
+
+    assert(viewAt(1) == Seq(("k", 1L)))
+    assert(viewAt(2) == Seq(("j", 3L), ("k", 2L)))
+    assert(viewAt(3) == Seq(("k", 2L)))            // j tombstoned
+    assert(viewAt(4) == Seq(("k", 5L)))
+    // current read == latest archived epoch
+    val cur = ManifestState.readView(spark, root)
+      .select("id", "lsn").collect().map(r => (r.getString(0), r.getLong(1))).toSeq.sorted
+    assert(cur == viewAt(4))
+    // an unarchived epoch fails loudly, not with a wrong answer
+    intercept[IllegalArgumentException](ManifestState.readAt(spark, root, 99))
+  }
+
   test("gc keeps one superseded generation per bucket") {
     val root = Files.createTempDirectory("mstate-gc").toString
     (1 to 6).foreach { lsn =>
