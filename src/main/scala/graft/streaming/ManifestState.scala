@@ -191,6 +191,36 @@ object ManifestState {
   def readAt(spark: SparkSession, root: String, epoch: Long): DataFrame =
     readSnapshot(spark, root, readManifestAt(root, epoch))
 
+  /** Change data feed: the NET row-level changes between two archived
+    * epochs, derived by diffing the snapshots (an id that was inserted
+    * and deleted between the epochs nets to no change — this is the
+    * snapshot delta, not the event log). Emits
+    * `(change_type ∈ INSERT|UPDATE|DELETE, id, <row columns from the
+    * newer epoch — null for DELETE>, old_lsn, new_lsn)`. One
+    * full-outer join on the key; both sides are manifest snapshots, so
+    * the diff is consistent regardless of concurrent writers. */
+  def changesBetween(spark: SparkSession, root: String,
+                     fromEpoch: Long, toEpoch: Long): DataFrame = {
+    require(fromEpoch <= toEpoch, s"fromEpoch $fromEpoch > toEpoch $toEpoch")
+    def live(e: Long) = readAt(spark, root, e)
+      .filter(col("event_type") === CdcStream.Upsert)
+    val a = live(fromEpoch).select(
+      col("id").as("a_id"), col("lsn").as("old_lsn"))
+    val b = live(toEpoch).select(
+      col("id").as("b_id"), col("create_time"), col("update_time"),
+      col("message"), col("username"), col("lsn").as("new_lsn"))
+    a.join(b, a("a_id") === b("b_id"), "full_outer")
+      .filter(col("a_id").isNull || col("b_id").isNull ||
+              col("old_lsn") =!= col("new_lsn"))
+      .select(
+        when(col("a_id").isNull, lit("INSERT"))
+          .when(col("b_id").isNull, lit("DELETE"))
+          .otherwise(lit("UPDATE")).as("change_type"),
+        coalesce(col("b_id"), col("a_id")).as("id"),
+        col("create_time"), col("update_time"), col("message"),
+        col("username"), col("old_lsn"), col("new_lsn"))
+  }
+
   /** The queryable latest-wins view: state minus tombstones. */
   def readView(spark: SparkSession, root: String): DataFrame = {
     val s = read(spark, root)

@@ -163,6 +163,28 @@ class ManifestStateSpec extends SparkSpec {
     intercept[IllegalArgumentException](ManifestState.readAt(spark, root, 99))
   }
 
+  test("change data feed: snapshot diff between epochs nets transient rows away") {
+    val root = Files.createTempDirectory("mstate-cdf").toString
+    ManifestState.mergeBatch(changes(Seq(up("k", 1))), root, 2, keepGenerations = 3)
+    ManifestState.mergeBatch(changes(Seq(up("k", 2), up("j", 3))), root, 2,
+      keepGenerations = 3)
+    ManifestState.mergeBatch(changes(Seq(del("j", 4))), root, 2, keepGenerations = 3)
+
+    def cdf(from: Long, to: Long): Seq[(String, String)] =
+      ManifestState.changesBetween(spark, root, from, to)
+        .select("change_type", "id").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSeq.sorted
+
+    // 1 -> 2: j inserted, k updated
+    assert(cdf(1, 2) == Seq(("INSERT", "j"), ("UPDATE", "k")))
+    // 2 -> 3: j deleted
+    assert(cdf(2, 3) == Seq(("DELETE", "j")))
+    // 1 -> 3: j's insert+delete NETS AWAY; only k's update remains
+    assert(cdf(1, 3) == Seq(("UPDATE", "k")))
+    // no-op span
+    assert(cdf(3, 3) == Seq.empty)
+  }
+
   test("gc keeps one superseded generation per bucket") {
     val root = Files.createTempDirectory("mstate-gc").toString
     (1 to 6).foreach { lsn =>
