@@ -51,7 +51,8 @@ object CdcDemo {
         val q = CdcStream.runFileStream(
           spark, inputDir, s"$workDir/checkpoint", s"$workDir/state")
         q.awaitTermination()
-        val view = CdcStream.readView(spark, s"$workDir/state").orderBy("id")
+        // reference presentation order: create_time DESC (R5)
+        val view = CdcStream.presentView(spark, s"$workDir/state")
         view.show(100, truncate = false)
         println(s"view_rows=${view.count()}")
       case other =>

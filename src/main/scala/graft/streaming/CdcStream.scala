@@ -382,6 +382,14 @@ object CdcStream {
       .start()
   }
 
+  /** The view in the reference's presentation order: newest
+    * `create_time` first (`static/index.html:99-100`), id as the
+    * deterministic tiebreak Spark needs where the browser relied on
+    * stable Array.sort. */
+  def presentView(spark: SparkSession, stateDir: String): DataFrame =
+    readView(spark, stateDir)
+      .orderBy(col("create_time").desc, col("id"))
+
   /** Read the materialized view (state minus tombstones) with proper
     * timestamp columns. An empty stream produces no state snapshot —
     * that's an empty view, not an error. */

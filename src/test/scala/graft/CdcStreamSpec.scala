@@ -76,6 +76,21 @@ class CdcStreamSpec extends SparkSpec {
     assert(view2.toSeq == Seq("c"))
   }
 
+  test("presentView orders newest create_time first (reference R5)") {
+    val root = Files.createTempDirectory("cdcr5").toString
+    val in = s"$root/in"; Files.createDirectories(Paths.get(in))
+    val lines = Seq(
+      env("old", 1, 1000, 1000, 1000, "first", "u"),
+      env("new", 2, 2000, 5000, 5000, "last", "u"),
+      env("mid", 3, 3000, 3000, 3000, "middle", "u"))
+    Files.write(Paths.get(s"$in/b.json"), lines.mkString("\n").getBytes("UTF-8"))
+    val q = CdcStream.runFileStream(spark, in, s"$root/cp", s"$root/state")
+    q.awaitTermination()
+    val ids = CdcStream.presentView(spark, s"$root/state")
+      .select("id").collect().map(_.getString(0))
+    assert(ids.toSeq == Seq("new", "mid", "old"), ids.toSeq)
+  }
+
   test("decode classifies by after IS NULL, not op code (reference semantics)") {
     import spark.implicits._
     // op says 'u' but after is null -> DELETE (MessageConsumer.kt:32
