@@ -136,6 +136,30 @@ object TextFunctions {
     size(array_intersect(ta, tb)).cast("double") / size(array_union(ta, tb)).cast("double")
   }
 
+  // ---- PII redaction ---------------------------------------------------
+
+  /** RE2-compatible PII patterns (no lookaround, so the DuckDB oracle
+    * runs the identical regex). Pattern order matters in [[redactPii]]:
+    * emails first (an email is not a URL substring), then URLs
+    * (greedy to whitespace), then phone numbers. */
+  final val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  final val UrlPattern   = "https?://[^\\s]+"
+  final val PhonePattern = "\\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
+
+  /** Mask emails/URLs/phone numbers with typed placeholder tokens —
+    * the scrubbing step of a training-data pipeline. Three codegen'd
+    * regexp_replace passes; one row-local scan each, no shuffle. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailPattern, "<EMAIL>"),
+        UrlPattern, "<URL>"),
+      PhonePattern, "<PHONE>")
+
+  /** Count of non-overlapping matches of `pattern` in `text`. */
+  def countMatches(text: Column, pattern: String): Column =
+    size(regexp_extract_all(text, lit(pattern), lit(0))).cast("long")
+
   // ---- quality metrics -------------------------------------------------
 
   def charCount(text: Column): Column = length(text).cast("long")

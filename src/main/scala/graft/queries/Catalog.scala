@@ -1475,7 +1475,296 @@ object Catalog {
              |                            ORDER BY tfidf DESC, tok) AS rnk
              |  FROM scored)
              |SELECT doc_id, rnk, tok, tfidf FROM ranked WHERE rnk <= 3
-             |ORDER BY doc_id, rnk""".stripMargin))
+             |ORDER BY doc_id, rnk""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Q52: PII redaction — the scrubbing pass of a training-data
+    // pipeline. The corpus is synthetic (no real PII), so each row
+    // deterministically plants email/URL/phone fragments derived from
+    // its own keys; the query then counts and masks them with the
+    // shared RE2-compatible patterns (TextFunctions.redactPii). Three
+    // row-local regex passes, zero shuffles before the final sort.
+    Query(
+      "q52_pii_redact",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "documents")
+          .withColumn("raw", concat(
+            $"text",
+            when($"doc_id" % 3 === 0,
+              concat(lit(" reach me at user"), $"doc_id".cast("string"), lit("@example.org")))
+              .otherwise(lit("")),
+            when($"doc_id" % 4 === 1,
+              concat(lit(" see https://docs.example.com/"), $"lang", lit("/"), $"doc_id".cast("string")))
+              .otherwise(lit("")),
+            when($"doc_id" % 5 === 2,
+              concat(lit(" call +1-555-"), lpad(($"doc_id" % 10000).cast("string"), 4, "0")))
+              .otherwise(lit(""))))
+          .select($"doc_id",
+            TF.countMatches($"raw", TF.EmailPattern).as("n_emails"),
+            TF.countMatches($"raw", TF.UrlPattern).as("n_urls"),
+            TF.countMatches($"raw", TF.PhonePattern).as("n_phones"),
+            md5(TF.redactPii($"raw")).as("redacted_md5"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH raw AS (
+             |  SELECT doc_id, text
+             |    || CASE WHEN doc_id % 3 = 0 THEN ' reach me at user' || doc_id || '@example.org' ELSE '' END
+             |    || CASE WHEN doc_id % 4 = 1 THEN ' see https://docs.example.com/' || lang || '/' || doc_id ELSE '' END
+             |    || CASE WHEN doc_id % 5 = 2 THEN ' call +1-555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0') ELSE '' END
+             |    AS raw
+             |  FROM documents)
+             |SELECT doc_id,
+             |  len(regexp_extract_all(raw, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+             |  len(regexp_extract_all(raw, 'https?://[^\s]+')) AS n_urls,
+             |  len(regexp_extract_all(raw, '\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}')) AS n_phones,
+             |  md5(regexp_replace(regexp_replace(regexp_replace(raw,
+             |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             |      'https?://[^\s]+', '<URL>', 'g'),
+             |      '\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g')) AS redacted_md5
+             |FROM raw ORDER BY doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Q53: repetition-quality metrics (Gopher-style filters) — per
+    // document over word bigrams: top-bigram fraction and the fraction
+    // of bigram occurrences belonging to a repeated bigram. High
+    // values flag boilerplate/spam for corpus filtering. One explode +
+    // two aggregations, all partial-aggregated map-side.
+    Query(
+      "q53_repetition_quality",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "documents")
+          .filter(size(TF.tokens($"text")) >= 2)
+          .select($"doc_id", explode(TF.shingles($"text", 2)).as("bg"))
+          .groupBy($"doc_id", $"bg").agg(count(lit(1)).as("c"))
+          .groupBy($"doc_id")
+          .agg(sum($"c").as("n_bigrams"),
+               round(max($"c") / sum($"c"), 4).as("top_frac"),
+               round(sum(when($"c" >= 2, $"c").otherwise(0L)) / sum($"c"), 4).as("dup_frac"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH tk AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM documents),
+             |bg AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(tk) - 1),
+             |                i -> tk[i] || ' ' || tk[i+1])) AS bg
+             |       FROM tk WHERE len(tk) >= 2),
+             |c AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY 1, 2)
+             |SELECT doc_id, sum(c)::BIGINT AS n_bigrams,
+             |       round(max(c) / sum(c), 4) AS top_frac,
+             |       round(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) / sum(c), 4) AS dup_frac
+             |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Q54: token-level Shannon entropy per document — the
+    // information-density quality signal (low entropy = repetitive /
+    // templated text). Counts per (doc, token), per-doc total via one
+    // window over the same partitioning, then -sum(p ln p), rounded on
+    // both engines (FP sum order differs across engines).
+    Query(
+      "q54_token_entropy",
+      (s, dir) => {
+        import s.implicits._
+        val c = t(s, dir, "documents")
+          .select($"doc_id", explode(TF.tokens($"text")).as("tok"))
+          .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("c"))
+        val w = Window.partitionBy($"doc_id")
+        c.withColumn("n", sum($"c").over(w))
+          .groupBy($"doc_id")
+          .agg(max($"n").as("n_tokens"),
+               count(lit(1)).as("vocab"),
+               round(-sum(($"c" / $"n") * log($"c" / $"n")), 4).as("entropy"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH tk AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+             |           FROM documents),
+             |c AS (SELECT doc_id, tok, count(*) AS c FROM tk GROUP BY 1, 2),
+             |w AS (SELECT doc_id, c, sum(c) OVER (PARTITION BY doc_id) AS n FROM c)
+             |SELECT doc_id, max(n)::BIGINT AS n_tokens, count(*)::BIGINT AS vocab,
+             |       round(-sum((c / n) * ln(c / n)), 4) AS entropy
+             |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Q55: PMI collocations — corpus-level pointwise mutual
+    // information over word bigrams: pmi = ln(p(ab) / (p(a) p(b))).
+    // The unigram table and the two scalar totals are broadcast (the
+    // vocabulary is dwarfed by the corpus at any scale), so the only
+    // wide shuffles are the two counting aggregations, both map-side
+    // partial. Ranked on the ROUNDED pmi so the top-20 cut breaks
+    // ties identically across engines.
+    Query(
+      "q55_pmi_bigrams",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents").filter(size(TF.tokens($"text")) >= 2)
+        val uni = docs.select(explode(TF.tokens($"text")).as("tok"))
+          .groupBy($"tok").agg(count(lit(1)).as("cu"))
+        val bi = docs.select(explode(TF.shingles($"text", 2)).as("bg"))
+          .groupBy($"bg").agg(count(lit(1)).as("cb"))
+        val totals = uni.agg(sum($"cu").cast("double").as("u_total"))
+          .crossJoin(bi.agg(sum($"cb").cast("double").as("b_total")))
+        bi.filter($"cb" >= 20)
+          .withColumn("w1", element_at(split($"bg", " "), 1))
+          .withColumn("w2", element_at(split($"bg", " "), 2))
+          .join(broadcast(uni.select($"tok".as("w1"), $"cu".as("c1"))), "w1")
+          .join(broadcast(uni.select($"tok".as("w2"), $"cu".as("c2"))), "w2")
+          .crossJoin(broadcast(totals))
+          .select($"bg", $"cb",
+            round(log(($"cb".cast("double") * $"u_total" * $"u_total") /
+                      ($"b_total" * $"c1" * $"c2")), 4).as("pmi"))
+          .orderBy($"pmi".desc, $"bg")
+          .limit(20)
+      },
+      Some("""WITH docs AS (SELECT string_split_regex(trim(text), '\s+') AS tk FROM documents
+             |              WHERE len(string_split_regex(trim(text), '\s+')) >= 2),
+             |uc AS (SELECT tok, count(*) AS cu FROM (SELECT unnest(tk) AS tok FROM docs) GROUP BY 1),
+             |bc AS (SELECT bg, count(*) AS cb
+             |       FROM (SELECT unnest(list_transform(generate_series(1, len(tk) - 1),
+             |                    i -> tk[i] || ' ' || tk[i+1])) AS bg FROM docs)
+             |       GROUP BY 1),
+             |tot AS (SELECT (SELECT sum(cu)::DOUBLE FROM uc) AS u_total,
+             |               (SELECT sum(cb)::DOUBLE FROM bc) AS b_total),
+             |scored AS (
+             |  SELECT bg, cb,
+             |         round(ln((cb::DOUBLE * u_total * u_total) / (b_total * c1.cu * c2.cu)), 4) AS pmi
+             |  FROM bc, tot, uc c1, uc c2
+             |  WHERE cb >= 20
+             |    AND c1.tok = string_split(bg, ' ')[1]
+             |    AND c2.tok = string_split(bg, ' ')[2])
+             |SELECT bg, cb, pmi FROM scored ORDER BY pmi DESC, bg LIMIT 20""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Q56: URL parsing surface — parse_url HOST/PATH/QUERY-key/
+    // PROTOCOL over deterministically constructed URLs (the synthetic
+    // corpus has none). Pure row-local projection; the oracle
+    // reconstructs each part from the same source columns.
+    Query(
+      "q56_url_parse",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "documents")
+          .filter($"doc_id" % 10 === 3)
+          .withColumn("url", concat(
+            lit("https://data.example.com/"), $"lang", lit("/doc/"),
+            $"doc_id".cast("string"), lit("?src="), $"source",
+            lit("&n="), $"n_chars".cast("string")))
+          .select($"doc_id", $"url",
+            parse_url($"url", lit("HOST")).as("host"),
+            parse_url($"url", lit("PATH")).as("path"),
+            parse_url($"url", lit("QUERY"), lit("src")).as("qsrc"),
+            parse_url($"url", lit("PROTOCOL")).as("proto"))
+          .orderBy($"doc_id")
+      },
+      Some("""SELECT doc_id,
+             |       'https://data.example.com/' || lang || '/doc/' || doc_id
+             |         || '?src=' || source || '&n=' || n_chars AS url,
+             |       'data.example.com' AS host,
+             |       '/' || lang || '/doc/' || doc_id AS path,
+             |       source AS qsrc,
+             |       'https' AS proto
+             |FROM documents WHERE doc_id % 10 = 3 ORDER BY doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Q57: outer positional flatten — posexplode_outer keeps documents
+    // whose match array is empty (NULL pos/hit) instead of dropping
+    // them, the LEFT-JOIN-LATERAL shape needed when a flattened
+    // feature must not silently drop rows from the corpus.
+    Query(
+      "q57_explode_outer",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "documents")
+          .withColumn("hits",
+            regexp_extract_all($"text", lit("\\b(spark|window|merge)\\b"), lit(0)))
+          .select($"doc_id", posexplode_outer($"hits").as(Seq("pos", "hit")))
+          .select($"doc_id", $"pos".cast("long").as("pos"), $"hit")
+          .orderBy($"doc_id", $"pos")
+      },
+      Some("""WITH h AS (SELECT doc_id, regexp_extract_all(text, '\b(spark|window|merge)\b') AS hits
+             |           FROM documents),
+             |e AS (SELECT doc_id, len(hits) AS nh,
+             |             CASE WHEN len(hits) = 0 THEN [NULL] ELSE hits END AS hits2
+             |      FROM h),
+             |z AS (SELECT doc_id, nh,
+             |             unnest(list_zip(hits2, generate_series(1, len(hits2)))) AS z
+             |      FROM e)
+             |SELECT doc_id,
+             |       (CASE WHEN nh = 0 THEN NULL ELSE z[2] - 1 END)::BIGINT AS pos,
+             |       z[1] AS hit
+             |FROM z ORDER BY doc_id, pos""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Q58: near-dup GROUP resolution — connected components over the
+    // exact 3-shingle Jaccard pairs (q32's 25 planted pairs), giving
+    // each duplicate cluster a canonical id (min doc_id) and size.
+    // The operator is iterative min-label propagation
+    // (operators.ConnectedComponents); the DuckDB oracle computes the
+    // same components via a recursive transitive closure. Verify-only:
+    // pair generation is the O(n^2) exact path (the scale path is
+    // q33's LSH candidates feeding the same component operator).
+    Query(
+      "q58_neardup_groups",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+          .select($"doc_id", array_distinct(TF.shingles($"text", 3)).as("sh"))
+        val a = docs.select($"doc_id".as("doc_a"), $"sh".as("sha"))
+        val b = docs.select($"doc_id".as("doc_b"), $"sh".as("shb"))
+        val pairs = a.join(broadcast(b), $"doc_a" < $"doc_b")
+          .withColumn("j",
+            size(array_intersect($"sha", $"shb")).cast("double") /
+            size(array_union($"sha", $"shb")))
+          .filter($"j" >= 0.5)
+          .select($"doc_a", $"doc_b")
+        graft.operators.ConnectedComponents.minLabel(pairs)
+          .groupBy($"component")
+          .agg(count(lit(1)).as("n_docs"), max($"node").as("max_doc"))
+          .orderBy($"component")
+      },
+      Some("""WITH RECURSIVE
+             |tk AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM documents),
+             |sh AS (SELECT doc_id, list_distinct(list_transform(
+             |         generate_series(1, len(tk) - 2),
+             |         i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh FROM tk),
+             |pairs AS (SELECT a.doc_id AS da, b.doc_id AS db
+             |          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+             |          WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
+             |                len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5),
+             |sym AS (SELECT da AS s, db AS d FROM pairs
+             |        UNION SELECT db, da FROM pairs),
+             |reach(s, d) AS (
+             |  SELECT s, d FROM sym
+             |  UNION
+             |  SELECT r.s, e.d FROM reach r JOIN sym e ON r.d = e.s AND e.d <> r.s),
+             |lab AS (SELECT n.s AS node, least(n.s, min(r.d)) AS component
+             |        FROM (SELECT DISTINCT s FROM sym) n
+             |        LEFT JOIN reach r ON r.s = n.s GROUP BY n.s)
+             |SELECT component, count(*) AS n_docs, max(node) AS max_doc
+             |FROM lab GROUP BY component ORDER BY component""".stripMargin),
+      headline = false),
+
+    // ------------------------------------------------------------------
+    // Q59: salted skew join — SkewJoin.saltedInner wired into the
+    // correctness gate: lineitem ⋈ supplier with the left side spread
+    // over 8 salt buckets, aggregated back per supplier. The result is
+    // identical to the plain equi-join (the oracle), proving the
+    // salt+replicate rewrite preserves join semantics.
+    Query(
+      "q59_salted_join",
+      (s, dir) => {
+        import s.implicits._
+        graft.operators.SkewJoin.saltedInner(
+            t(s, dir, "lineitem").select($"l_suppkey", $"l_extendedprice"),
+            t(s, dir, "supplier").select($"s_suppkey", $"s_name"),
+            leftKey = "l_suppkey", rightKey = "s_suppkey", buckets = 8)
+          .groupBy($"s_suppkey", $"s_name")
+          .agg(count(lit(1)).as("n_lines"),
+               round(sum($"l_extendedprice"), 2).as("rev"))
+          .orderBy($"s_suppkey")
+      },
+      Some("""SELECT s_suppkey, s_name, count(*) AS n_lines,
+             |       round(sum(l_extendedprice), 2) AS rev
+             |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+             |GROUP BY s_suppkey, s_name ORDER BY s_suppkey""".stripMargin))
   )
 
   val byName: Map[String, Query] = all.map(q => q.name -> q).toMap

@@ -66,4 +66,35 @@ class OperatorsSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getString(1)))
     assert(out.toSeq == Seq(("a", "v2"), ("c", "v7")))
   }
+
+  test("ConnectedComponents labels chains, cliques, and tolerates dup/reversed/self edges") {
+    import spark.implicits._
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L),   // chain 1-2-3-4 (diameter 3)
+      (10L, 11L), (11L, 10L),          // reversed duplicate
+      (12L, 10L),
+      (20L, 20L),                      // self-loop only: isolated, dropped
+      (30L, 31L), (31L, 32L), (30L, 32L)) // triangle
+      .toDF("src", "dst")
+    val out = graft.operators.ConnectedComponents.minLabel(edges)
+      .orderBy($"node").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq(
+      (1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L),
+      (10L, 10L), (11L, 10L), (12L, 10L),
+      (30L, 30L), (31L, 30L), (32L, 30L)))
+  }
+
+  test("SkewJoin.saltedInner equals the plain inner join, incl. same-named keys") {
+    import spark.implicits._
+    val left = Seq((1L, "a"), (1L, "b"), (2L, "c"), (3L, "d"), (1L, "a"))
+      .toDF("k", "payload") // duplicate row exercises shared-salt path
+    val right = Seq((1L, "R1"), (2L, "R2"), (4L, "R4")).toDF("k", "rv")
+    val salted = graft.operators.SkewJoin.saltedInner(left, right, "k", "k", 4)
+      .select(left("k"), $"payload", $"rv")
+      .orderBy("k", "payload").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(salted.toSeq == Seq(
+      (1L, "a", "R1"), (1L, "a", "R1"), (1L, "b", "R1"), (2L, "c", "R2")))
+  }
 }
