@@ -25,6 +25,9 @@ object Graft {
     SparkSession.builder()
       .master(master)
       .appName("graft")
+      // SQL-callable registration of the engine's custom expressions
+      // (graft_dot_product, graft_minhash_signature, ...).
+      .withExtensions(new GraftExtensions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")

@@ -65,4 +65,29 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(countOf(p, "Exchange hashpartitioning") == 1,
       s"analytic windows should shuffle once:\n${p.take(3000)}")
   }
+
+  test("q52: PII redaction is shuffle-free row-local work up to the final sort") {
+    val p = plan("q52_pii_redact")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"redaction pass must not shuffle:\n${p.take(3000)}")
+  }
+
+  test("q55: PMI joins vocab and totals by broadcast; only the two counting aggs shuffle") {
+    val p = plan("q55_pmi_bigrams")
+    assert(!p.contains("SortMergeJoin"),
+      s"vocab/totals joins must broadcast, not SMJ:\n${p.take(3000)}")
+    // bigram counts + unigram counts (x2 reuse) + totals: every
+    // hashpartitioning exchange must come from a counting aggregate,
+    // never from a join
+    assert(p.contains("BroadcastHashJoin"), "unigram join-back lost its broadcast")
+  }
+
+  test("q59: salted join replicates the small side without a wide-side extra shuffle") {
+    val p = plan("q59_salted_join")
+    // (key, salt) equi-join: the big side shuffles once for the join
+    // and once for the final aggregate at most; the replicated small
+    // side must stay broadcast-or-small
+    assert(countOf(p, "Exchange hashpartitioning") <= 2,
+      s"salted join added unexpected shuffles:\n${p.take(3000)}")
+  }
 }

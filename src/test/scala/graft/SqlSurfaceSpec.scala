@@ -55,4 +55,40 @@ class SqlSurfaceSpec extends SparkSpec {
       }
     }
   }
+
+  test("GraftExtensions registers the custom expressions as SQL functions") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // dot product: plain literal check
+    val dot = spark.sql(
+      "SELECT graft_dot_product(array(1.0d, 2.0d, 3.0d), array(4.0d, 5.0d, 6.0d)) AS d")
+      .collect().head.getDouble(0)
+    assert(dot == 32.0)
+    // hamming: popcount of xor
+    val ham = spark.sql("SELECT graft_hamming64(7L, 1L) AS h").collect().head.getLong(0)
+    assert(ham == 2L)
+    // shingles / minhash / simhash: SQL results bit-identical to the
+    // Column-API expressions over the same input
+    val df = Seq("a b c d", "x y z").toDF("text")
+    val viaCol = df.select(
+        graft.functions.TextFunctions.shingles($"text", 2).as("sh"),
+        graft.functions.TextFunctions.minhashSignature(
+          graft.functions.TextFunctions.tokens($"text"), 8).as("mh"),
+        graft.functions.TextFunctions.simhash64($"text").as("si"))
+      .collect().map(_.toString)
+    df.createOrReplaceTempView("ext_docs")
+    val viaSql = spark.sql(
+      """SELECT graft_word_shingles(split(trim(text), '\\s+'), 2) AS sh,
+        |       graft_minhash_signature(split(trim(text), '\\s+'), 8) AS mh,
+        |       graft_simhash64(split(trim(text), '\\s+')) AS si
+        |FROM ext_docs""".stripMargin)
+      .collect().map(_.toString)
+    assert(viaSql.toSeq == viaCol.toSeq)
+    // non-literal k is rejected with a clear error
+    val err = intercept[Exception] {
+      spark.sql("SELECT graft_word_shingles(array('a'), cast(id AS int)) FROM range(1)")
+        .collect()
+    }
+    assert(err.getMessage.contains("integer literal"))
+  }
 }
