@@ -1764,7 +1764,197 @@ object Catalog {
       Some("""SELECT s_suppkey, s_name, count(*) AS n_lines,
              |       round(sum(l_extendedprice), 2) AS rev
              |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
-             |GROUP BY s_suppkey, s_name ORDER BY s_suppkey""".stripMargin))
+             |GROUP BY s_suppkey, s_name ORDER BY s_suppkey""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Q60: Bloom-prefiltered selective join — the dim side (suppliers
+    // of three nations) is aggregated into one Bloom sketch that
+    // pre-filters the fact side BEFORE the join shuffle
+    // (operators.BloomPrefilter). At 100 TB this cuts the shuffled
+    // fact volume to ~selectivity + fpp; false positives are removed
+    // by the exact join, so the result is identical to the plain
+    // join — which is exactly what the oracle checks.
+    Query(
+      "q60_bloom_join",
+      (s, dir) => {
+        import s.implicits._
+        val dim = t(s, dir, "supplier")
+          .filter($"s_nationkey" < 3)
+          .select($"s_suppkey", $"s_nationkey")
+        val fact = t(s, dir, "lineitem").select($"l_suppkey", $"l_extendedprice")
+        graft.operators.BloomPrefilter
+          .prefilteredInner(fact, "l_suppkey", dim, "s_suppkey",
+            expectedItems = 4096)
+          .groupBy($"s_nationkey")
+          .agg(count(lit(1)).as("n_lines"),
+               round(sum($"l_extendedprice"), 2).as("rev"))
+          .orderBy($"s_nationkey")
+      },
+      Some("""SELECT s_nationkey, count(*) AS n_lines,
+             |       round(sum(l_extendedprice), 2) AS rev
+             |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+             |WHERE s_nationkey < 3
+             |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Q61: fuzzy near-dup by edit distance — supplier-name pairs within
+    // one edit. The join condition uses the THRESHOLDED levenshtein
+    // (early-exit once the running distance exceeds 1 — O(len) in
+    // practice instead of O(len^2)); the exact distance is recomputed
+    // only for the surviving pairs. Self-join via broadcast: entity
+    // names are a dimension, dwarfed by any fact table.
+    Query(
+      "q61_fuzzy_levenshtein",
+      (s, dir) => {
+        import s.implicits._
+        val a = t(s, dir, "supplier").select($"s_suppkey".as("k1"), $"s_name".as("n1"))
+        val b = t(s, dir, "supplier").select($"s_suppkey".as("k2"), $"s_name".as("n2"))
+        a.join(broadcast(b),
+            $"k1" < $"k2" && levenshtein($"n1", $"n2", 1) >= 0)
+          .select($"k1", $"k2",
+            levenshtein($"n1", $"n2").cast("long").as("dist"))
+          .orderBy($"k1", $"k2")
+      },
+      Some("""SELECT a.s_suppkey AS k1, b.s_suppkey AS k2,
+             |       levenshtein(a.s_name, b.s_name)::BIGINT AS dist
+             |FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
+             |WHERE levenshtein(a.s_name, b.s_name) <= 1
+             |ORDER BY k1, k2""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Q62: grouped median / interpolated percentiles on a BOUNDED-
+    // cardinality column (l_quantity has 50 distinct values, so the
+    // exact counts-map state stays O(50) per group at any scale — the
+    // same boundedness rule q37 documents; unbounded columns go to
+    // approx_percentile/q37b instead).
+    Query(
+      "q62_group_median",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "lineitem")
+          .groupBy($"l_returnflag")
+          .agg(
+            round(median($"l_quantity"), 4).as("med_qty"),
+            round(percentile($"l_quantity", lit(0.25)), 4).as("p25_qty"),
+            round(percentile($"l_quantity", lit(0.75)), 4).as("p75_qty"),
+            round(avg($"l_quantity"), 4).as("avg_qty"),
+            count(lit(1)).as("n"))
+          .orderBy($"l_returnflag")
+      },
+      Some("""SELECT l_returnflag,
+             |       round(median(l_quantity), 4) AS med_qty,
+             |       round(quantile_cont(l_quantity, 0.25), 4) AS p25_qty,
+             |       round(quantile_cont(l_quantity, 0.75), 4) AS p75_qty,
+             |       round(avg(l_quantity), 4) AS avg_qty,
+             |       count(*) AS n
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Q63: ordered string aggregation — per-nation sorted list of the
+    // distinct market segments of its customers. collect_set +
+    // array_sort keeps the result deterministic under any
+    // partitioning (a bare collect_list order would be
+    // partition-layout-dependent and unreproducible).
+    Query(
+      "q63_string_agg",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "customer")
+          .groupBy($"c_nationkey")
+          .agg(
+            array_join(array_sort(collect_set($"c_mktsegment")), ",").as("segments"),
+            countDistinct($"c_mktsegment").as("n_segments"),
+            count(lit(1)).as("n_customers"))
+          .orderBy($"c_nationkey")
+      },
+      Some("""SELECT c_nationkey,
+             |       array_to_string(list_sort(list_distinct(list(c_mktsegment))), ',') AS segments,
+             |       count(DISTINCT c_mktsegment) AS n_segments,
+             |       count(*) AS n_customers
+             |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Q64: conditional aggregation (the FILTER-clause surface) —
+    // branch-free conditional metrics in ONE aggregation pass instead
+    // of N filtered scans: count_if plus when()-gated sum/avg/max
+    // (nulls outside the branch are ignored by the aggregate, matching
+    // SQL FILTER semantics).
+    Query(
+      "q64_conditional_agg",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "orders")
+          .groupBy($"o_orderpriority")
+          .agg(
+            count(lit(1)).as("n_orders"),
+            count_if($"o_orderstatus" === "F").as("n_finished"),
+            round(sum(when($"o_orderstatus" === "O", $"o_totalprice").otherwise(0.0)), 2)
+              .as("open_rev"),
+            round(avg(when($"o_orderstatus" === "F", $"o_totalprice")), 4)
+              .as("avg_finished_price"),
+            max(when($"o_orderstatus" === "P", $"o_totalprice")).as("max_pending_price"))
+          .orderBy($"o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority,
+             |       count(*) AS n_orders,
+             |       count(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+             |       round(coalesce(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'O'), 0), 2) AS open_rev,
+             |       round(avg(o_totalprice) FILTER (WHERE o_orderstatus = 'F'), 4) AS avg_finished_price,
+             |       max(o_totalprice) FILTER (WHERE o_orderstatus = 'P') AS max_pending_price
+             |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Q65: fixed-width histogram of order value — 20 buckets of 30k
+    // with the top bucket clamped open-ended. One map-side-combined
+    // aggregation; the bucket expression is a pure projection, so the
+    // shuffle carries 20 keys regardless of table size.
+    Query(
+      "q65_histogram",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "orders")
+          .select(least(floor($"o_totalprice" / 30000), lit(19)).cast("long").as("bucket"),
+                  $"o_totalprice")
+          .groupBy($"bucket")
+          .agg(count(lit(1)).as("n_orders"),
+               round(min($"o_totalprice"), 2).as("lo"),
+               round(max($"o_totalprice"), 2).as("hi"))
+          .orderBy($"bucket")
+      },
+      Some("""SELECT least(floor(o_totalprice / 30000), 19)::BIGINT AS bucket,
+             |       count(*) AS n_orders,
+             |       round(min(o_totalprice), 2) AS lo,
+             |       round(max(o_totalprice), 2) AS hi
+             |FROM orders GROUP BY bucket ORDER BY bucket""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Q66: forward as-of join — for each event, the FIRST order placed
+    // on or after the event, per user (AsOfJoin.earliestOnOrAfter, the
+    // mirror of q08's backward direction; same one-shuffle union +
+    // window rewrite). DuckDB's ASOF JOIN with a <= condition is the
+    // oracle.
+    Query(
+      "q66_asof_forward",
+      (s, dir) => {
+        import s.implicits._
+        val ordersByDay = t(s, dir, "orders")
+          .groupBy($"o_custkey", $"o_orderdate")
+          .agg(min($"o_orderkey").as("ok"))
+        val ev = t(s, dir, "events").select($"event_id", $"user_id", $"ts")
+        AsOfJoin.earliestOnOrAfter(ev, ordersByDay,
+            leftKey = "user_id", rightKey = "o_custkey",
+            leftTime = "ts", rightTime = "o_orderdate",
+            rightVal = "ok", outCol = "next_orderkey")
+          .select($"event_id", $"user_id", $"next_orderkey")
+          .orderBy($"event_id")
+      },
+      Some("""WITH od AS (
+             |  SELECT o_custkey, o_orderdate, min(o_orderkey) AS ok
+             |  FROM orders GROUP BY o_custkey, o_orderdate)
+             |SELECT e.event_id, e.user_id, od.ok AS next_orderkey
+             |FROM events e ASOF LEFT JOIN od
+             |  ON e.user_id = od.o_custkey AND e.ts <= od.o_orderdate
+             |ORDER BY e.event_id""".stripMargin))
   )
 
   val byName: Map[String, Query] = all.map(q => q.name -> q).toMap

@@ -24,6 +24,52 @@ class OperatorsSpec extends SparkSpec {
       ("k3", 4L, None)))       // no right rows for k3
   }
 
+  test("AsOfJoin attaches earliest right value on-or-after, per key") {
+    import spark.implicits._
+    val left = Seq(("k1", 10L), ("k1", 5L), ("k2", 7L), ("k3", 4L))
+      .toDF("k", "t")
+    val right = Seq(("k1", 5L, "A"), ("k1", 8L, "B"), ("k2", 6L, "C"))
+      .toDF("rk", "rt", "v")
+    val out = AsOfJoin.earliestOnOrAfter(left, right,
+        "k", "rk", "t", "rt", "v", "asof_v")
+      .orderBy($"k", $"t")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), Option(r.getString(2))))
+    assert(out.toSeq == Seq(
+      ("k1", 5L, Some("A")),   // equal timestamp is inclusive
+      ("k1", 10L, None),       // nothing at or after 10
+      ("k2", 7L, None),        // only right row is at 6 < 7
+      ("k3", 4L, None)))       // no right rows for k3
+  }
+
+  test("BloomPrefilter.prefilteredInner equals the plain join; empty dim drops all") {
+    import spark.implicits._
+    val fact = (1L to 500L).map(i => (i % 50, i)).toDF("fk", "payload")
+    val dim = Seq((3L, "x"), (17L, "y"), (42L, "z")).toDF("dk", "name")
+
+    val plain = fact.join(dim, $"fk" === $"dk")
+      .select($"fk", $"payload", $"name")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted
+    val bloomed = graft.operators.BloomPrefilter
+      .prefilteredInner(fact, "fk", dim, "dk", expectedItems = 100)
+      .select($"fk", $"payload", $"name")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted
+    assert(bloomed.toSeq == plain.toSeq)
+    assert(plain.nonEmpty)
+
+    // The pre-filter itself must pass every true match (no false
+    // negatives) while cutting most of the fact side at 3/50 key
+    // selectivity (false positives only).
+    val kept = graft.operators.BloomPrefilter
+      .filterFact(fact, "fk", dim, "dk", expectedItems = 100).count()
+    assert(kept >= plain.length && kept < 500)
+
+    val emptyDim = dim.filter($"dk" < 0)
+    assert(graft.operators.BloomPrefilter
+      .prefilteredInner(fact, "fk", emptyDim, "dk", expectedItems = 100)
+      .count() == 0)
+  }
+
   test("IntervalJoin pairs within band, once per pair, across bucket boundaries") {
     import spark.implicits._
     val base = 1700000000L // seconds
