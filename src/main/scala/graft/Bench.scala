@@ -41,10 +41,17 @@ object Bench {
         }
       q.name -> sec
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    // The driver parses the JSON line out of the LAST ~2000 chars of
+    // output; with 60+ queries the full names + nanosecond precision
+    // overflowed that window in round 4 (parsed:null). Emit the short
+    // query id ("q60_bloom_join" -> "q60") at millisecond precision so
+    // the line stays far under the window. BASELINE.md maps ids back
+    // to full names.
+    val qs = results.map { case (k, v) =>
+      "\"" + k.takeWhile(_ != '_') + "\":" + f"$v%.3f"
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -52,12 +52,14 @@ object BloomPrefilter {
   def filterFact(fact: DataFrame, factKey: String,
                  dim: DataFrame, dimKey: String,
                  expectedItems: Long, fpp: Double = 0.03): DataFrame = {
+    // `might_contain` requires its sketch operand to be a literal or a
+    // scalar subquery (CheckAnalysis rejects a joined attribute), so
+    // attach the one-row aggregate with Spark 4's Dataset.scalar() —
+    // the same shape Catalyst's own runtime-filter rule injects.
     val sketch = dim.agg(
       bloomAgg(xxhash64(col(dimKey)), expectedItems,
-        optimalNumBits(expectedItems, fpp)).as("__graft_bloom"))
-    fact.join(broadcast(sketch))
-      .filter(mightContain(col("__graft_bloom"), xxhash64(col(factKey))))
-      .drop("__graft_bloom")
+        optimalNumBits(expectedItems, fpp)).as("__graft_bloom")).scalar()
+    fact.filter(mightContain(sketch, xxhash64(col(factKey))))
   }
 
   /** Inner equi-join with the fact side Bloom-pre-filtered on the dim
