@@ -1954,7 +1954,262 @@ object Catalog {
              |SELECT e.event_id, e.user_id, od.ok AS next_orderkey
              |FROM events e ASOF LEFT JOIN od
              |  ON e.user_id = od.o_custkey AND e.ts <= od.o_orderdate
-             |ORDER BY e.event_id""".stripMargin))
+             |ORDER BY e.event_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Q67: end-to-end near-dup REMOVAL — the training-corpus dedup
+    // pipeline composed to its final output: exact 3-gram Jaccard
+    // pairs (q32) → connected components (q58) → keep the min-doc_id
+    // representative per duplicate group, drop the rest, emit the
+    // surviving corpus. Verify-only like q58 (the all-pairs ground
+    // truth); the 100 TB path swaps the pair generator for the
+    // MinHash+LSH candidates of q33 — the component/survivor stages
+    // are identical.
+    Query(
+      "q67_dedup_survivors",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents").select($"doc_id", $"lang", $"text")
+        val sh = docs
+          .select($"doc_id", array_distinct(TF.shingles($"text", 3)).as("sh"))
+        val a = sh.select($"doc_id".as("doc_a"), $"sh".as("sha"))
+        val b = sh.select($"doc_id".as("doc_b"), $"sh".as("shb"))
+        val pairs = a.join(broadcast(b), $"doc_a" < $"doc_b")
+          .withColumn("j",
+            size(array_intersect($"sha", $"shb")).cast("double") /
+            size(array_union($"sha", $"shb")))
+          .filter($"j" >= 0.5)
+          .select($"doc_a", $"doc_b")
+        val dropped = graft.operators.ConnectedComponents.minLabel(pairs)
+          .filter($"node" =!= $"component")
+          .select($"node".as("doc_id"))
+        docs.join(dropped, Seq("doc_id"), "left_anti")
+          .select($"doc_id", $"lang")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH RECURSIVE
+             |tk AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM documents),
+             |sh AS (SELECT doc_id, list_distinct(list_transform(
+             |         generate_series(1, len(tk) - 2),
+             |         i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh FROM tk),
+             |pairs AS (SELECT a.doc_id AS da, b.doc_id AS db
+             |          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+             |          WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
+             |                len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5),
+             |sym AS (SELECT da AS s, db AS d FROM pairs
+             |        UNION SELECT db, da FROM pairs),
+             |reach(s, d) AS (
+             |  SELECT s, d FROM sym
+             |  UNION
+             |  SELECT r.s, e.d FROM reach r JOIN sym e ON r.d = e.s AND e.d <> r.s),
+             |lab AS (SELECT n.s AS node, least(n.s, min(r.d)) AS component
+             |        FROM (SELECT DISTINCT s FROM sym) n
+             |        LEFT JOIN reach r ON r.s = n.s GROUP BY n.s)
+             |SELECT d.doc_id, d.lang FROM documents d
+             |WHERE d.doc_id NOT IN (SELECT node FROM lab WHERE node <> component)
+             |ORDER BY d.doc_id""".stripMargin),
+      headline = false),
+
+    // ------------------------------------------------------------------
+    // Q68: time-RANGE window frame — per-user trailing-1-hour rolling
+    // average and count over the events stream, the time-series
+    // feature shape (rolling engagement, rate limits) that rowsBetween
+    // cannot express when event spacing is irregular. The frame is a
+    // rangeBetween over floor-second epochs so both engines bound the
+    // window identically; one shuffle on user_id, no self-join.
+    Query(
+      "q68_time_rollavg",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id")
+          .orderBy(unix_timestamp($"ts"))
+          .rangeBetween(-3600, 0)
+        t(s, dir, "events")
+          .select($"event_id", $"user_id", $"ts", $"value")
+          .select($"event_id", $"user_id",
+            round(avg($"value").over(w), 4).as("avg_1h"),
+            count(lit(1)).over(w).as("n_1h"))
+          .orderBy($"event_id")
+      },
+      Some("""SELECT event_id, user_id,
+             |       round(avg(value) OVER w, 4) AS avg_1h,
+             |       count(*) OVER w AS n_1h
+             |FROM events
+             |WINDOW w AS (PARTITION BY user_id ORDER BY (epoch_ms(ts) // 1000)
+             |             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+             |ORDER BY event_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Q69: distribution-ranking window family — percent_rank,
+    // cume_dist, dense_rank, ntile(4) per nation over supplier
+    // balances (q47 covers the lag/lead/frame side). The order key
+    // includes the unique s_suppkey so every rank is deterministic.
+    Query(
+      "q69_rank_funcs",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"s_nationkey")
+          .orderBy($"s_acctbal", $"s_suppkey")
+        t(s, dir, "supplier")
+          .select($"s_suppkey", $"s_nationkey",
+            round(percent_rank().over(w), 6).as("pr"),
+            round(cume_dist().over(w), 6).as("cd"),
+            dense_rank().over(w).cast("long").as("dr"),
+            ntile(4).over(w).cast("long").as("quartile"))
+          .orderBy($"s_suppkey")
+      },
+      Some("""SELECT s_suppkey, s_nationkey,
+             |       round(percent_rank() OVER w, 6) AS pr,
+             |       round(cume_dist() OVER w, 6) AS cd,
+             |       (dense_rank() OVER w)::BIGINT AS dr,
+             |       (ntile(4) OVER w)::BIGINT AS quartile
+             |FROM supplier
+             |WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal, s_suppkey)
+             |ORDER BY s_suppkey""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Q70: quantile-bucket profiling — documents cut into per-language
+    // length deciles (ntile over a partitioned, uniquely-ordered
+    // window — partitioning by lang keeps the sort distributed instead
+    // of a single-partition global ntile), then per-decile length
+    // stats: the corpus-profiling step before length-based filtering.
+    Query(
+      "q70_decile_stats",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"lang").orderBy($"n_chars", $"doc_id")
+        t(s, dir, "documents")
+          .withColumn("decile", ntile(10).over(w).cast("long"))
+          .groupBy($"lang", $"decile")
+          .agg(count(lit(1)).as("n"),
+            min($"n_chars").as("min_chars"),
+            max($"n_chars").as("max_chars"),
+            round(avg($"n_chars"), 4).as("avg_chars"))
+          .orderBy($"lang", $"decile")
+      },
+      Some("""WITH d AS (
+             |  SELECT lang, n_chars,
+             |         ntile(10) OVER (PARTITION BY lang ORDER BY n_chars, doc_id)::BIGINT AS decile
+             |  FROM documents)
+             |SELECT lang, decile, count(*) AS n,
+             |       min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+             |       round(avg(n_chars), 4) AS avg_chars
+             |FROM d GROUP BY lang, decile ORDER BY lang, decile""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Q71: one full k-means Lloyd iteration — label-group positional
+    // centroids (q31's coarse quantizer), nearest-centroid assignment
+    // by cosine, then the UPDATE step: recompute each cluster's
+    // centroid from its assigned members. Output flattened to
+    // (cluster, pos, component, member count) so the compare hashes
+    // scalars, not arrays. Two shuffles (centroid agg, reassign agg);
+    // the assignment join is a broadcast of k centroids.
+    Query(
+      "q71_kmeans_step",
+      (s, dir) => {
+        import s.implicits._
+        val e = t(s, dir, "embeddings")
+          .select($"vec_id", $"label", VF.asDouble($"embedding").as("v"))
+        val centroids = e
+          .select($"label", posexplode($"v").as(Seq("pos", "x")))
+          .groupBy($"label", $"pos")
+          .agg(round(avg($"x"), 6).as("cx"))
+          .groupBy($"label")
+          .agg(array_sort(collect_list(struct($"pos", $"cx"))).as("pairs"))
+          .select($"label".as("c_label"),
+                  expr("transform(pairs, p -> p.cx)").as("cv"))
+          .withColumn("cnrm", sqrt(VF.dot($"cv", $"cv")))
+        val assigned = e
+          .withColumn("nrm", sqrt(VF.dot($"v", $"v")))
+          .join(broadcast(centroids))
+          .select($"vec_id", $"v", $"c_label",
+                  (VF.dot($"v", $"cv") / ($"nrm" * $"cnrm")).as("sim"))
+        val w = Window.partitionBy($"vec_id").orderBy($"sim".desc, $"c_label")
+        assigned
+          .withColumn("rn", row_number().over(w))
+          .filter($"rn" === 1)
+          .select($"c_label".as("cluster"), posexplode($"v").as(Seq("pos", "x")))
+          .groupBy($"cluster", $"pos")
+          .agg(round(avg($"x"), 6).as("cx_new"),
+               count(lit(1)).as("n_members"))
+          .orderBy($"cluster", $"pos")
+      },
+      Some("""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+             |flat AS (SELECT label, unnest(v) AS x,
+             |                unnest(range(1, len(v) + 1)) AS pos FROM e),
+             |cent AS (SELECT label AS c_label,
+             |                array_agg(cx ORDER BY pos) AS cv
+             |         FROM (SELECT label, pos, round(avg(x), 6) AS cx FROM flat GROUP BY 1, 2)
+             |         GROUP BY label),
+             |assigned AS (
+             |  SELECT e.vec_id, e.v, c.c_label,
+             |         list_dot_product(e.v, c.cv) /
+             |           (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))) AS sim
+             |  FROM e CROSS JOIN cent c),
+             |ranked AS (SELECT vec_id, v, c_label, sim,
+             |                  row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, c_label) AS rn
+             |           FROM assigned),
+             |members AS (SELECT c_label AS cluster, unnest(v) AS x,
+             |                   unnest(range(0, len(v))) AS pos
+             |            FROM ranked WHERE rn = 1)
+             |SELECT cluster, pos, round(avg(x), 6) AS cx_new,
+             |       count(*) AS n_members
+             |FROM members GROUP BY cluster, pos ORDER BY cluster, pos""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Q72: rolling 7-day distinct users per day — the DAU/WAU shape.
+    // Spelled shuffle-light: dedup to (day, user), EXPLODE each pair
+    // into the 7 future days it contributes to (map-side ×7, no range
+    // join), semi-join onto observed days, then one count-distinct
+    // aggregation. At 100 TB the alternative day×events interval join
+    // shuffles the fact table per day-bucket; this expansion keeps a
+    // single shuffle keyed by day.
+    Query(
+      "q72_rolling_distinct",
+      (s, dir) => {
+        import s.implicits._
+        val du = t(s, dir, "events")
+          .select(to_date($"ts").as("d"), $"user_id").distinct()
+        val days = du.select($"d".as("day")).distinct()
+        du.select(explode(sequence($"d", date_add($"d", 6))).as("day"), $"user_id")
+          .join(days, Seq("day"), "left_semi")
+          .groupBy($"day")
+          .agg(countDistinct($"user_id").as("u7"))
+          .orderBy($"day")
+      },
+      Some("""WITH du AS (SELECT DISTINCT ts::DATE AS d, user_id FROM events),
+             |days AS (SELECT DISTINCT d AS day FROM du)
+             |SELECT dy.day, count(DISTINCT e.user_id) AS u7
+             |FROM days dy JOIN du e ON e.d BETWEEN dy.day - 6 AND dy.day
+             |GROUP BY dy.day ORDER BY dy.day""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Q73: median absolute deviation — robust dispersion per group,
+    // a two-pass exact-median pipeline (group median → broadcast back
+    // → median of absolute residuals). The outlier-robust spread
+    // metric length/quality filters want when stddev is skew-inflated.
+    Query(
+      "q73_mad",
+      (s, dir) => {
+        import s.implicits._
+        val li = t(s, dir, "lineitem").select($"l_returnflag", $"l_quantity")
+        val med = li.groupBy($"l_returnflag")
+          .agg(median($"l_quantity").as("med"))
+        li.join(broadcast(med), Seq("l_returnflag"))
+          .groupBy($"l_returnflag")
+          .agg(round(first($"med"), 4).as("med_qty"),
+            round(median(abs($"l_quantity" - $"med")), 4).as("mad_qty"),
+            round(stddev($"l_quantity"), 4).as("sd_qty"))
+          .orderBy($"l_returnflag")
+      },
+      Some("""WITH med AS (SELECT l_returnflag, median(l_quantity) AS med
+             |            FROM lineitem GROUP BY l_returnflag)
+             |SELECT l.l_returnflag,
+             |       round(any_value(m.med), 4) AS med_qty,
+             |       round(median(abs(l.l_quantity - m.med)), 4) AS mad_qty,
+             |       round(stddev(l.l_quantity), 4) AS sd_qty
+             |FROM lineitem l JOIN med m USING (l_returnflag)
+             |GROUP BY l.l_returnflag ORDER BY l.l_returnflag""".stripMargin))
   )
 
   val byName: Map[String, Query] = all.map(q => q.name -> q).toMap
