@@ -1798,21 +1798,18 @@ object Catalog {
 
     // ------------------------------------------------------------------
     // Q61: fuzzy near-dup by edit distance — supplier-name pairs within
-    // one edit. The join condition uses the THRESHOLDED levenshtein
-    // (early-exit once the running distance exceeds 1 — O(len) in
-    // practice instead of O(len^2)); the exact distance is recomputed
-    // only for the surviving pairs. Self-join via broadcast: entity
-    // names are a dimension, dwarfed by any fact table.
+    // one edit, via deletion-neighborhood signatures (FuzzyJoin): each
+    // name emits |s|+1 one-deletion residues, candidates come from a
+    // shuffle EQUI-join on the residue instead of an O(n^2) nested
+    // loop, and the thresholded levenshtein (early-exit past 1)
+    // verifies survivors. Identical result to the naive cross join —
+    // which is exactly what the oracle computes.
     Query(
       "q61_fuzzy_levenshtein",
       (s, dir) => {
         import s.implicits._
-        val a = t(s, dir, "supplier").select($"s_suppkey".as("k1"), $"s_name".as("n1"))
-        val b = t(s, dir, "supplier").select($"s_suppkey".as("k2"), $"s_name".as("n2"))
-        a.join(broadcast(b),
-            $"k1" < $"k2" && levenshtein($"n1", $"n2", 1) >= 0)
-          .select($"k1", $"k2",
-            levenshtein($"n1", $"n2").cast("long").as("dist"))
+        graft.operators.FuzzyJoin
+          .editDistance1SelfJoin(t(s, dir, "supplier"), "s_suppkey", "s_name")
           .orderBy($"k1", $"k2")
       },
       Some("""SELECT a.s_suppkey AS k1, b.s_suppkey AS k2,

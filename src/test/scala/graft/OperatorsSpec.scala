@@ -143,4 +143,43 @@ class OperatorsSpec extends SparkSpec {
     assert(salted.toSeq == Seq(
       (1L, "a", "R1"), (1L, "a", "R1"), (1L, "b", "R1"), (2L, "c", "R2")))
   }
+
+  test("FuzzyJoin signature join equals the naive cross join on every edit kind") {
+    import spark.implicits._
+    // substitution, insertion, deletion, identical strings, ed-2 decoys
+    // (two colliding single-deletions must NOT pair), empty string.
+    val names = Seq(
+      1L -> "alpha", 2L -> "alphx",   // substitution
+      3L -> "alpha7",                 // insertion vs 1
+      4L -> "alph",                   // deletion vs 1
+      5L -> "alpha",                  // identical to 1
+      6L -> "blphx",                  // ed2 from 1, ed1 from 2
+      7L -> "",  8L -> "z",           // empty/one-char boundary
+      9L -> "unrelated").toDF("id", "nm")
+    val fast = graft.operators.FuzzyJoin.editDistance1SelfJoin(names, "id", "nm")
+      .orderBy("k1", "k2").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val a = names.select($"id".as("k1"), $"nm".as("n1"))
+    val naive = a.join(names.select($"id".as("k2"), $"nm".as("n2")), $"k1" < $"k2")
+      .withColumn("dist", levenshtein($"n1", $"n2").cast("long"))
+      .filter($"dist" <= 1).select("k1", "k2", "dist")
+      .orderBy("k1", "k2").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(fast.toSeq == naive.toSeq)
+    assert(fast.nonEmpty && fast.toSeq.contains((7L, 8L, 1L)))
+  }
+
+  // The signature join must also agree with brute force on the real
+  // corpus shape (shared long prefixes, digit-residue buckets).
+  test("FuzzyJoin matches brute force on sf0.001 supplier names") {
+    val sup = graft.sources.Tables(spark, "/root/testdata/sf0.001", "supplier")
+    val fast = graft.operators.FuzzyJoin
+      .editDistance1SelfJoin(sup, "s_suppkey", "s_name")
+      .orderBy("k1", "k2").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val a = sup.select(col("s_suppkey").as("k1"), col("s_name").as("n1"))
+    val b = sup.select(col("s_suppkey").as("k2"), col("s_name").as("n2"))
+    val naive = a.join(b, col("k1") < col("k2"))
+      .withColumn("dist", levenshtein(col("n1"), col("n2")).cast("long"))
+      .filter(col("dist") <= 1).select("k1", "k2", "dist")
+      .orderBy("k1", "k2").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(fast.toSeq == naive.toSeq)
+  }
 }

@@ -82,6 +82,34 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), "unigram join-back lost its broadcast")
   }
 
+  test("q60: bloom prefilter evaluates the sketch once and filters before the join") {
+    val p = plan("q60_bloom_join")
+    // the sketch is a scalar subquery (executed once, driver-side
+    // reuse), not a per-row join; the fact-side filter must sit below
+    // the join so the shuffle sees only probable matches
+    assert(p.contains("Subquery") || p.contains("scalar-subquery"),
+      s"bloom sketch lost its scalar-subquery shape:\n${p.take(3000)}")
+    assert(p.contains("might_contain"), "bloom pre-filter missing from the plan")
+    assert(!p.contains("SortMergeJoin"),
+      s"selective dim join should broadcast after prefilter:\n${p.take(3000)}")
+  }
+
+  test("q68: time-range rolling window shuffles once on user_id") {
+    val p = plan("q68_time_rollavg")
+    assert(countOf(p, "Window ") == 1,
+      s"avg+count must share one Window operator:\n${p.take(3000)}")
+    assert(countOf(p, "Exchange hashpartitioning") == 1,
+      s"rolling window should shuffle once:\n${p.take(3000)}")
+  }
+
+  test("q72: rolling distinct users expands map-side — no range join, no SMJ") {
+    val p = plan("q72_rolling_distinct")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastNestedLoopJoin"),
+      s"day expansion must stay an equi/semi join:\n${p.take(3000)}")
+    assert(p.contains("Generate explode") || p.contains("Generate"),
+      "map-side day expansion (explode) missing")
+  }
+
   test("q59: salted join replicates the small side without a wide-side extra shuffle") {
     val p = plan("q59_salted_join")
     // (key, salt) equi-join: the big side shuffles once for the join
