@@ -2206,7 +2206,137 @@ object Catalog {
              |       round(median(abs(l.l_quantity - m.med)), 4) AS mad_qty,
              |       round(stddev(l.l_quantity), 4) AS sd_qty
              |FROM lineitem l JOIN med m USING (l_returnflag)
-             |GROUP BY l.l_returnflag ORDER BY l.l_returnflag""".stripMargin))
+             |GROUP BY l.l_returnflag ORDER BY l.l_returnflag""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Q74: benchmark decontamination — for each held-out "eval" doc
+    // (doc_id % 97 == 0, a stand-in benchmark set), how many training
+    // docs share a distinct 5-gram with it and how many grams leak.
+    // The eval side's exploded grams are broadcast (an eval set is
+    // tiny next to a 100 TB corpus), so the training corpus streams
+    // through one broadcast-hash join — no shuffle of the big side.
+    // Left join keeps clean eval docs in the report with zero counts.
+    Query(
+      "q74_decontaminate",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents").select($"doc_id", $"text")
+        val grams = docs.select($"doc_id",
+          explode(array_distinct(TF.shingles($"text", 5))).as("g"))
+        val eg = grams.filter($"doc_id" % 97 === 0)
+          .select($"doc_id".as("eval_id"), $"g")
+        val tg = grams.filter($"doc_id" % 97 =!= 0)
+          .select($"doc_id".as("train_id"), $"g")
+        val hits = tg.join(broadcast(eg), Seq("g"))
+          .groupBy($"eval_id")
+          .agg(countDistinct($"train_id").as("n_contaminating_docs"),
+               countDistinct($"g").as("n_shared_ngrams"))
+        docs.filter($"doc_id" % 97 === 0).select($"doc_id".as("eval_id"))
+          .join(hits, Seq("eval_id"), "left")
+          .select($"eval_id",
+            coalesce($"n_contaminating_docs", lit(0L)).as("n_contaminating_docs"),
+            coalesce($"n_shared_ngrams", lit(0L)).as("n_shared_ngrams"))
+          .orderBy($"eval_id")
+      },
+      Some("""WITH tk AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM documents),
+             |g AS (SELECT doc_id, unnest(list_distinct(list_transform(
+             |        generate_series(1, len(tk) - 4),
+             |        i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' ||
+             |             tk[i+3] || ' ' || tk[i+4]))) AS g FROM tk),
+             |e AS (SELECT doc_id AS eval_id, g FROM g WHERE doc_id % 97 = 0),
+             |tr AS (SELECT doc_id AS train_id, g FROM g WHERE doc_id % 97 <> 0),
+             |hits AS (SELECT eval_id, count(DISTINCT train_id) AS n_contaminating_docs,
+             |                count(DISTINCT e.g) AS n_shared_ngrams
+             |         FROM e JOIN tr USING (g) GROUP BY eval_id)
+             |SELECT d.doc_id AS eval_id,
+             |       coalesce(h.n_contaminating_docs, 0) AS n_contaminating_docs,
+             |       coalesce(h.n_shared_ngrams, 0) AS n_shared_ngrams
+             |FROM documents d LEFT JOIN hits h ON h.eval_id = d.doc_id
+             |WHERE d.doc_id % 97 = 0 ORDER BY eval_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Q75: corpus source-mix profile — docs, corpus share, and mean
+    // length per (source, language). The global-total window runs over
+    // the ALREADY-AGGREGATED ~|sources|x|langs| frame, so the
+    // single-partition window is a few hundred rows regardless of
+    // corpus size — aggregate first, then window.
+    Query(
+      "q75_source_mix",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "documents")
+          .groupBy($"source", $"lang")
+          .agg(count(lit(1)).as("n_docs"),
+               round(avg($"n_chars"), 4).as("avg_chars"))
+          .withColumn("share",
+            round($"n_docs" / sum($"n_docs").over(Window.partitionBy()), 6))
+          .select($"source", $"lang", $"n_docs", $"share", $"avg_chars")
+          .orderBy($"source", $"lang")
+      },
+      Some("""WITH m AS (SELECT source, lang, count(*) AS n_docs,
+             |                  round(avg(n_chars), 4) AS avg_chars
+             |           FROM documents GROUP BY source, lang)
+             |SELECT source, lang, n_docs,
+             |       round(n_docs / sum(n_docs) OVER (), 6) AS share,
+             |       avg_chars
+             |FROM m ORDER BY source, lang""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Q76: temperature-scaled sampling weights — the data-mixing step:
+    // per-source weight ∝ n^0.7 (upsamples small sources, tempers
+    // large ones), normalized, with the expected document count for a
+    // 10k-doc epoch. Weights rounded to 6 dp before the epoch
+    // multiply so both engines round identical doubles.
+    Query(
+      "q76_sampling_weights",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "documents")
+          .groupBy($"source")
+          .agg(count(lit(1)).as("n_docs"))
+          .withColumn("w07", pow($"n_docs", 0.7d))
+          .withColumn("weight", round($"w07" / sum($"w07").over(Window.partitionBy()), 6))
+          .select($"source", $"n_docs", $"weight",
+            round($"weight" * 10000, 0).cast("long").as("docs_per_epoch"))
+          .orderBy($"source")
+      },
+      Some("""WITH m AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+             |w AS (SELECT source, n_docs,
+             |             round(pow(n_docs, 0.7) / sum(pow(n_docs, 0.7)) OVER (), 6) AS weight
+             |      FROM m)
+             |SELECT source, n_docs, weight,
+             |       round(weight * 10000, 0)::BIGINT AS docs_per_epoch
+             |FROM w ORDER BY source""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Q77: sequence packing (concat-and-split) — the GPT-pretraining
+    // layout: per language stream, documents are concatenated in
+    // doc_id order and split into fixed 2048-token blocks; each doc
+    // reports the block range it lands in. One running-sum window per
+    // language partition — packing 100 TB is a single shuffle keyed by
+    // the stream id, not a sequential driver loop.
+    Query(
+      "q77_sequence_pack",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"lang").orderBy($"doc_id")
+        t(s, dir, "documents")
+          .select($"doc_id", $"lang", TF.tokenCount($"text").as("ntok"))
+          .withColumn("cum", sum($"ntok").over(w))
+          .select($"doc_id", $"lang", $"ntok",
+            (($"cum" - $"ntok") / 2048).cast("long").as("start_block"),
+            (($"cum" - 1) / 2048).cast("long").as("end_block"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH d AS (SELECT doc_id, lang,
+             |                  len(string_split_regex(trim(text), '\s+'))::BIGINT AS ntok
+             |           FROM documents),
+             |c AS (SELECT doc_id, lang, ntok,
+             |             sum(ntok) OVER (PARTITION BY lang ORDER BY doc_id) AS cum FROM d)
+             |SELECT doc_id, lang, ntok,
+             |       ((cum - ntok) // 2048)::BIGINT AS start_block,
+             |       ((cum - 1) // 2048)::BIGINT AS end_block
+             |FROM c ORDER BY doc_id""".stripMargin))
   )
 
   val byName: Map[String, Query] = all.map(q => q.name -> q).toMap
