@@ -2336,7 +2336,35 @@ object Catalog {
              |SELECT doc_id, lang, ntok,
              |       ((cum - ntok) // 2048)::BIGINT AS start_block,
              |       ((cum - 1) // 2048)::BIGINT AS end_block
-             |FROM c ORDER BY doc_id""".stripMargin))
+             |FROM c ORDER BY doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Q78: per-group top-k as a MERGEABLE AGGREGATE (TopKAggregator) —
+    // unlike the q07 window spelling, the map side reduces every
+    // partition to ≤ k entries per group BEFORE the shuffle, so the
+    // exchange carries O(groups × k) rows, not O(rows): the difference
+    // between per-group top-k that scales and one that sorts the
+    // corpus. Result == the window form, which is what the oracle
+    // computes.
+    Query(
+      "q78_topk_agg",
+      (s, dir) => {
+        import s.implicits._
+        val topk = udaf(new graft.functions.TopKAggregator(3))
+        t(s, dir, "customer")
+          .groupBy($"c_nationkey")
+          .agg(topk($"c_acctbal", $"c_custkey").as("top"))
+          .select($"c_nationkey", posexplode($"top").as(Seq("pos", "e")))
+          .select($"c_nationkey", ($"pos" + 1).cast("long").as("rank"),
+            $"e._2".as("c_custkey"), $"e._1".as("bal"))
+          .orderBy($"c_nationkey", $"rank")
+      },
+      Some("""SELECT c_nationkey, rank, c_custkey, bal FROM (
+             |  SELECT c_nationkey, c_custkey, c_acctbal AS bal,
+             |         row_number() OVER (PARTITION BY c_nationkey
+             |           ORDER BY c_acctbal DESC, c_custkey)::BIGINT AS rank
+             |  FROM customer)
+             |WHERE rank <= 3 ORDER BY c_nationkey, rank""".stripMargin))
   )
 
   val byName: Map[String, Query] = all.map(q => q.name -> q).toMap

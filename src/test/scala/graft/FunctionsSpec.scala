@@ -1,5 +1,40 @@
 package graft
 
+class TopKAggregatorSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  test("TopKAggregator equals the window top-k across many partitions and ties") {
+    import spark.implicits._
+    // 4 groups x 500 rows over 13 partitions; duplicate scores force
+    // the id tie-break through both reduce and merge paths.
+    val df = spark.range(2000).repartition(13)
+      .select(($"id" % 4).as("g"), ($"id" % 7).cast("double").as("score"), $"id")
+    val topk = udaf(new graft.functions.TopKAggregator(5))
+    val agg = df.groupBy($"g")
+      .agg(topk($"score", $"id").as("top"))
+      .select($"g", posexplode($"top").as(Seq("pos", "e")))
+      .select($"g", ($"pos" + 1).cast("long").as("rank"), $"e._1".as("score"), $"e._2".as("id"))
+      .orderBy($"g", $"rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"g").orderBy($"score".desc, $"id")
+    val win = df.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 5).select($"g", $"rank".cast("long"), $"score", $"id")
+      .orderBy($"g", $"rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(agg.toSeq == win.toSeq)
+  }
+
+  test("TopKAggregator keeps groups smaller than k intact") {
+    import spark.implicits._
+    val df = Seq((1L, 2.0, 10L), (1L, 1.0, 11L)).toDF("g", "score", "id")
+    val topk = udaf(new graft.functions.TopKAggregator(5))
+    val out = df.groupBy($"g").agg(topk($"score", $"id").as("top"))
+      .select(size($"top")).collect().head.getInt(0)
+    assert(out == 2)
+  }
+}
+
 import org.apache.spark.sql.functions._
 
 import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
