@@ -77,6 +77,24 @@ object ScaleSmoke {
         isQuery = $"vec_id" < 10, nprobe = 2, k = 5)
         .count()
     }
+    // top-k aggregate shape — the SAME operator as q78: the shuffle
+    // after partial aggregation carries O(groups x k) rows however
+    // large the fact side grows
+    time(s"topk_agg_${factor}x") {
+      val topk = udaf(new graft.functions.TopKAggregator(3))
+      ord.groupBy(pmod($"o_custkey", lit(5000)).as("g"))
+        .agg(topk($"o_totalprice", $"o_orderkey").as("top"))
+        .select(posexplode($"top")).count()
+    }
+    // fuzzy-join shape — the SAME operator as q61 on a 10x supplier
+    // dimension: candidate volume follows signature collisions, not n^2
+    val sup = replicate(
+      graft.sources.Tables(spark, dir, "supplier"), Seq("s_suppkey")).cache()
+    println(s"SCALE inputs supplier=${sup.count()}")
+    time(s"fuzzy_join_${factor}x") {
+      graft.operators.FuzzyJoin
+        .editDistance1SelfJoin(sup, "s_suppkey", "s_name").count()
+    }
     spark.stop()
   }
 }
