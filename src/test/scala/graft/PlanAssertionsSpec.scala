@@ -110,6 +110,18 @@ class PlanAssertionsSpec extends SparkSpec {
       "map-side day expansion (explode) missing")
   }
 
+  test("q78: top-k aggregate splits partial/final — map side reduces before the exchange") {
+    val p = plan("q78_topk_agg")
+    assert(p.contains("partial_topkaggregator"),
+      s"TopKAggregator lost its partial (map-side) phase:\n${p.take(3000)}")
+    // partial must sit BELOW the hash exchange in the plan text
+    // (executed plans print top-down: final agg, exchange, partial)
+    val exch = p.indexOf("Exchange hashpartitioning")
+    val part = p.indexOf("partial_topkaggregator")
+    assert(exch >= 0 && part > exch,
+      s"partial aggregation did not run before the shuffle:\n${p.take(3000)}")
+  }
+
   test("q59: salted join replicates the small side without a wide-side extra shuffle") {
     val p = plan("q59_salted_join")
     // (key, salt) equi-join: the big side shuffles once for the join
