@@ -64,11 +64,11 @@ object VectorFunctions {
     * prefix of the vector and degrade LSH recall. A runtime guard
     * raises an error on the first mismatched row rather than truncate.
     */
-  def hyperplaneBucket(vec: Column, bits: Int, dim: Int = 64): Column = {
+  def hyperplaneBucket(vec: Column, bits: Int, dim: Int = 64, seed: Int = 42): Column = {
     require(bits > 0 && bits <= 62, "bits must be in (0, 62]")
     val planes: Seq[Column] = (0 until bits).map { p =>
       typedlit((0 until dim).map { d =>
-        if ((scala.util.hashing.MurmurHash3.stringHash(s"$p:$d", 42) & 1) == 0) 1.0 else -1.0
+        if ((scala.util.hashing.MurmurHash3.stringHash(s"$p:$d", seed) & 1) == 0) 1.0 else -1.0
       })
     }
     val v = asDouble(vec)
@@ -78,5 +78,30 @@ object VectorFunctions {
     when(size(v) === dim, packed).otherwise(raise_error(concat(
       lit(s"hyperplaneBucket: expected $dim-dim embedding, got "),
       size(v).cast("string"), lit(" elements"))))
+  }
+
+  /** Multi-table LSH bucket array: `tables` independent hyperplane
+    * sets (distinct seeds), one bucket id per table, each tagged with
+    * its table index in the high bits so buckets from different
+    * tables never collide after the posexplode.
+    *
+    * Why multiple tables: a single b-bit probe finds a neighbor at
+    * angle θ with probability (1−θ/π)^b — for weakly-similar corpora
+    * (cosine ~0.35 ⇒ θ ≈ 69°, p ≈ 0.057 at b=6) one table has
+    * near-zero recall. L independent tables raise it to
+    * 1−(1−p)^L (~0.6 at L=16) while candidate volume stays
+    * L·n/2^b per query. When true neighbors are this far apart,
+    * sign-LSH is inherently expensive — the IVF path ([[IvfAnn]])
+    * is the engine's scale answer for that regime; this operator is
+    * the right one when neighbors are close (near-dup embeddings,
+    * cosine ≥ 0.8, where p^b per table is large).
+    */
+  def hyperplaneBuckets(vec: Column, bits: Int, tables: Int,
+                        dim: Int = 64): Column = {
+    require(tables > 0 && tables <= 64, "tables must be in (0, 64]")
+    array((0 until tables).map { t =>
+      hyperplaneBucket(vec, bits, dim, seed = 42 + 7919 * t)
+        .bitwiseOR(lit(t.toLong << bits))
+    }: _*)
   }
 }

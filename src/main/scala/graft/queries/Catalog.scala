@@ -583,13 +583,27 @@ object Catalog {
       "q22_ann_lsh",
       (s, dir) => {
         import s.implicits._
+        // 16 independent 6-bit tables: single-probe recall on this
+        // corpus's weakly-similar neighbors (cosine ~0.35) is ~0.06
+        // per table; the union lifts measured top-3 recall vs the
+        // exact scan to ~0.6 (spec-asserted) at L·n/2^b candidate
+        // volume. Candidate pairs dedupe BEFORE the cosine, so each
+        // surviving pair pays one DotProduct however many tables it
+        // collides in.
         val e = t(s, dir, "embeddings")
           .select($"vec_id", VF.asDouble($"embedding").as("v"))
-          .withColumn("bucket", VF.hyperplaneBucket($"v", 6))
+          .withColumn("bucket",
+            explode(VF.hyperplaneBuckets($"v", bits = 6, tables = 16)))
         val q = e.filter($"vec_id" < 10)
-          .select($"vec_id".as("qid"), $"v".as("qv"), $"bucket")
-        val cands = e.select($"vec_id".as("nid"), $"v".as("nv"), $"bucket")
-        val sims = q.join(cands, Seq("bucket")).filter($"nid" =!= $"qid")
+          .select($"vec_id".as("qid"), $"bucket")
+        val cands = e.select($"vec_id".as("nid"), $"bucket")
+        val pairs = q.join(cands, Seq("bucket")).filter($"nid" =!= $"qid")
+          .select($"qid", $"nid").dropDuplicates("qid", "nid")
+        val vecs = t(s, dir, "embeddings")
+          .select($"vec_id", VF.asDouble($"embedding").as("v"))
+        val sims = pairs
+          .join(vecs.select($"vec_id".as("qid"), $"v".as("qv")), Seq("qid"))
+          .join(vecs.select($"vec_id".as("nid"), $"v".as("nv")), Seq("nid"))
           .select($"qid", $"nid", cosineCols($"qv", $"nv").as("sim"))
         val w = Window.partitionBy($"qid").orderBy($"sim".desc, $"nid")
         sims.withColumn("rank", row_number().over(w).cast("long"))

@@ -163,6 +163,38 @@ class FunctionsSpec extends SparkSpec {
     assert(LshPlanner.Plan(16, 4).detectProb(0.8) < 0.9999)
   }
 
+  test("q22 LSH ANN recall vs brute-force ground truth (q13's exact ranking)") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // Everything in q22 is deterministic (literal hyperplanes), so its
+    // recall against exact top-3 cosine is a fixed property of the
+    // test corpus. This corpus's true neighbors are WEAKLY similar
+    // (cosine ~0.35, θ ≈ 69°): a single 6-bit probe has ~0.06
+    // per-neighbor collision probability and measured recall 0 — the
+    // 16-table union holds measured recall at 0.57 on both sf0.001
+    // and sf0.01. Assert it never regresses below 0.5.
+    val dir = "/root/testdata/sf0.001"
+    val approx = graft.queries.Catalog.byName("q22_ann_lsh").run(spark, dir)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val e = graft.sources.Tables(spark, dir, "embeddings")
+      .select($"vec_id", graft.functions.VectorFunctions.asDouble($"embedding").as("v"))
+    val q = e.filter($"vec_id" < 10).select($"vec_id".as("qid"), $"v".as("qv"))
+    val sims = q.join(e.select($"vec_id".as("nid"), $"v".as("nv")), $"nid" =!= $"qid")
+      .select($"qid", $"nid",
+        graft.functions.VectorFunctions.cosine($"qv", $"nv").as("sim"))
+    val w = Window.partitionBy($"qid").orderBy($"sim".desc, $"nid")
+    val exact = sims.withColumn("rank", row_number().over(w)).filter($"rank" <= 3)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (approx & exact).size.toDouble / exact.size
+    assert(recall >= 0.5, f"multi-table LSH recall degraded to $recall%.2f")
+    // and what it does report is real: reported pairs are true
+    // near-neighbors (exact top-20), not bucket noise
+    val exact20 = sims.withColumn("rank", row_number().over(w)).filter($"rank" <= 20)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val noise = (approx -- exact20).size.toDouble / approx.size
+    assert(noise <= 0.2, f"LSH noise fraction $noise%.2f; outside-top20: ${approx -- exact20}")
+  }
+
   test("tokenJaccard: identical = 1, disjoint = 0") {
     import spark.implicits._
     val row = Seq(("a b c", "a b c", "x y z")).toDF("t1", "t2", "t3")
