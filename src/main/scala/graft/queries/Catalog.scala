@@ -2378,7 +2378,318 @@ object Catalog {
              |         row_number() OVER (PARTITION BY c_nationkey
              |           ORDER BY c_acctbal DESC, c_custkey)::BIGINT AS rank
              |  FROM customer)
-             |WHERE rank <= 3 ORDER BY c_nationkey, rank""".stripMargin))
+             |WHERE rank <= 3 ORDER BY c_nationkey, rank""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Q79: FULL OUTER join surface — per-nation customer stats vs
+    // supplier counts. Both sides are pre-aggregated to nation grain
+    // BEFORE the join, so the full-outer exchange moves ≤ |nation|
+    // rows per side regardless of fact-table size; null sides
+    // materialize as 0-counts / null averages.
+    Query(
+      "q79_full_outer",
+      (s, dir) => {
+        import s.implicits._
+        val cu = t(s, dir, "customer")
+          .groupBy($"c_nationkey".as("ck"))
+          .agg(count(lit(1)).as("n_cust"), round(avg($"c_acctbal"), 4).as("avg_bal"))
+        val su = t(s, dir, "supplier")
+          .groupBy($"s_nationkey".as("sk"))
+          .agg(count(lit(1)).as("n_supp"))
+        cu.join(su, $"ck" === $"sk", "full_outer")
+          .select(coalesce($"ck", $"sk").as("nationkey"),
+                  coalesce($"n_cust", lit(0L)).as("n_cust"), $"avg_bal",
+                  coalesce($"n_supp", lit(0L)).as("n_supp"))
+          .orderBy($"nationkey")
+      },
+      Some("""WITH c AS (SELECT c_nationkey AS nationkey, count(*) AS n_cust,
+             |                  round(avg(c_acctbal), 4) AS avg_bal
+             |           FROM customer GROUP BY 1),
+             |s AS (SELECT s_nationkey AS nationkey, count(*) AS n_supp
+             |      FROM supplier GROUP BY 1)
+             |SELECT coalesce(c.nationkey, s.nationkey) AS nationkey,
+             |       coalesce(n_cust, 0)::BIGINT AS n_cust, avg_bal,
+             |       coalesce(n_supp, 0)::BIGINT AS n_supp
+             |FROM c FULL OUTER JOIN s ON c.nationkey = s.nationkey
+             |ORDER BY nationkey""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Q80: correlated LATERAL join (SQL entry point) — top-2 customers
+    // by balance per region. Catalyst decorrelates the LIMIT'd lateral
+    // subquery into a ranked window over the joined input (DomainJoin
+    // rewrite), so the plan is one join + one bounded window, not a
+    // per-region re-scan of customer.
+    Query(
+      "q80_lateral_topn",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        s.sql("""
+          SELECT r_name, c_custkey, c_name, c_acctbal
+          FROM region JOIN LATERAL (
+            SELECT c_custkey, c_name, c_acctbal
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+            WHERE n_regionkey = r_regionkey
+            ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
+          ORDER BY r_name, c_acctbal DESC, c_custkey""")
+      },
+      Some("""SELECT r_name, c_custkey, c_name, c_acctbal
+             |FROM region, LATERAL (
+             |  SELECT c_custkey, c_name, c_acctbal
+             |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+             |  WHERE n_regionkey = r_regionkey
+             |  ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
+             |ORDER BY r_name, c_acctbal DESC, c_custkey""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Q81: chunk-level corpus dedup (CCNet-style) — every document is
+    // cut into aligned 10-token chunks; a chunk survives only at its
+    // first corpus occurrence (min doc_id, pos). Per-doc keep ratio is
+    // the quality/contamination signal. One shuffle keyed by chunk
+    // (the row_number partition); at 100 TB the chunk key would be a
+    // hash, not the text — same plan, narrower exchange.
+    Query(
+      "q81_chunk_dedup",
+      (s, dir) => {
+        import s.implicits._
+        val ch = t(s, dir, "documents")
+          .select($"doc_id", split($"text", " ").as("ts"))
+          .select($"doc_id", posexplode(expr(
+            """transform(sequence(0, cast(ceil(size(ts)/10.0) as int) - 1),
+               i -> array_join(slice(ts, i*10+1, 10), ' '))""")).as(Seq("pos", "chunk")))
+          .select($"doc_id", $"pos".cast("long").as("pos"), $"chunk")
+        val w = Window.partitionBy($"chunk").orderBy($"doc_id", $"pos")
+        ch.withColumn("rn", row_number().over(w))
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_chunks"),
+               sum(when($"rn" === 1, 1L).otherwise(0L)).as("n_kept"))
+          .select($"doc_id", $"n_chunks", $"n_kept",
+                  round($"n_kept".cast("double") / $"n_chunks", 4).as("keep_ratio"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+             |lst AS (SELECT doc_id, list_transform(
+             |          generate_series(0, CAST(ceil(len(ts)/10.0) AS BIGINT) - 1),
+             |          i -> {'pos': i::BIGINT, 'chunk': array_to_string(ts[i*10+1 : i*10+10], ' ')}) AS cs
+             |        FROM tok),
+             |ch AS (SELECT doc_id, u.pos AS pos, u.chunk AS chunk
+             |       FROM lst, LATERAL (SELECT unnest(cs, recursive := true)) u),
+             |r AS (SELECT doc_id, pos, chunk,
+             |             row_number() OVER (PARTITION BY chunk ORDER BY doc_id, pos) AS rn FROM ch)
+             |SELECT doc_id, count(*) AS n_chunks,
+             |       sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+             |       round(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END)::DOUBLE / count(*), 4) AS keep_ratio
+             |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Q82: BM25 retrieval (k1=1.2, b=0.75) for a fixed query term set —
+    // the classic lexical scorer a training-data search/dedup stack
+    // needs next to embedding ANN. tf comes from one explode+filter
+    // pass (the filter prunes to query terms BEFORE the aggregation
+    // shuffle); df and corpus stats are tiny broadcast frames. Scores
+    // rounded to 4 dp on both engines before the top-20 rank.
+    Query(
+      "q82_bm25",
+      (s, dir) => {
+        import s.implicits._
+        val terms = Seq("spark", "join", "merge")
+        val tok = t(s, dir, "documents")
+          .select($"doc_id", TF.tokens($"text").as("ts"))
+        val dl = tok.select($"doc_id", size($"ts").cast("double").as("dl"))
+        val stats = dl.agg(count(lit(1)).cast("double").as("n"), avg($"dl").as("avgdl"))
+        val tf = tok.select($"doc_id", explode($"ts").as("term"))
+          .filter($"term".isin(terms: _*))
+          .groupBy($"doc_id", $"term")
+          .agg(count(lit(1)).cast("double").as("tf"))
+        val df = tf.groupBy($"term").agg(count(lit(1)).cast("double").as("df"))
+        tf.join(broadcast(df), "term")
+          .join(dl, "doc_id")
+          .crossJoin(broadcast(stats))
+          .withColumn("contrib",
+            log(($"n" - $"df" + 0.5) / ($"df" + 0.5) + 1.0) * $"tf" * 2.2 /
+              ($"tf" + lit(1.2) * (lit(0.25) + lit(0.75) * $"dl" / $"avgdl")))
+          .groupBy($"doc_id")
+          .agg(round(sum($"contrib"), 4).as("bm25"))
+          .orderBy($"bm25".desc, $"doc_id")
+          .limit(20)
+      },
+      Some("""WITH tok AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts FROM documents),
+             |dl AS (SELECT doc_id, len(ts)::DOUBLE AS dl FROM tok),
+             |stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+             |tf AS (SELECT doc_id, t AS term, count(*)::DOUBLE AS tf
+             |       FROM tok, LATERAL unnest(ts) AS u(t)
+             |       WHERE t IN ('spark', 'join', 'merge') GROUP BY 1, 2),
+             |df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+             |sc AS (SELECT tf.doc_id,
+             |              sum(ln((n - df + 0.5) / (df + 0.5) + 1.0) * tf.tf * 2.2 /
+             |                  (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))) AS score
+             |       FROM tf JOIN df USING (term) JOIN dl ON tf.doc_id = dl.doc_id, stats
+             |       GROUP BY 1)
+             |SELECT doc_id, round(score, 4) AS bm25
+             |FROM sc ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Q83: mode (most frequent value) per group with a deterministic
+    // tie-break — count-then-rank, the distributed argmax spelling:
+    // the count aggregation collapses to (group × value) grain before
+    // the tiny ranking window.
+    Query(
+      "q83_mode_agg",
+      (s, dir) => {
+        import s.implicits._
+        val j = t(s, dir, "orders")
+          .join(t(s, dir, "customer"), $"o_custkey" === $"c_custkey")
+          .groupBy($"c_mktsegment".as("segment"), $"o_orderpriority".as("priority"))
+          .agg(count(lit(1)).as("n"))
+        val w = Window.partitionBy($"segment").orderBy($"n".desc, $"priority")
+        j.withColumn("rn", row_number().over(w))
+          .filter($"rn" === 1)
+          .select($"segment", $"priority".as("mode_priority"), $"n".as("n_orders"))
+          .orderBy($"segment")
+      },
+      Some("""WITH j AS (SELECT c_mktsegment AS segment, o_orderpriority AS priority, count(*) AS n
+             |           FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1, 2),
+             |r AS (SELECT segment, priority, n,
+             |             row_number() OVER (PARTITION BY segment ORDER BY n DESC, priority) AS rn
+             |      FROM j)
+             |SELECT segment, priority AS mode_priority, n AS n_orders
+             |FROM r WHERE rn = 1 ORDER BY segment""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Q84: equi-depth histogram via ntile — exact decile buckets of
+    // order value with per-bucket count/min/max/avg. The global ntile
+    // window is the oracle-able contract; the 100 TB spelling replaces
+    // it with approx_percentile cut points (q37b's sketch) + a
+    // broadcast bucket join, trading exactness for no global sort.
+    Query(
+      "q84_equidepth_hist",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.orderBy($"o_totalprice", $"o_orderkey")
+        t(s, dir, "orders")
+          .select($"o_totalprice", ntile(10).over(w).cast("long").as("bucket"))
+          .groupBy($"bucket")
+          .agg(count(lit(1)).as("n"),
+               round(min($"o_totalprice"), 2).as("lo"),
+               round(max($"o_totalprice"), 2).as("hi"),
+               round(avg($"o_totalprice"), 4).as("avg_price"))
+          .orderBy($"bucket")
+      },
+      Some("""WITH b AS (SELECT o_totalprice,
+             |                  ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket
+             |           FROM orders)
+             |SELECT bucket::BIGINT AS bucket, count(*) AS n,
+             |       round(min(o_totalprice), 2) AS lo, round(max(o_totalprice), 2) AS hi,
+             |       round(avg(o_totalprice), 4) AS avg_price
+             |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Q85: winsorized statistics — clamp each group's order values at
+    // its exact [p05, p95] and report the robust mean + clip counts.
+    // The percentile aggregation runs once per group (bounded groups),
+    // then broadcasts back over the facts; unbounded-cardinality
+    // columns would use approx_percentile (q37b) for the cut points.
+    Query(
+      "q85_winsorize",
+      (s, dir) => {
+        import s.implicits._
+        val q = t(s, dir, "orders")
+          .groupBy($"o_orderpriority".as("priority"))
+          .agg(percentile($"o_totalprice", lit(0.05)).as("p05"),
+               percentile($"o_totalprice", lit(0.95)).as("p95"))
+        t(s, dir, "orders")
+          .join(broadcast(q), $"o_orderpriority" === $"priority")
+          .groupBy($"priority", $"p05", $"p95")
+          .agg(sum(when($"o_totalprice" < $"p05", 1L).otherwise(0L)).as("n_low"),
+               sum(when($"o_totalprice" > $"p95", 1L).otherwise(0L)).as("n_high"),
+               round(avg(when($"o_totalprice" < $"p05", $"p05")
+                 .when($"o_totalprice" > $"p95", $"p95")
+                 .otherwise($"o_totalprice")), 4).as("winsorized_avg"))
+          .select($"priority", round($"p05", 4).as("p05"), round($"p95", 4).as("p95"),
+                  $"n_low", $"n_high", $"winsorized_avg")
+          .orderBy($"priority")
+      },
+      Some("""WITH q AS (SELECT o_orderpriority AS priority,
+             |                  quantile_cont(o_totalprice, 0.05) AS p05,
+             |                  quantile_cont(o_totalprice, 0.95) AS p95
+             |           FROM orders GROUP BY 1)
+             |SELECT priority, round(p05, 4) AS p05, round(p95, 4) AS p95,
+             |       sum(CASE WHEN o_totalprice < p05 THEN 1 ELSE 0 END)::BIGINT AS n_low,
+             |       sum(CASE WHEN o_totalprice > p95 THEN 1 ELSE 0 END)::BIGINT AS n_high,
+             |       round(avg(CASE WHEN o_totalprice < p05 THEN p05
+             |                      WHEN o_totalprice > p95 THEN p95
+             |                      ELSE o_totalprice END), 4) AS winsorized_avg
+             |FROM orders JOIN q ON o_orderpriority = priority
+             |GROUP BY priority, p05, p95 ORDER BY priority""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Q86: dense grid report — CROSS JOIN the dimension domain
+    // (region × order status) and LEFT JOIN the measured cells so
+    // empty combinations appear as explicit zeros. The grid is tiny
+    // (|dims| product) and broadcast; the facts are pre-aggregated to
+    // cell grain before touching it.
+    Query(
+      "q86_dense_grid",
+      (s, dir) => {
+        import s.implicits._
+        val grid = t(s, dir, "region").select($"r_name")
+          .crossJoin(t(s, dir, "orders").select($"o_orderstatus".as("status")).distinct())
+        val cnt = t(s, dir, "orders")
+          .join(t(s, dir, "customer"), $"o_custkey" === $"c_custkey")
+          .join(broadcast(t(s, dir, "nation")), $"c_nationkey" === $"n_nationkey")
+          .join(broadcast(t(s, dir, "region")), $"n_regionkey" === $"r_regionkey")
+          .groupBy($"r_name", $"o_orderstatus".as("status"))
+          .agg(count(lit(1)).as("n_raw"), round(sum($"o_totalprice"), 2).as("rev_raw"))
+        grid.join(cnt, Seq("r_name", "status"), "left")
+          .select($"r_name", $"status",
+                  coalesce($"n_raw", lit(0L)).as("n_orders"),
+                  coalesce($"rev_raw", lit(0.0)).as("revenue"))
+          .orderBy($"r_name", $"status")
+      },
+      Some("""WITH grid AS (SELECT r_name, o_orderstatus AS status
+             |              FROM region CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders) s),
+             |cnt AS (SELECT r_name, o_orderstatus AS status, count(*) AS n_raw,
+             |               round(sum(o_totalprice), 2) AS rev_raw
+             |        FROM orders JOIN customer ON o_custkey = c_custkey
+             |          JOIN nation ON c_nationkey = n_nationkey
+             |          JOIN region ON n_regionkey = r_regionkey
+             |        GROUP BY 1, 2)
+             |SELECT g.r_name, g.status, coalesce(n_raw, 0)::BIGINT AS n_orders,
+             |       coalesce(rev_raw, 0.0) AS revenue
+             |FROM grid g LEFT JOIN cnt c ON g.r_name = c.r_name AND g.status = c.status
+             |ORDER BY g.r_name, g.status""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Q87: shingle CONTAINMENT — |A∩B| / |A|, the asymmetric near-dup
+    // measure that catches a short document embedded inside a longer
+    // one (Jaccard misses those: the union is dominated by the long
+    // side). Directed pairs, so both (a,b) and (b,a) can report.
+    // All-pairs verify-only spelling; the scale generator is the same
+    // MinHash/LSH candidate pipeline as q33.
+    Query(
+      "q87_containment",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+          .select($"doc_id", array_distinct(TF.shingles($"text", 3)).as("sh"))
+        val a = docs.select($"doc_id".as("doc_a"), $"sh".as("sha"))
+        val b = docs.select($"doc_id".as("doc_b"), $"sh".as("shb"))
+        a.join(broadcast(b), $"doc_a" =!= $"doc_b")
+          .withColumn("containment",
+            size(array_intersect($"sha", $"shb")).cast("double") / size($"sha"))
+          .filter($"containment" >= 0.5)
+          .select($"doc_a", $"doc_b", round($"containment", 4).as("containment"))
+          .orderBy($"doc_a", $"doc_b")
+      },
+      Some("""WITH tk AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM documents),
+             |sh AS (SELECT doc_id, list_distinct(list_transform(
+             |         generate_series(1, len(tk) - 2),
+             |         i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh FROM tk)
+             |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             |       round(len(list_intersect(a.sh, b.sh))::DOUBLE / len(a.sh), 4) AS containment
+             |FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
+             |WHERE len(list_intersect(a.sh, b.sh))::DOUBLE / len(a.sh) >= 0.5
+             |ORDER BY doc_a, doc_b""".stripMargin),
+      headline = false)
   )
 
   val byName: Map[String, Query] = all.map(q => q.name -> q).toMap
