@@ -2639,7 +2639,10 @@ object Catalog {
           .join(broadcast(t(s, dir, "region")), $"n_regionkey" === $"r_regionkey")
           .groupBy($"r_name", $"o_orderstatus".as("status"))
           .agg(count(lit(1)).as("n_raw"), round(sum($"o_totalprice"), 2).as("rev_raw"))
-        grid.join(cnt, Seq("r_name", "status"), "left")
+        // cnt is cell-grain (|region| × |status|) but sits above an
+        // aggregate, so Catalyst has no size estimate for it — hint
+        // the broadcast explicitly for the left-outer probe.
+        grid.join(broadcast(cnt), Seq("r_name", "status"), "left")
           .select($"r_name", $"status",
                   coalesce($"n_raw", lit(0L)).as("n_orders"),
                   coalesce($"rev_raw", lit(0.0)).as("revenue"))
@@ -2689,7 +2692,121 @@ object Catalog {
              |FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
              |WHERE len(list_intersect(a.sh, b.sh))::DOUBLE / len(a.sh) >= 0.5
              |ORDER BY doc_a, doc_b""".stripMargin),
-      headline = false)
+      headline = false),
+
+    // ------------------------------------------------------------------
+    // Q88: deterministic weighted corpus sampling — materialize the
+    // q76 temperature-mix: per-source targets ∝ n^0.7 for a fixed
+    // document budget, then take each source's first `target_n` docs
+    // in content-hash order (md5 of the id = a stable uniform draw,
+    // reproducible across runs/engines — no rand()). Targets are a
+    // tiny broadcast; the per-source rank is one shuffle.
+    Query(
+      "q88_grouped_sample",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+        val w07 = docs.groupBy($"source").agg(count(lit(1)).as("n_docs"))
+          .withColumn("weight",
+            round(pow($"n_docs", 0.7d) / sum(pow($"n_docs", 0.7d)).over(Window.partitionBy()), 6))
+        val tgt = w07.select($"source",
+          least($"n_docs", round($"weight" * 200, 0).cast("long")).as("target_n"))
+        val w = Window.partitionBy($"source")
+          .orderBy(md5($"doc_id".cast("string")), $"doc_id")
+        docs.select($"doc_id", $"source")
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .join(broadcast(tgt), "source")
+          .filter($"rk" <= $"target_n")
+          .select($"doc_id", $"source", $"rk")
+          .orderBy($"source", $"rk")
+      },
+      Some("""WITH m AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+             |w AS (SELECT source, n_docs,
+             |             round(pow(n_docs, 0.7) / sum(pow(n_docs, 0.7)) OVER (), 6) AS weight
+             |      FROM m),
+             |tgt AS (SELECT source, least(n_docs, round(weight * 200, 0)::BIGINT) AS target_n FROM w),
+             |rk AS (SELECT doc_id, source,
+             |              row_number() OVER (PARTITION BY source
+             |                ORDER BY md5(cast(doc_id AS VARCHAR)), doc_id) AS rk
+             |       FROM documents)
+             |SELECT r.doc_id, r.source, r.rk::BIGINT AS rk
+             |FROM rk r JOIN tgt ON r.source = tgt.source
+             |WHERE r.rk <= tgt.target_n
+             |ORDER BY r.source, r.rk""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Q89: vocabulary coverage curve — cumulative corpus share of the
+    // top-k token types at rank checkpoints (every 5 up to 40). The
+    // token aggregation collapses the corpus to |vocab| rows before
+    // any window runs, so the global rank window is over the (small)
+    // vocabulary, never the corpus — the tokenizer-design question
+    // "how big must V be" as one aggregation + one tiny window.
+    Query(
+      "q89_vocab_coverage",
+      (s, dir) => {
+        import s.implicits._
+        val f = t(s, dir, "documents")
+          .select(explode(TF.tokens($"text")).as("term"))
+          .groupBy($"term").agg(count(lit(1)).as("n"))
+        val ord = Window.orderBy($"n".desc, $"term")
+        f.withColumn("vocab_size", row_number().over(ord).cast("long"))
+          .withColumn("cum", sum($"n").over(
+            ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("total", sum($"n").over(Window.partitionBy()))
+          .filter($"vocab_size" % 5 === 0 && $"vocab_size" <= 40)
+          .select($"vocab_size", $"term".as("last_term"), $"n".as("term_freq"),
+                  round($"cum".cast("double") / $"total", 6).as("coverage"))
+          .orderBy($"vocab_size")
+      },
+      Some("""WITH tok AS (SELECT t AS term FROM documents,
+             |             LATERAL unnest(string_split_regex(trim(text), '\s+')) AS u(t)),
+             |f AS (SELECT term, count(*) AS n FROM tok GROUP BY 1),
+             |r AS (SELECT term, n,
+             |             row_number() OVER (ORDER BY n DESC, term) AS rk,
+             |             sum(n) OVER (ORDER BY n DESC, term ROWS UNBOUNDED PRECEDING) AS cum,
+             |             sum(n) OVER () AS total
+             |      FROM f)
+             |SELECT rk::BIGINT AS vocab_size, term AS last_term, n AS term_freq,
+             |       round(cum::DOUBLE / total, 6) AS coverage
+             |FROM r WHERE rk % 5 = 0 AND rk <= 40 ORDER BY rk""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Q90: bigram language-model perplexity signal — per-document
+    // average negative log-likelihood under the corpus bigram MLE
+    // (p(w2|w1) = c12/c1). An unusually high avg_nll flags documents
+    // whose word transitions don't match the corpus (noise, boiler-
+    // plate, wrong language). Bigram/unigram counts are aggregates of
+    // the exploded corpus; the score join is bigram-keyed — all hash
+    // joins, no window over the corpus.
+    Query(
+      "q90_bigram_nll",
+      (s, dir) => {
+        import s.implicits._
+        val bg = t(s, dir, "documents")
+          .select($"doc_id", TF.tokens($"text").as("ts"))
+          .filter(size($"ts") >= 2)
+          .select($"doc_id", explode(expr(
+            "transform(sequence(0, size(ts) - 2), i -> struct(ts[i] AS w1, ts[i+1] AS w2))")).as("b"))
+          .select($"doc_id", $"b.w1".as("w1"), $"b.w2".as("w2"))
+        val cnt = bg.groupBy($"w1", $"w2").agg(count(lit(1)).as("c12"))
+        val uni = cnt.groupBy($"w1").agg(sum($"c12").as("c1"))
+        bg.join(broadcast(cnt), Seq("w1", "w2"))
+          .join(broadcast(uni), Seq("w1"))
+          .select($"doc_id", log($"c1".cast("double") / $"c12").as("nll"))
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_bigrams"), round(avg($"nll"), 4).as("avg_nll"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH tok AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts FROM documents),
+             |bg AS (SELECT doc_id, ts[i] AS w1, ts[i+1] AS w2
+             |       FROM tok, LATERAL unnest(generate_series(1, len(ts) - 1)) AS g(i)),
+             |cnt AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+             |uni AS (SELECT w1, sum(c12) AS c1 FROM cnt GROUP BY 1),
+             |sc AS (SELECT bg.doc_id, ln(c1::DOUBLE / c12) AS nll
+             |       FROM bg JOIN cnt ON bg.w1 = cnt.w1 AND bg.w2 = cnt.w2
+             |               JOIN uni ON bg.w1 = uni.w1)
+             |SELECT doc_id, count(*) AS n_bigrams, round(avg(nll), 4) AS avg_nll
+             |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin))
   )
 
   val byName: Map[String, Query] = all.map(q => q.name -> q).toMap

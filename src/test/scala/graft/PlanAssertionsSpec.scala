@@ -122,6 +122,46 @@ class PlanAssertionsSpec extends SparkSpec {
       s"partial aggregation did not run before the shuffle:\n${p.take(3000)}")
   }
 
+  test("q80: lateral LIMIT decorrelates to WindowGroupLimit with a map-side partial limit") {
+    val p = plan("q80_lateral_topn")
+    // Catalyst must rewrite the correlated LIMIT'd subquery into a
+    // rank-limited window (DomainJoin decorrelation), not a per-outer-
+    // row re-execution: no nested-loop join over customer allowed.
+    assert(p.contains("WindowGroupLimit"),
+      s"lateral top-n lost its WindowGroupLimit rewrite:\n${p.take(3000)}")
+    // partial (map-side) group-limit must run below the exchange, so
+    // the shuffle carries at most k rows per (region) group per map
+    val exch = p.indexOf("Exchange hashpartitioning")
+    val part = p.lastIndexOf("WindowGroupLimit")
+    assert(exch >= 0 && part > exch,
+      s"no partial WindowGroupLimit before the shuffle:\n${p.take(3000)}")
+  }
+
+  test("q82: BM25 df/stats join by broadcast; only counting aggregates shuffle") {
+    val p = plan("q82_bm25")
+    assert(!p.contains("SortMergeJoin"),
+      s"df/corpus-stats joins must broadcast:\n${p.take(3000)}")
+    assert(p.contains("TakeOrderedAndProject"), "top-20 lost its TakeOrdered rewrite")
+  }
+
+  test("q85: winsorize broadcasts the percentile frame over the facts") {
+    val p = plan("q85_winsorize")
+    assert(p.contains("BroadcastHashJoin"), "percentile join-back must broadcast")
+    assert(!p.contains("SortMergeJoin"), s"fact side must not SMJ:\n${p.take(3000)}")
+  }
+
+  test("q86: grid and cell joins stay broadcast; facts shuffle only for the cell aggregate") {
+    val p = plan("q86_dense_grid")
+    assert(!p.contains("SortMergeJoin"),
+      s"grid/cell joins must broadcast, not SMJ:\n${p.take(3000)}")
+  }
+
+  test("q90: bigram count joins broadcast back over the exploded corpus") {
+    val p = plan("q90_bigram_nll")
+    assert(!p.contains("SortMergeJoin"),
+      s"bigram/unigram count joins must broadcast:\n${p.take(3000)}")
+  }
+
   test("q59: salted join replicates the small side without a wide-side extra shuffle") {
     val p = plan("q59_salted_join")
     // (key, salt) equi-join: the big side shuffles once for the join
