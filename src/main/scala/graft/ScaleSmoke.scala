@@ -95,6 +95,42 @@ object ScaleSmoke {
       graft.operators.FuzzyJoin
         .editDistance1SelfJoin(sup, "s_suppkey", "s_name").count()
     }
+    // chunk-dedup shape — the SAME plan as q81 on a replicated corpus:
+    // one shuffle keyed by chunk text; replication multiplies the
+    // duplicate rate (every chunk now exists >= factor times), which
+    // is the worst case for the survivorship window's skew
+    val docs = replicate(
+      graft.sources.Tables.documents(spark, dir), Seq("doc_id")).cache()
+    println(s"SCALE inputs documents=${docs.count()}")
+    time(s"chunk_dedup_${factor}x") {
+      import org.apache.spark.sql.expressions.Window
+      val ch = docs
+        .select($"doc_id", split($"text", " ").as("ts"))
+        .select($"doc_id", posexplode(expr(
+          """transform(sequence(0, cast(ceil(size(ts)/10.0) as int) - 1),
+             i -> array_join(slice(ts, i*10+1, 10), ' '))""")).as(Seq("pos", "chunk")))
+      val w = Window.partitionBy($"chunk").orderBy($"doc_id", $"pos")
+      ch.withColumn("rn", row_number().over(w))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n"), sum(when($"rn" === 1, 1L).otherwise(0L)).as("kept"))
+        .count()
+    }
+    // BM25 shape — q82's plan: tf explode pruned to query terms BEFORE
+    // the shuffle, df/corpus stats broadcast back
+    time(s"bm25_${factor}x") {
+      val tok = docs.select($"doc_id", graft.functions.TextFunctions.tokens($"text").as("ts"))
+      val dl = tok.select($"doc_id", size($"ts").cast("double").as("dl"))
+      val stats = dl.agg(count(lit(1)).cast("double").as("n"), avg($"dl").as("avgdl"))
+      val tf = tok.select($"doc_id", explode($"ts").as("term"))
+        .filter($"term".isin("spark", "join", "merge"))
+        .groupBy($"doc_id", $"term").agg(count(lit(1)).cast("double").as("tf"))
+      val df = tf.groupBy($"term").agg(count(lit(1)).cast("double").as("df"))
+      tf.join(broadcast(df), "term").join(dl, "doc_id").crossJoin(broadcast(stats))
+        .withColumn("contrib",
+          log(($"n" - $"df" + 0.5) / ($"df" + 0.5) + 1.0) * $"tf" * 2.2 /
+            ($"tf" + lit(1.2) * (lit(0.25) + lit(0.75) * $"dl" / $"avgdl")))
+        .groupBy($"doc_id").agg(sum($"contrib")).count()
+    }
     spark.stop()
   }
 }

@@ -78,4 +78,29 @@ class ScaleToolsSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS bucketed_a")
     spark.sql("DROP TABLE IF EXISTS bucketed_b")
   }
+
+  test("observe() rides the action: pipeline metrics without a second scan") {
+    import spark.implicits._
+    import org.apache.spark.sql.Observation
+    // The 100 TB observability hook: data-quality counters (rows seen,
+    // nulls dropped, bytes of text) are accumulated ON the existing
+    // pass via Dataset.observe — no .count()/.filter().count() second
+    // job over the input. Same mechanism feeds streaming progress
+    // events (QueryProgressEvent.observedMetrics) in the CDC path.
+    val obs = Observation("quality")
+    val docs = Seq(
+      (1L, "good text"), (2L, null.asInstanceOf[String]), (3L, "more text"))
+      .toDF("id", "text")
+    val cleaned = docs
+      .observe(obs,
+        count(lit(1)).as("rows_in"),
+        count($"text").as("rows_with_text"),
+        sum(length($"text")).as("total_chars"))
+      .filter($"text".isNotNull)
+    assert(cleaned.count() == 2)
+    val m = obs.get
+    assert(m("rows_in") == 3L, s"got $m")
+    assert(m("rows_with_text") == 2L, s"got $m")
+    assert(m("total_chars") == 18L, s"got $m")
+  }
 }

@@ -172,6 +172,48 @@ class StreamingWindowsSpec extends SparkSpec {
     assert(got.toSeq == Seq(1L), s"got ${got.toSeq}")
   }
 
+  test("stream-stream LEFT OUTER join emits null rows once the watermark closes the band") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val clicks = MemoryStream[(Timestamp, Long)]
+    val views = MemoryStream[(Timestamp, Long)]
+    val c = clicks.toDF().toDF("cts", "user").withWatermark("cts", "10 minutes")
+    val v = views.toDF().toDF("vts", "vuser").withWatermark("vts", "10 minutes")
+    // Outer stream-stream join: unmatched left rows are held in state
+    // until the watermark proves no matching right row can still
+    // arrive, THEN emitted with nulls — the unbounded-state-safe
+    // spelling of "left join a stream".
+    val joined = c.join(v,
+      expr("user = vuser AND vts BETWEEN cts AND cts + INTERVAL 5 MINUTES"),
+      "left_outer")
+    val q = joined.select(col("user"), col("cts"), col("vts"))
+      .writeStream.format("memory").queryName("sslj").outputMode("append").start()
+
+    clicks.addData((ts(1), 1L), (ts(2), 2L))   // 1 will match; 2 never does
+    views.addData((ts(3), 1L))
+    q.processAllAvailable()
+    // matched row is out; the unmatched user=2 row must NOT be out yet
+    val early = spark.table("sslj").collect().map(r => (r.getLong(0), r.isNullAt(2)))
+    assert(early.toSeq == Seq((1L, false)), s"got ${early.toSeq}")
+
+    // advance both watermarks far past cts=2 + 5m band + 10m delay
+    clicks.addData((Timestamp.valueOf("2024-01-01 11:00:00"), 99L))
+    views.addData((Timestamp.valueOf("2024-01-01 11:00:00"), 98L))
+    q.processAllAvailable()
+    // one more batch so the state-eviction pass runs after the advance
+    clicks.addData((Timestamp.valueOf("2024-01-01 11:30:00"), 97L))
+    views.addData((Timestamp.valueOf("2024-01-01 11:30:00"), 96L))
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("sslj").collect()
+      .map(r => (r.getLong(0), r.isNullAt(2))).sortBy(_._1).toSeq
+    assert(got.contains((2L, true)),
+      s"unmatched left row never emitted with nulls: $got")
+    assert(got.contains((1L, false)), s"matched row lost: $got")
+  }
+
   test("sliding windows assign events to overlapping windows") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
