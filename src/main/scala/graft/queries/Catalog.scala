@@ -2806,7 +2806,57 @@ object Catalog {
              |       FROM bg JOIN cnt ON bg.w1 = cnt.w1 AND bg.w2 = cnt.w2
              |               JOIN uni ON bg.w1 = uni.w1)
              |SELECT doc_id, count(*) AS n_bigrams, round(avg(nll), 4) AS avg_nll
-             |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+             |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Q91: VARIANT semi-structured path (Spark 4) — parse the JSON
+    // props column ONCE into a variant, then typed extraction with
+    // variant_get. Versus q29's per-path string functions, variant is
+    // the engine's answer for open schemas at scale: one parse,
+    // binary-encoded storage, typed access, shredding-friendly.
+    Query(
+      "q91_variant_extract",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "events")
+          .select($"event_type", $"value",
+            expr("variant_get(parse_json(props), '$.k', 'bigint')").as("k"))
+          .withColumn("k_bucket", ($"k" / 10).cast("long"))
+          .groupBy($"event_type", $"k_bucket")
+          .agg(count(lit(1)).as("n"), round(avg($"value"), 4).as("avg_value"),
+               min($"k").as("k_min"), max($"k").as("k_max"))
+          .orderBy($"event_type", $"k_bucket")
+      },
+      Some("""WITH e AS (SELECT event_type, value,
+             |                  json_extract_string(props, '$.k')::BIGINT AS k
+             |           FROM events)
+             |SELECT event_type, (k // 10)::BIGINT AS k_bucket, count(*) AS n,
+             |       round(avg(value), 4) AS avg_value,
+             |       min(k) AS k_min, max(k) AS k_max
+             |FROM e GROUP BY event_type, k_bucket
+             |ORDER BY event_type, k_bucket""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Q92: mergeable HLL sketch rollup (Datasketches) — per-day user
+    // sketches that UNION to any coarser grain without rescanning the
+    // facts: the pre-aggregated distinct-count cube a 100 TB pipeline
+    // stores instead of raw ids. count(distinct) over the same data is
+    // the exactness check (spec asserts < 5% relative error); binary
+    // sketches -> rows-only for the driver gate.
+    Query(
+      "q92_hll_rollup",
+      (s, dir) => {
+        import s.implicits._
+        val daily = t(s, dir, "events")
+          .groupBy(date_trunc("DAY", $"ts").as("day"))
+          .agg(hll_sketch_agg($"user_id").as("sk"),
+               count(lit(1)).as("n_events"))
+        daily
+          .agg(sum($"n_events").as("n_events"),
+               count(lit(1)).as("n_days"),
+               hll_sketch_estimate(hll_union_agg($"sk")).as("approx_users"))
+      },
+      None)
   )
 
   val byName: Map[String, Query] = all.map(q => q.name -> q).toMap

@@ -182,4 +182,21 @@ class OperatorsSpec extends SparkSpec {
       .orderBy("k1", "k2").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(fast.toSeq == naive.toSeq)
   }
+
+  test("q92 HLL rollup: union of daily sketches tracks exact distinct users (<5% err)") {
+    val dir = "/root/testdata/sf0.001"
+    val row = graft.queries.Catalog.byName("q92_hll_rollup")
+      .run(spark, dir).collect()(0)
+    val approx = row.getAs[Long]("approx_users").toDouble
+    val exact = graft.sources.Tables.events(spark, dir)
+      .select(countDistinct(col("user_id"))).collect()(0).getLong(0).toDouble
+    val relErr = math.abs(approx - exact) / exact
+    assert(relErr < 0.05, f"HLL union estimate $approx%.0f vs exact $exact%.0f: $relErr%.3f")
+    // the rollup really is mergeable: unioning the per-day sketches
+    // must estimate the same as sketching the whole table directly
+    val direct = graft.sources.Tables.events(spark, dir)
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id")))).collect()(0).getLong(0)
+    assert(direct == approx.toLong,
+      s"daily-union estimate ${approx.toLong} != whole-table sketch $direct")
+  }
 }
