@@ -2856,7 +2856,49 @@ object Catalog {
                count(lit(1)).as("n_days"),
                hll_sketch_estimate(hll_union_agg($"sk")).as("approx_users"))
       },
-      None)
+      None),
+
+    // ------------------------------------------------------------------
+    // Q93: time-series resample + gap fill — regularize each user's
+    // event stream to a dense daily grid: missing days appear as n=0
+    // rows and the last observed daily value forward-fills across the
+    // gap (`last(..., ignoreNulls)` over a per-user window). The
+    // calendar expansion is map-side (sequence+explode per user span,
+    // no range join); one shuffle for the daily aggregate, one for the
+    // per-user fill window.
+    Query(
+      "q93_gap_fill",
+      (s, dir) => {
+        import s.implicits._
+        val daily = t(s, dir, "events")
+          .groupBy($"user_id", date_trunc("DAY", $"ts").as("day"))
+          .agg(count(lit(1)).as("n"), round(sum($"value"), 4).as("day_value"))
+        val cal = daily.groupBy($"user_id")
+          .agg(min($"day").as("d0"), max($"day").as("d1"))
+          .select($"user_id",
+            explode(sequence($"d0", $"d1", expr("interval 1 day"))).as("day"))
+        val w = Window.partitionBy($"user_id").orderBy($"day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        cal.join(daily, Seq("user_id", "day"), "left")
+          .select($"user_id", $"day",
+            coalesce($"n", lit(0L)).as("n"),
+            coalesce($"day_value", lit(0.0)).as("day_value"),
+            last($"day_value", ignoreNulls = true).over(w).as("ff_value"))
+          .orderBy($"user_id", $"day")
+      },
+      Some("""WITH daily AS (SELECT user_id, date_trunc('day', ts) AS day, count(*) AS n,
+             |                      round(sum(value), 4) AS day_value
+             |               FROM events GROUP BY 1, 2),
+             |spans AS (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1),
+             |cal AS (SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+             |        FROM spans),
+             |filled AS (SELECT c.user_id, c.day, coalesce(d.n, 0)::BIGINT AS n, d.day_value
+             |           FROM cal c LEFT JOIN daily d
+             |             ON c.user_id = d.user_id AND c.day = d.day)
+             |SELECT user_id, day, n, coalesce(day_value, 0.0) AS day_value,
+             |       last_value(day_value IGNORE NULLS) OVER (PARTITION BY user_id
+             |         ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ff_value
+             |FROM filled ORDER BY user_id, day""".stripMargin))
   )
 
   val byName: Map[String, Query] = all.map(q => q.name -> q).toMap

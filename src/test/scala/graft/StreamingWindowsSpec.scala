@@ -214,6 +214,39 @@ class StreamingWindowsSpec extends SparkSpec {
     assert(got.contains((1L, false)), s"matched row lost: $got")
   }
 
+  test("chained stateful operators: per-id dedup feeding a tumbling aggregate in ONE query") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    // Spark 4 supports multiple stateful operators in one streaming
+    // query — the dedup's state and the window's state live in the
+    // same checkpoint, no intermediate sink needed. The exactly-once
+    // ingest + windowed rollup is the CDC metrics pipeline in one hop.
+    val ms = MemoryStream[(Timestamp, Long)]
+    val deduped = Windows.dedupByIds(
+      ms.toDF().toDF("ts", "event_id"), "ts", "10 minutes", "event_id")
+    val counts = deduped
+      .groupBy(window(col("ts"), "10 minutes"))
+      .agg(count(lit(1)).as("n"))
+    val q = counts.select(col("window.start").as("w"), col("n"))
+      .writeStream.format("memory").queryName("chained").outputMode("append").start()
+
+    // two distinct ids + one redelivery (same id, different ts) in one window
+    ms.addData((ts(1), 1L), (ts(2), 2L), (ts(4), 1L))
+    q.processAllAvailable()
+    // advance the watermark far enough to close the 10:00 window
+    ms.addData((Timestamp.valueOf("2024-01-01 11:00:00"), 50L))
+    q.processAllAvailable()
+    ms.addData((Timestamp.valueOf("2024-01-01 11:30:00"), 51L))
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("chained").collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1))).toMap
+    // the redelivered id=1 must count ONCE: dedup ran before the window
+    assert(got(Timestamp.valueOf("2024-01-01 10:00:00")) == 2L, s"got $got")
+  }
+
   test("sliding windows assign events to overlapping windows") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
