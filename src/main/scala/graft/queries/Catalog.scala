@@ -2898,7 +2898,32 @@ object Catalog {
              |SELECT user_id, day, n, coalesce(day_value, 0.0) AS day_value,
              |       last_value(day_value IGNORE NULLS) OVER (PARTITION BY user_id
              |         ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ff_value
-             |FROM filled ORDER BY user_id, day""".stripMargin))
+             |FROM filled ORDER BY user_id, day""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Q94: EXACT mergeable distinct counts via bitmap aggregates — the
+    // complement to q92's approximate HLL: Spark's bitmap functions
+    // pack ids into per-bucket roaring-style bitmaps that OR-merge
+    // across partitions/grains, so exact distinct-count cubes can be
+    // pre-aggregated and re-rolled like sums. Buckets partition the id
+    // space (32768 bits each), so per-bucket cardinalities sum to the
+    // exact total — verified against DuckDB's plain count(DISTINCT).
+    Query(
+      "q94_bitmap_distinct",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "events")
+          .groupBy($"event_type",
+                   date_trunc("WEEK", $"ts").cast("date").as("wk"),
+                   expr("bitmap_bucket_number(user_id)").as("bkt"))
+          .agg(expr("bitmap_construct_agg(bitmap_bit_position(user_id))").as("bm"))
+          .groupBy($"event_type", $"wk")
+          .agg(sum(expr("bitmap_count(bm)")).as("n_users"))
+          .orderBy($"event_type", $"wk")
+      },
+      Some("""SELECT event_type, date_trunc('week', ts) AS wk,
+             |       count(DISTINCT user_id) AS n_users
+             |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
   )
 
   val byName: Map[String, Query] = all.map(q => q.name -> q).toMap

@@ -1,0 +1,114 @@
+package graft
+
+import java.nio.file.Files
+
+import scala.util.Random
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.streaming.JoinView
+import graft.streaming.JoinView.Side
+
+/** The incremental join view must equal the naive re-join of the
+  * current side states after EVERY batch — including join-key
+  * changes, deletes, and resurrections (the interleavings where
+  * delta-key IVM implementations typically go wrong).
+  */
+class JoinViewSpec extends SparkSpec {
+
+  private val left = Side("uid", "dept")
+  private val right = Side("did", "dept")
+
+  // left side: employees (uid, dept, name); right side: one row per
+  // dept (did == dept value domain), payload dname
+  private def emp(uid: Long, dept: String, name: String, lsn: Long,
+                  del: Boolean = false) =
+    (uid, if (del) null else dept, if (del) null else name, lsn, lsn,
+      if (del) "DELETE" else "UPSERT")
+
+  private def dpt(did: String, dname: String, lsn: Long, del: Boolean = false) =
+    (did, if (del) null else did, if (del) null else dname, lsn, lsn,
+      if (del) "DELETE" else "UPSERT")
+
+  private def empDf(rows: Seq[(Long, String, String, Long, Long, String)]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("uid", "dept", "name", "lsn", "ts_ms", "event_type")
+  }
+
+  private def dptDf(rows: Seq[(String, String, String, Long, Long, String)]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("did", "dept", "dname", "lsn", "ts_ms", "event_type")
+  }
+
+  private def check(dir: String, clue: String): Unit = {
+    val got = JoinView.readView(spark, dir)
+      .collect().map(_.toString).sorted.toSeq
+    val want = JoinView.naiveView(spark, dir, left, right)
+      .collect().map(_.toString).sorted.toSeq
+    assert(got == want, s"$clue:\nview: $got\nnaive: $want")
+  }
+
+  test("directed: insert, join-key move, side deletes, resurrection") {
+    val dir = Files.createTempDirectory("jv").toString
+
+    // batch 1: two employees in eng, one in ops; both dept rows
+    JoinView.applyBatch(spark,
+      empDf(Seq(emp(1, "eng", "ada", 1), emp(2, "eng", "bob", 2), emp(3, "ops", "cyd", 3))),
+      dptDf(Seq(dpt("eng", "Engineering", 1), dpt("ops", "Operations", 2))),
+      dir, left, right)
+    check(dir, "initial build")
+    assert(JoinView.readView(spark, dir).count() == 3)
+
+    // batch 2: ada MOVES eng -> ops (old key loses a pair, new key
+    // gains one); empty right delta
+    JoinView.applyBatch(spark,
+      empDf(Seq(emp(1, "ops", "ada", 4))),
+      dptDf(Seq.empty), dir, left, right)
+    check(dir, "join-key move")
+    assert(JoinView.readView(spark, dir)
+      .filter(col("jk") === "ops").count() == 2)
+
+    // batch 3: DELETE the eng dept row — bob's pair must vanish even
+    // though bob's own row never changed
+    JoinView.applyBatch(spark,
+      empDf(Seq.empty), dptDf(Seq(dpt("eng", null, 5, del = true))),
+      dir, left, right)
+    check(dir, "right-side delete")
+    assert(JoinView.readView(spark, dir)
+      .filter(col("jk") === "eng").count() == 0)
+
+    // batch 4: resurrect eng with a new payload + tombstone employee 3
+    JoinView.applyBatch(spark,
+      empDf(Seq(emp(3, null, null, 6, del = true))),
+      dptDf(Seq(dpt("eng", "Engineering v2", 7))),
+      dir, left, right)
+    check(dir, "resurrect + left tombstone")
+    val v = JoinView.readView(spark, dir).collect()
+    assert(v.count(_.getAs[String]("jk") == "eng") == 1, v.mkString("\n")) // bob
+    assert(!v.exists(_.getAs[Long]("uid") == 3L), "tombstoned employee still joined")
+  }
+
+  test("property: random interleavings equal the naive re-join after every batch") {
+    val rnd = new Random(42)
+    val depts = Vector("a", "b", "c", "d")
+    val dir = Files.createTempDirectory("jvp").toString
+    var lsn = 0L
+    def nextLsn(): Long = { lsn += 1; lsn }
+
+    for (batch <- 1 to 8) {
+      val lRows = (0 until rnd.nextInt(5)).map { _ =>
+        val uid = rnd.nextInt(6).toLong
+        if (rnd.nextDouble() < 0.2) emp(uid, null, null, nextLsn(), del = true)
+        else emp(uid, depts(rnd.nextInt(depts.size)), s"n$uid", nextLsn())
+      }
+      val rRows = (0 until rnd.nextInt(3)).map { _ =>
+        val did = depts(rnd.nextInt(depts.size))
+        if (rnd.nextDouble() < 0.25) dpt(did, null, nextLsn(), del = true)
+        else dpt(did, s"D-$did-$lsn", nextLsn())
+      }
+      JoinView.applyBatch(spark, empDf(lRows), dptDf(rRows), dir, left, right)
+      check(dir, s"batch $batch (lsn $lsn)")
+    }
+  }
+}
