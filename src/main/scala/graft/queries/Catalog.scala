@@ -2923,7 +2923,90 @@ object Catalog {
       },
       Some("""SELECT event_type, date_trunc('week', ts) AS wk,
              |       count(DISTINCT user_id) AS n_users
-             |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+             |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Q95: ordered funnel analysis — users progressing view → click →
+    // purchase where each step lands within 1 day of the previous
+    // step's first occurrence. Each stage collapses to user grain
+    // (min first-qualifying ts) BEFORE the next stage joins, so every
+    // join input is ≤ |users| rows and the event scans are
+    // type-filtered before any shuffle — the funnel never joins
+    // event × event.
+    Query(
+      "q95_funnel",
+      (s, dir) => {
+        import s.implicits._
+        val ev = t(s, dir, "events")
+        val day = expr("INTERVAL 1 DAY")
+        val v = ev.filter($"event_type" === "view")
+          .groupBy($"user_id").agg(min($"ts").as("t1"))
+          .select($"user_id".as("vu"), $"t1")
+        val cstep = ev.filter($"event_type" === "click")
+          .join(v, $"user_id" === $"vu" && $"ts" > $"t1" && $"ts" <= $"t1" + day)
+          .groupBy($"user_id").agg(min($"ts").as("t2"))
+          .select($"user_id".as("cu"), $"t2")
+        val pstep = ev.filter($"event_type" === "purchase")
+          .join(cstep, $"user_id" === $"cu" && $"ts" > $"t2" && $"ts" <= $"t2" + day)
+          .groupBy($"user_id").agg(min($"ts").as("t3"))
+        v.agg(count(lit(1)).as("n_view"))
+          .crossJoin(cstep.agg(count(lit(1)).as("n_click_1d")))
+          .crossJoin(pstep.agg(count(lit(1)).as("n_purchase_1d")))
+          .select($"n_view", $"n_click_1d", $"n_purchase_1d",
+            round($"n_purchase_1d".cast("double") / $"n_view", 4).as("conversion"))
+      },
+      Some("""WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+             |           WHERE event_type = 'view' GROUP BY 1),
+             |c AS (SELECT e.user_id, min(e.ts) AS t2
+             |      FROM events e JOIN v ON e.user_id = v.user_id
+             |        AND e.ts > v.t1 AND e.ts <= v.t1 + INTERVAL 1 DAY
+             |      WHERE e.event_type = 'click' GROUP BY 1),
+             |p AS (SELECT e.user_id, min(e.ts) AS t3
+             |      FROM events e JOIN c ON e.user_id = c.user_id
+             |        AND e.ts > c.t2 AND e.ts <= c.t2 + INTERVAL 1 DAY
+             |      WHERE e.event_type = 'purchase' GROUP BY 1)
+             |SELECT (SELECT count(*) FROM v) AS n_view,
+             |       (SELECT count(*) FROM c) AS n_click_1d,
+             |       (SELECT count(*) FROM p) AS n_purchase_1d,
+             |       round((SELECT count(*) FROM p)::DOUBLE /
+             |             (SELECT count(*) FROM v), 4) AS conversion""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Q96: cohort retention — users cohorted by the week of their
+    // first high-value purchase; n_active counts who repeat k weeks
+    // later. Both inputs collapse to user/week grain before the
+    // cohort join (≤ |users| × |weeks| rows), giving the classic
+    // retention triangle (19 → 5 → 2 → 1 decay on this corpus).
+    Query(
+      "q96_retention",
+      (s, dir) => {
+        import s.implicits._
+        val purch = t(s, dir, "events")
+          .filter($"event_type" === "purchase" && $"value" > 150)
+        val f = purch.groupBy($"user_id")
+          .agg(date_trunc("WEEK", min($"ts")).cast("date").as("cohort"))
+        val act = purch
+          .select($"user_id", date_trunc("WEEK", $"ts").cast("date").as("wk"))
+          .distinct()
+        f.join(act, "user_id")
+          .select($"cohort",
+            (datediff($"wk", $"cohort") / 7).cast("long").as("week_n"),
+            $"user_id")
+          .groupBy($"cohort", $"week_n")
+          .agg(countDistinct($"user_id").as("n_active"))
+          .orderBy($"cohort", $"week_n")
+      },
+      Some("""WITH f AS (SELECT user_id, date_trunc('week', min(ts)) AS cohort
+             |           FROM events WHERE event_type = 'purchase' AND value > 150
+             |           GROUP BY 1),
+             |act AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS wk
+             |        FROM events WHERE event_type = 'purchase' AND value > 150),
+             |j AS (SELECT f.cohort,
+             |             (date_diff('day', f.cohort, act.wk) // 7)::BIGINT AS week_n,
+             |             act.user_id
+             |      FROM f JOIN act ON f.user_id = act.user_id)
+             |SELECT cohort, week_n, count(DISTINCT user_id) AS n_active
+             |FROM j GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
   )
 
   val byName: Map[String, Query] = all.map(q => q.name -> q).toMap
