@@ -2777,7 +2777,11 @@ object Catalog {
     // whose word transitions don't match the corpus (noise, boiler-
     // plate, wrong language). Bigram/unigram counts are aggregates of
     // the exploded corpus; the score join is bigram-keyed — all hash
-    // joins, no window over the corpus.
+    // joins, no window over the corpus. The broadcast hints hold while
+    // the bigram table is bounded (closed vocab, as here — it grows
+    // with |V|², not corpus size); an open-vocab corpus drops the
+    // hints and the same plan degrades gracefully to a shuffled hash
+    // join on (w1, w2).
     Query(
       "q90_bigram_nll",
       (s, dir) => {

@@ -44,6 +44,29 @@ class MultimodalSpec extends SparkSpec {
     assert(frames(2).features.length == 2) // tail frame clipped
   }
 
+  test("decoded multimodal features flow into IVF ANN search with no format shim") {
+    import spark.implicits._
+    // decode (stub) -> resize to a common dim -> similarity search:
+    // the composition a media dedup/retrieval pipeline runs. The
+    // decoded Dataset feeds operators.IvfAnn directly — same typed
+    // plan, no collect, no re-encoding hop.
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val feats = graft.multimodal.Multimodal.resizeFeatures(
+      graft.multimodal.Multimodal.decodeStub(
+        graft.multimodal.Multimodal.fromDocuments(docs)), 16).toDF()
+    val input = feats.select($"doc_id".as("vec_id"),
+      pmod(xxhash64($"doc_id"), lit(8)).cast("int").as("label"),
+      expr("transform(features, x -> cast(x as double))").as("v"))
+    val top = graft.operators.IvfAnn.topK(
+      input, isQuery = col("vec_id") < 5, nprobe = 2, k = 3)
+    val rows = top.collect()
+    assert(rows.length == 15, s"expected 5 queries x top-3, got ${rows.length}")
+    // deterministic end-to-end: stub decode + IVF ranking re-runs identically
+    val again = graft.operators.IvfAnn.topK(
+      input, isQuery = col("vec_id") < 5, nprobe = 2, k = 3).collect()
+    assert(rows.map(_.toString).sorted.toSeq == again.map(_.toString).sorted.toSeq)
+  }
+
   test("feature resize interpolates to the target dimension") {
     import spark.implicits._
     val docs = Seq((1L, "hello world")).toDF("doc_id", "text")
