@@ -3010,7 +3010,32 @@ object Catalog {
              |             act.user_id
              |      FROM f JOIN act ON f.user_id = act.user_id)
              |SELECT cohort, week_n, count(DISTINCT user_id) AS n_active
-             |FROM j GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+             |FROM j GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Q97: inverted-index build — sorted posting lists per term, the
+    // index-construction step behind q82's BM25 retrieval. One
+    // distinct-explode + one grouping shuffle; list size is bounded by
+    // document frequency. At 100 TB hot terms shard their postings by
+    // doc-id range (bucketed sink) instead of one giant array row —
+    // same aggregation plan per shard.
+    Query(
+      "q97_inverted_index",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "documents")
+          .select($"doc_id", explode(array_distinct(TF.tokens($"text"))).as("term"))
+          .groupBy($"term")
+          .agg(count(lit(1)).as("df"),
+               sort_array(collect_list($"doc_id")).as("postings"))
+          .orderBy($"term")
+      },
+      Some("""WITH t AS (SELECT DISTINCT doc_id, t AS term
+             |           FROM documents,
+             |                LATERAL unnest(list_distinct(
+             |                  string_split_regex(trim(text), '\s+'))) AS u(t))
+             |SELECT term, count(*) AS df, list(doc_id ORDER BY doc_id) AS postings
+             |FROM t GROUP BY term ORDER BY term""".stripMargin))
   )
 
   val byName: Map[String, Query] = all.map(q => q.name -> q).toMap

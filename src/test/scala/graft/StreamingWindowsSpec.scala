@@ -150,6 +150,30 @@ class StreamingWindowsSpec extends SparkSpec {
     assert(got.toSeq == Seq(("click", 2L), ("view", 1L)), s"got ${got.toSeq}")
   }
 
+  test("stream-static enrichment join: dimension broadcast onto the stream, per batch") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    // The enrichment shape: an unbounded stream joined to a bounded
+    // dimension table. Stateless — each micro-batch joins against the
+    // CURRENT dim snapshot (broadcast at 100 TB scale), no watermark
+    // or join state involved.
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user", "tier")
+    val ms = MemoryStream[(Timestamp, Long)]
+    val enriched = ms.toDF().toDF("ts", "user")
+      .join(broadcast(dim), Seq("user"), "left")
+    val q = enriched.select($"user", coalesce($"tier", lit("unknown")).as("tier"))
+      .writeStream.format("memory").queryName("enrich").outputMode("append").start()
+
+    ms.addData((ts(1), 1L), (ts(2), 2L), (ts(3), 7L))
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("enrich").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    assert(got == Seq((1L, "gold"), (2L, "basic"), (7L, "unknown")), s"got $got")
+  }
+
   test("stream-stream inner join within watermark") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
