@@ -3035,7 +3035,236 @@ object Catalog {
              |                LATERAL unnest(list_distinct(
              |                  string_split_regex(trim(text), '\s+'))) AS u(t))
              |SELECT term, count(*) AS df, list(doc_id ORDER BY doc_id) AS postings
-             |FROM t GROUP BY term ORDER BY term""".stripMargin))
+             |FROM t GROUP BY term ORDER BY term""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Q98: prefix-filtered set-similarity join (AllPairs/PPJoin
+    // family) — the EXACT-recall scale path for q32's all-pairs
+    // Jaccard. Each document contributes only its |d|-⌈t·|d|⌉+1
+    // globally-rarest shingles (rarest-first total order = (df,
+    // shingle)); any pair with J ≥ t provably shares a prefix token,
+    // so candidates come from an equi-join on rare shingles — near-
+    // linear on real corpora — instead of the O(n²) cross product,
+    // and unlike MinHash (q33) the guarantee is exact, so this query
+    // hash-matches the all-pairs oracle. One agg for df, one per-doc
+    // window for prefix ranks, one candidate equi-join, one verify
+    // join.
+    Query(
+      "q98_prefix_filter_neardup",
+      (s, dir) => {
+        import s.implicits._
+        val thr = 0.5
+        val docs = t(s, dir, "documents")
+          .select($"doc_id", array_distinct(TF.shingles($"text", 3)).as("sh"))
+        val ex = docs.select($"doc_id", size($"sh").as("n"), explode($"sh").as("shingle"))
+        val dfreq = ex.groupBy($"shingle").agg(count(lit(1)).as("df"))
+        val prefix = ex.join(dfreq, "shingle")
+          .withColumn("rn", row_number().over(
+            Window.partitionBy($"doc_id").orderBy($"df", $"shingle")))
+          .filter($"rn" <= $"n" - ceil($"n" * thr) + 1)
+          .select($"doc_id", $"shingle")
+        val cand = prefix.as("a").join(prefix.as("b"),
+            $"a.shingle" === $"b.shingle" && $"a.doc_id" < $"b.doc_id")
+          .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+          .dropDuplicates("doc_a", "doc_b")
+        val sa = docs.select($"doc_id".as("doc_a"), $"sh".as("sha"))
+        val sb = docs.select($"doc_id".as("doc_b"), $"sh".as("shb"))
+        cand.join(sa, "doc_a").join(sb, "doc_b")
+          .withColumn("jaccard",
+            size(array_intersect($"sha", $"shb")).cast("double") /
+            size(array_union($"sha", $"shb")))
+          .filter($"jaccard" >= thr)
+          .select($"doc_a", $"doc_b", round($"jaccard", 4).as("jaccard_r"))
+          .orderBy($"doc_a", $"doc_b")
+      },
+      // Exact recall ⇒ the oracle is the same all-pairs SQL as q32.
+      Some("""WITH tk AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM documents),
+             |sh AS (SELECT doc_id, list_distinct(list_transform(
+             |         generate_series(1, len(tk) - 2),
+             |         i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh FROM tk)
+             |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             |       round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+             |             len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard_r
+             |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+             |WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
+             |      len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+             |ORDER BY doc_a, doc_b""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Q99: corpus-mix drift — Jensen-Shannon divergence of each
+    // source's token distribution against the whole corpus. The
+    // monitoring signal a training-data pipeline watches when a new
+    // crawl shifts the mix. Exact (no smoothing needed: the corpus
+    // mixture has full support wherever either side is nonzero);
+    // absent tokens contribute q·ln2 through the dense source×vocab
+    // grid. Two token aggs + one grid join; vocab is the only
+    // broadcast-sized side, facts never shuffle twice.
+    Query(
+      "q99_token_drift",
+      (s, dir) => {
+        import s.implicits._
+        val tok = t(s, dir, "documents")
+          .select($"source", explode(TF.tokens($"text")).as("tk"))
+        val sc = tok.groupBy($"source", $"tk").agg(count(lit(1)).as("c"))
+        val st = sc.groupBy($"source").agg(sum($"c").as("ns"))
+        val vocab = sc.groupBy($"tk").agg(sum($"c").as("cc"))
+        val tot = vocab.agg(sum($"cc").as("n"))
+        val grid = st.crossJoin(broadcast(vocab)).crossJoin(broadcast(tot))
+        val j = grid.join(sc, Seq("source", "tk"), "left")
+          .select($"source",
+            (coalesce($"c", lit(0L)).cast("double") / $"ns").as("p"),
+            ($"cc".cast("double") / $"n").as("q"))
+        j.groupBy($"source")
+          .agg(round(sum(
+            when($"p" > 0, lit(0.5) * $"p" * log(lit(2.0) * $"p" / ($"p" + $"q")))
+              .otherwise(lit(0.0))
+            + lit(0.5) * $"q" * log(lit(2.0) * $"q" / ($"p" + $"q"))), 4).as("js_div"))
+          .orderBy($"source")
+      },
+      Some("""WITH tok AS (SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS tk
+             |             FROM documents),
+             |sc AS (SELECT source, tk, count(*) AS c FROM tok GROUP BY 1, 2),
+             |st AS (SELECT source, sum(c) AS ns FROM sc GROUP BY 1),
+             |vocab AS (SELECT tk, sum(c) AS cc FROM sc GROUP BY 1),
+             |tot AS (SELECT sum(cc) AS n FROM vocab),
+             |j AS (SELECT st.source,
+             |             coalesce(s.c, 0)::DOUBLE / st.ns AS p,
+             |             v.cc::DOUBLE / t.n AS q
+             |      FROM st CROSS JOIN vocab v CROSS JOIN tot t
+             |      LEFT JOIN sc s ON st.source = s.source AND v.tk = s.tk)
+             |SELECT source, round(sum(
+             |         CASE WHEN p > 0 THEN 0.5 * p * ln(2 * p / (p + q)) ELSE 0 END
+             |         + 0.5 * q * ln(2 * q / (p + q))), 4) AS js_div
+             |FROM j GROUP BY source ORDER BY source""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Q100: one weighted PageRank iteration over the customer-nation →
+    // supplier-nation trade graph. The edge build is the heavy part
+    // (lineitem⋈orders is the only big shuffle; customer/supplier/
+    // nation broadcast) and collapses to nation×nation grain (≤625
+    // rows) before any rank math, so the iteration itself is
+    // metadata-sized — the standard shape for iterating on a graph
+    // whose edge *construction* is the 100 TB step.
+    Query(
+      "q100_pagerank_step",
+      (s, dir) => {
+        import s.implicits._
+        val edges = t(s, dir, "lineitem")
+          .select($"l_orderkey", $"l_suppkey")
+          .join(t(s, dir, "orders").select($"o_orderkey", $"o_custkey"),
+                $"l_orderkey" === $"o_orderkey")
+          .join(broadcast(t(s, dir, "customer").select($"c_custkey", $"c_nationkey")),
+                $"o_custkey" === $"c_custkey")
+          .join(broadcast(t(s, dir, "supplier").select($"s_suppkey", $"s_nationkey")),
+                $"l_suppkey" === $"s_suppkey")
+          .groupBy($"c_nationkey".as("un"), $"s_nationkey".as("vn"))
+          .agg(count(lit(1)).as("w"))
+        val nodes = t(s, dir, "nation").select($"n_nationkey", $"n_name")
+        val nN = nodes.agg(count(lit(1)).cast("double").as("nn"))
+        val outd = edges.groupBy($"un").agg(sum($"w").as("wout"))
+        val contrib = edges.join(outd, "un").crossJoin(broadcast(nN))
+          .groupBy($"vn")
+          .agg(sum((lit(1.0) / $"nn") * $"w" / $"wout").as("cin"))
+        nodes.join(contrib, $"n_nationkey" === $"vn", "left")
+          .crossJoin(broadcast(nN))
+          .select($"n_name",
+            round(lit(0.15) / $"nn" + lit(0.85) * coalesce($"cin", lit(0.0)), 6).as("pr"))
+          .orderBy($"n_name")
+      },
+      Some("""WITH e AS (SELECT c.c_nationkey AS un, s.s_nationkey AS vn, count(*) AS w
+             |           FROM lineitem l
+             |           JOIN orders o ON l.l_orderkey = o.o_orderkey
+             |           JOIN customer c ON o.o_custkey = c.c_custkey
+             |           JOIN supplier s ON l.l_suppkey = s.s_suppkey
+             |           GROUP BY 1, 2),
+             |nn AS (SELECT count(*)::DOUBLE AS nn FROM nation),
+             |outd AS (SELECT un, sum(w) AS wout FROM e GROUP BY 1),
+             |contrib AS (SELECT e.vn, sum((1.0 / nn.nn) * e.w / o.wout) AS cin
+             |            FROM e JOIN outd o ON e.un = o.un CROSS JOIN nn GROUP BY 1)
+             |SELECT n.n_name, round(0.15 / nn.nn + 0.85 * coalesce(c.cin, 0), 6) AS pr
+             |FROM nation n LEFT JOIN contrib c ON n.n_nationkey = c.vn CROSS JOIN nn
+             |ORDER BY n.n_name""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Q101: hopping (sliding) window counts, batch form — 1 h windows
+    // every 15 min. Spark's `window(ts, "1 hour", "15 minutes")`
+    // expands each event to its 4 covering windows map-side (a
+    // Generate, no join against a window-domain table), then one
+    // aggregation shuffle; the streaming twin is the same expression
+    // under `readStream` + watermark (StreamingWindowsSpec).
+    Query(
+      "q101_hopping_window",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "events")
+          .select($"event_type", window($"ts", "1 hour", "15 minutes").as("w"))
+          .groupBy($"w.start".as("w_start"), $"event_type")
+          .agg(count(lit(1)).as("n"))
+          .orderBy($"w_start", $"event_type")
+      },
+      Some("""WITH w AS (SELECT event_type,
+             |                  unnest(generate_series(
+             |                    time_bucket(INTERVAL 15 MINUTES, ts) - INTERVAL 45 MINUTES,
+             |                    time_bucket(INTERVAL 15 MINUTES, ts),
+             |                    INTERVAL 15 MINUTES)) AS w_start
+             |           FROM events)
+             |SELECT w_start, event_type, count(*) AS n
+             |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Q102: scalar-quantized (int8) ANN with asymmetric rescoring —
+    // embeddings stored as int8 codes + one float scale per vector
+    // (4× smaller than float32: at 100 TB that is 4× less scan I/O
+    // and 4× more vectors per broadcast/shuffle byte). Queries stay
+    // float; the shortlist ranks on the dequantized dot, then the
+    // exact cosine rescores shortlist×queries only. Shortlist depth
+    // 25 ≫ k=5 makes the max-rank-error budget generous (int8 dot
+    // error ~1e-2 relative; observed top-5 identical to exact), so
+    // the output hash-matches q13's exact-oracle SQL.
+    Query(
+      "q102_int8_ann",
+      (s, dir) => {
+        import s.implicits._
+        val e = t(s, dir, "embeddings")
+          .select($"vec_id", VF.asDouble($"embedding").as("v"))
+        // int8 quantization: per-vector scale, codes in [-127, 127]
+        val qd = e.select($"vec_id", $"v",
+            (array_max(transform($"v", x => abs(x))) / 127.0).as("scale"))
+          .select($"vec_id", $"v", $"scale",
+            transform($"v", x => round(x / $"scale").cast("int")).as("code"))
+        val queries = e.filter($"vec_id" < 10)
+          .select($"vec_id".as("qid"), $"v".as("qv"))
+          .withColumn("qnrm", sqrt(VF.dot($"qv", $"qv")))
+        // shortlist on the dequantized dot (scale * <code, qv>)
+        val approx = qd.join(broadcast(queries), $"vec_id" =!= $"qid")
+          .select($"qid", $"vec_id".as("nid"), $"qv", $"qnrm", $"v".as("nv"),
+            ($"scale" * VF.dot($"code".cast("array<double>"), $"qv")).as("ascore"))
+        val wA = Window.partitionBy($"qid").orderBy($"ascore".desc, $"nid")
+        val shortlist = approx
+          .withColumn("arank", row_number().over(wA))
+          .filter($"arank" <= 25)
+        // exact rescore on shortlist only
+        val wE = Window.partitionBy($"qid").orderBy($"sim".desc, $"nid")
+        shortlist
+          .select($"qid", $"nid",
+            (VF.dot($"qv", $"nv") / ($"qnrm" * sqrt(VF.dot($"nv", $"nv")))).as("sim"))
+          .withColumn("rank", row_number().over(wE).cast("long"))
+          .filter($"rank" <= 5)
+          .select($"qid", $"nid", $"rank", round($"sim", 4).as("sim_r"))
+          .orderBy($"qid", $"rank")
+      },
+      // Oracle: the EXACT brute-force top-5 (same as q13) — the
+      // quantized shortlist must not lose a true neighbor.
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |s AS (SELECT q.vec_id AS qid, c.vec_id AS nid,
+             |             list_dot_product(q.v, c.v) /
+             |               (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS sim
+             |      FROM e q JOIN e c ON c.vec_id <> q.vec_id WHERE q.vec_id < 10),
+             |r AS (SELECT qid, nid, sim,
+             |             row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+             |      FROM s)
+             |SELECT qid, nid, rank, round(sim, 4) AS sim_r FROM r WHERE rank <= 5
+             |ORDER BY qid, rank""".stripMargin))
   )
 
   val byName: Map[String, Query] = all.map(q => q.name -> q).toMap
