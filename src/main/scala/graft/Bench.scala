@@ -12,6 +12,9 @@ import graft.queries.Catalog
   */
 object Bench {
   def main(args: Array[String]): Unit = {
+    // Optional args = subset of query names (dev iteration); the
+    // driver invokes with no args and gets the full headline set.
+    val subset: Set[String] = args.toSet
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = graft.engine.Graft.builder(s"local[$cpus]", cpus.toInt)
@@ -28,7 +31,9 @@ object Bench {
     // new plan shape pays one-time janino codegen compilation (~1-4s),
     // which a long-lived cluster amortizes to zero; the steady-state
     // number is the scale-relevant one.
-    val results = Catalog.headline.map { q =>
+    val results = Catalog.headline
+      .filter(q => subset.isEmpty || subset(q.name))
+      .map { q =>
       def once(): Double = {
         val t0 = System.nanoTime()
         q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
