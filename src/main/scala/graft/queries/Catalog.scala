@@ -3285,7 +3285,87 @@ object Catalog {
              |             row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
              |      FROM s)
              |SELECT qid, nid, rank, round(sim, 4) AS sim_r FROM r WHERE rank <= 5
-             |ORDER BY qid, rank""".stripMargin))
+             |ORDER BY qid, rank""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Q103: semantic near-dup pairs — documents whose embeddings are
+    // close (cosine ≥ 0.4) but whose normalized text fingerprints
+    // DIFFER: the paraphrase/translation duplicates that lexical
+    // dedup (q12/q32) cannot see, tagged cross-lang/cross-source.
+    // Joins the `documents` and `embeddings` tables on doc identity
+    // (broadcast — metadata side is narrow), then the q21-style
+    // all-pairs cosine with precomputed norms; at corpus scale the
+    // pair generator swaps for the LSH/IVF candidate path (q22/q44)
+    // with this same verify.
+    Query(
+      "q103_semantic_dedup",
+      (s, dir) => {
+        import s.implicits._
+        val meta = t(s, dir, "documents")
+          .select($"doc_id", $"lang", $"source", TF.fingerprint($"text").as("fp"))
+        val e = t(s, dir, "embeddings")
+          .select($"vec_id", VF.asDouble($"embedding").as("v"))
+          .withColumn("nrm", sqrt(VF.dot($"v", $"v")))
+          .join(broadcast(meta), $"vec_id" === $"doc_id")
+        val a = e.select($"doc_id".as("doc_a"), $"v".as("va"), $"nrm".as("na"),
+          $"lang".as("lang_a"), $"source".as("src_a"), $"fp".as("fp_a"))
+        val b = e.select($"doc_id".as("doc_b"), $"v".as("vb"), $"nrm".as("nb"),
+          $"lang".as("lang_b"), $"source".as("src_b"), $"fp".as("fp_b"))
+        a.join(broadcast(b), $"doc_a" < $"doc_b")
+          .withColumn("sim", VF.dot($"va", $"vb") / ($"na" * $"nb"))
+          .filter($"sim" >= 0.4 && $"fp_a" =!= $"fp_b")
+          .select($"doc_a", $"doc_b", round($"sim", 4).as("sim_r"),
+            ($"lang_a" =!= $"lang_b").as("cross_lang"),
+            ($"src_a" =!= $"src_b").as("cross_source"))
+          .orderBy($"doc_a", $"doc_b")
+      },
+      Some("""WITH m AS (SELECT doc_id, lang, source,
+             |                  md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+             |           FROM documents),
+             |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |j AS (SELECT m.doc_id, m.lang, m.source, m.fp, e.v,
+             |             sqrt(list_dot_product(e.v, e.v)) AS nrm
+             |      FROM e JOIN m ON e.vec_id = m.doc_id)
+             |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             |       round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS sim_r,
+             |       a.lang <> b.lang AS cross_lang,
+             |       a.source <> b.source AS cross_source
+             |FROM j a JOIN j b ON a.doc_id < b.doc_id
+             |WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.4
+             |  AND a.fp <> b.fp
+             |ORDER BY doc_a, doc_b""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Q104: SCD Type-2 dimension build — each entity's change stream
+    // becomes versioned rows with [valid_from, valid_to) intervals,
+    // version numbers and a current flag, via lead() over one per-
+    // entity window (single shuffle on user_id). The batch spelling
+    // of the CDC latest-wins view's full history; the streaming twin
+    // appends versions from `CdcStream` deltas with the same window
+    // run per micro-batch key slice.
+    Query(
+      "q104_scd2_build",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        t(s, dir, "events")
+          .select($"user_id", $"event_id", $"ts", $"value")
+          .withColumn("valid_from", $"ts")
+          .withColumn("valid_to", lead($"ts", 1).over(w))
+          .withColumn("version", row_number().over(w).cast("long"))
+          .withColumn("is_current", $"valid_to".isNull)
+          .select($"user_id", $"event_id", round($"value", 4).as("value"),
+            $"valid_from", $"valid_to", $"version", $"is_current")
+          .orderBy($"user_id", $"version")
+      },
+      Some("""SELECT user_id, event_id, round(value, 4) AS value,
+             |       ts AS valid_from,
+             |       lead(ts) OVER w AS valid_to,
+             |       row_number() OVER w AS version,
+             |       (lead(ts) OVER w IS NULL) AS is_current
+             |FROM events
+             |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+             |ORDER BY user_id, version""".stripMargin))
   )
 
   val byName: Map[String, Query] = all.map(q => q.name -> q).toMap

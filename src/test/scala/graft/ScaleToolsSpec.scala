@@ -103,4 +103,46 @@ class ScaleToolsSpec extends SparkSpec {
     assert(m("rows_with_text") == 2L, s"got $m")
     assert(m("total_chars") == 18L, s"got $m")
   }
+
+  test("ORC, CSV and JSON sources round-trip the engine's row schema") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    // Interchange-format coverage: parquet is the engine's primary
+    // columnar format (every query reads it), but a complete source
+    // surface also reads/writes ORC (the other columnar on the
+    // classpath), CSV and JSON line files — e.g. raw crawl drops or
+    // exports from engines that don't speak parquet.
+    val dir = Files.createTempDirectory("fmt").toString
+    val df = Seq(
+      (1L, "alpha", 3.5, "2024-01-01 10:00:00"),
+      (2L, "beta", -0.25, "2024-02-03 04:05:06"),
+      (3L, null.asInstanceOf[String], 0.0, "2024-12-31 23:59:59"))
+      .toDF("id", "name", "score", "ts_s")
+      .withColumn("ts", to_timestamp($"ts_s")).drop("ts_s")
+
+    // ORC: schema embedded, types preserved exactly (columnar, splittable)
+    df.write.mode("overwrite").orc(s"$dir/orc")
+    val orc = spark.read.orc(s"$dir/orc")
+    // files can't promise non-null, so the reader relaxes nullability;
+    // names and types must survive exactly
+    assert(orc.schema.map(f => (f.name, f.dataType)) ==
+           df.schema.map(f => (f.name, f.dataType)))
+    assert(orc.orderBy($"id").collect().toSeq == df.orderBy($"id").collect().toSeq)
+
+    // CSV: schema-on-read with an explicit schema (no inference scan —
+    // at 100 TB inference is a full extra pass)
+    df.write.mode("overwrite").option("header", "true")
+      .option("timestampFormat", "yyyy-MM-dd HH:mm:ss").csv(s"$dir/csv")
+    val csvSchema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType),
+      StructField("score", DoubleType), StructField("ts", TimestampType)))
+    val csv = spark.read.schema(csvSchema).option("header", "true")
+      .option("timestampFormat", "yyyy-MM-dd HH:mm:ss").csv(s"$dir/csv")
+    assert(csv.orderBy($"id").collect().toSeq == df.orderBy($"id").collect().toSeq)
+
+    // JSON lines: the envelope-interchange format of the CDC path
+    df.write.mode("overwrite").json(s"$dir/json")
+    val json = spark.read.schema(csvSchema).json(s"$dir/json")
+    assert(json.orderBy($"id").collect().toSeq == df.orderBy($"id").collect().toSeq)
+  }
 }
