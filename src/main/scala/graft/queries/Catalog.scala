@@ -934,6 +934,9 @@ object Catalog {
             $"a.band" === $"b.band" && $"a.doc_id" < $"b.doc_id")
           .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
           .dropDuplicates("doc_a", "doc_b")
+        // Verify on the string shingle sets directly: LSH emits few
+        // candidates here (collision pairs only), so q98's hashed-
+        // verify trick doesn't pay for its extra per-doc hash pass.
         val sa = docs.select($"doc_id".as("doc_a"), $"sh".as("sha"))
         val sb = docs.select($"doc_id".as("doc_b"), $"sh".as("shb"))
         cand.join(sa, "doc_a").join(sb, "doc_b")
@@ -3365,7 +3368,48 @@ object Catalog {
              |       (lead(ts) OVER w IS NULL) AS is_current
              |FROM events
              |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-             |ORDER BY user_id, version""".stripMargin))
+             |ORDER BY user_id, version""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Q105: skyline / Pareto frontier — orders not dominated on
+    // (minimize o_totalprice, maximize o_orderdate): the "no other
+    // order is both cheaper and at least as recent" frontier, the
+    // shape used for quality-vs-cost data selection. Plan: collapse
+    // to one representative per price (groupBy price, max date), one
+    // ordered window over the collapsed frame computes the strictly-
+    // cheaper running date max, join back — O(n log n) and exact
+    // under ties, vs the O(n²) NOT-EXISTS dominance join the oracle
+    // runs. The collapsed window is a single ordered task over
+    // |distinct prices| rows; at 100 TB, range-partition by price,
+    // take per-partition local skylines, and prefix-max merge the
+    // partition maxima — same operators, no single-task stage.
+    Query(
+      "q105_skyline",
+      (s, dir) => {
+        import s.implicits._
+        val o = t(s, dir, "orders")
+          .select($"o_orderkey", $"o_totalprice", $"o_orderdate")
+        val g = o.groupBy($"o_totalprice").agg(max($"o_orderdate").as("dmax"))
+        val wg = Window.orderBy($"o_totalprice")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val gg = g.withColumn("prevmax", max($"dmax").over(wg))
+        o.join(broadcast(gg), "o_totalprice")
+          // dominated: a strictly cheaper order at >= this date, or a
+          // same-price order strictly later
+          .filter(!(coalesce($"prevmax" >= $"o_orderdate", lit(false)) ||
+                    $"dmax" > $"o_orderdate"))
+          .select($"o_orderkey", $"o_totalprice", $"o_orderdate")
+          .orderBy($"o_totalprice", $"o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_totalprice, o_orderdate
+             |FROM orders a
+             |WHERE NOT EXISTS (
+             |  SELECT 1 FROM orders b
+             |  WHERE b.o_totalprice <= a.o_totalprice
+             |    AND b.o_orderdate >= a.o_orderdate
+             |    AND (b.o_totalprice < a.o_totalprice
+             |         OR b.o_orderdate > a.o_orderdate))
+             |ORDER BY o_totalprice, o_orderkey""".stripMargin))
   )
 
   val byName: Map[String, Query] = all.map(q => q.name -> q).toMap
