@@ -3409,7 +3409,175 @@ object Catalog {
              |    AND b.o_orderdate >= a.o_orderdate
              |    AND (b.o_totalprice < a.o_totalprice
              |         OR b.o_orderdate > a.o_orderdate))
-             |ORDER BY o_totalprice, o_orderkey""".stripMargin))
+             |ORDER BY o_totalprice, o_orderkey""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Q106: group-wise linear regression — per event_type OLS of value
+    // on time (days since epoch) via the built-in regr_* aggregates:
+    // slope/intercept/R² from one pass of moment sums (constant
+    // partial state, map-side combinable — the same mergeable-moments
+    // contract as q37's corr/stddev).
+    Query(
+      "q106_group_regression",
+      (s, dir) => {
+        import s.implicits._
+        // x in days since 2024-01-01, not since the 1970 epoch: the
+        // intercept extrapolates to x=0, so a far origin multiplies
+        // slope rounding error ~20000x (observed: 1e-3 drift vs the
+        // oracle at epoch origin — enough to break the hash compare).
+        val origin = lit("2024-01-01 00:00:00").cast("timestamp")
+        t(s, dir, "events")
+          .select($"event_type",
+            ((unix_timestamp($"ts") - unix_timestamp(origin)).cast("double") / 86400.0).as("x"),
+            $"value".as("y"))
+          .groupBy($"event_type")
+          .agg(count(lit(1)).as("n"),
+            round(expr("regr_slope(y, x)"), 4).as("slope"),
+            round(expr("regr_intercept(y, x)"), 4).as("intercept"),
+            round(expr("regr_r2(y, x)"), 4).as("r2"))
+          .orderBy($"event_type")
+      },
+      Some("""SELECT event_type, count(*) AS n,
+             |       round(regr_slope(value, (epoch(ts) - epoch(TIMESTAMP '2024-01-01')) / 86400.0), 4) AS slope,
+             |       round(regr_intercept(value, (epoch(ts) - epoch(TIMESTAMP '2024-01-01')) / 86400.0), 4) AS intercept,
+             |       round(regr_r2(value, (epoch(ts) - epoch(TIMESTAMP '2024-01-01')) / 86400.0), 4) AS r2
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Q107: sparse TF-IDF cosine similarity join — lexical semantic
+    // similarity WITHOUT dense vectors: weights live as (doc, term, w)
+    // triples, the pairwise dot product is a self-join on term + one
+    // sum per pair (inverted-index join, q97's layout as a similarity
+    // engine). High-df terms are pruned (df ≤ 10% of docs — after idf
+    // they carry ~no weight but would quadratically dominate the term
+    // join: the classic stopword blowup), df=1 terms can't pair.
+    // Pair volume measured: 31k rows at sf0.1 — candidates scale with
+    // shared-rare-term mass, not n².
+    Query(
+      "q107_sparse_cosine",
+      (s, dir) => {
+        import s.implicits._
+        val tf = t(s, dir, "documents")
+          .select($"doc_id", explode(TF.tokens($"text")).as("term"))
+          .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+        val dfreq = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+        val nd = tf.agg(countDistinct($"doc_id").as("n"))
+        val w = tf.join(dfreq, "term").crossJoin(broadcast(nd))
+          .filter($"df" <= lit(0.1) * $"n" && $"df" > 1)
+          .select($"doc_id", $"term",
+            ($"tf" * log($"n".cast("double") / $"df")).as("w"))
+        val nrm = w.groupBy($"doc_id").agg(sqrt(sum($"w" * $"w")).as("nrm"))
+        val dots = w.as("a").join(w.as("b"),
+            $"a.term" === $"b.term" && $"a.doc_id" < $"b.doc_id")
+          .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+          .agg(sum($"a.w" * $"b.w").as("dot"))
+        dots
+          .join(nrm.select($"doc_id".as("doc_a"), $"nrm".as("na")), "doc_a")
+          .join(nrm.select($"doc_id".as("doc_b"), $"nrm".as("nb")), "doc_b")
+          .withColumn("cos", $"dot" / ($"na" * $"nb"))
+          .filter($"cos" >= 0.3)
+          .select($"doc_a", $"doc_b", round($"cos", 4).as("cos_r"))
+          .orderBy($"doc_a", $"doc_b")
+      },
+      Some("""WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+             |             FROM documents),
+             |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+             |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+             |nd AS (SELECT count(DISTINCT doc_id) AS n FROM tf),
+             |w AS (SELECT tf.doc_id, tf.term, tf.tf * ln(nd.n::DOUBLE / df.df) AS w
+             |      FROM tf JOIN df USING (term) CROSS JOIN nd
+             |      WHERE df.df <= 0.1 * nd.n AND df.df > 1),
+             |nrm AS (SELECT doc_id, sqrt(sum(w*w)) AS nrm FROM w GROUP BY 1),
+             |dots AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, sum(a.w * b.w) AS dot
+             |         FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+             |         GROUP BY 1, 2)
+             |SELECT doc_a, doc_b,
+             |       round(dot / (na.nrm * nb.nrm), 4) AS cos_r
+             |FROM dots JOIN nrm na ON dots.doc_a = na.doc_id
+             |          JOIN nrm nb ON dots.doc_b = nb.doc_id
+             |WHERE dot / (na.nrm * nb.nrm) >= 0.3
+             |ORDER BY doc_a, doc_b""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Q108: co-occurrence lift (market-basket association) — for every
+    // pair of event types, lift = P(both)/（P(a)·P(b)) over users.
+    // Everything collapses to user×type grain (distinct) before the
+    // pair join, so the join moves ≤ |users|·|types| rows and the
+    // output is |types|² — the corpus never self-joins.
+    Query(
+      "q108_basket_lift",
+      (s, dir) => {
+        import s.implicits._
+        val ut = t(s, dir, "events")
+          .select($"user_id", $"event_type").distinct()
+        val nu = ut.agg(countDistinct($"user_id").cast("double").as("nu"))
+        val tn = ut.groupBy($"event_type").agg(count(lit(1)).as("n_t"))
+        val pairs = ut.as("a").join(ut.as("b"),
+            $"a.user_id" === $"b.user_id" && $"a.event_type" < $"b.event_type")
+          .groupBy($"a.event_type".as("type_a"), $"b.event_type".as("type_b"))
+          .agg(count(lit(1)).as("n_both"))
+        pairs
+          .crossJoin(broadcast(nu))
+          .join(broadcast(tn.select($"event_type".as("type_a"), $"n_t".as("na"))), "type_a")
+          .join(broadcast(tn.select($"event_type".as("type_b"), $"n_t".as("nb"))), "type_b")
+          .select($"type_a", $"type_b", $"n_both",
+            round(($"n_both" * $"nu") / ($"na" * $"nb"), 4).as("lift"))
+          .orderBy($"type_a", $"type_b")
+      },
+      Some("""WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+             |nu AS (SELECT count(DISTINCT user_id)::DOUBLE AS nu FROM ut),
+             |tn AS (SELECT event_type, count(*) AS n_t FROM ut GROUP BY 1),
+             |p AS (SELECT a.event_type AS type_a, b.event_type AS type_b, count(*) AS n_both
+             |      FROM ut a JOIN ut b ON a.user_id = b.user_id
+             |                        AND a.event_type < b.event_type
+             |      GROUP BY 1, 2)
+             |SELECT type_a, type_b, n_both,
+             |       round(n_both * nu.nu / (na.n_t * nb.n_t), 4) AS lift
+             |FROM p CROSS JOIN nu
+             |       JOIN tn na ON p.type_a = na.event_type
+             |       JOIN tn nb ON p.type_b = nb.event_type
+             |ORDER BY type_a, type_b""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Q109: RAG chunking — overlapping sliding token windows (size 50,
+    // stride 25) per document, each chunk fingerprinted for the
+    // retrieval index. Chunk expansion is map-side (sequence+explode
+    // over token arrays; a Generate, no join), chunk count =
+    // 1 + ceil(max(0, n−50)/25) so the tail is always covered; the
+    // overlap means chunk boundaries never cut a passage in half —
+    // q81's aligned chunks are the dedup spelling, these are the
+    // retrieval spelling.
+    Query(
+      "q109_chunk_overlap",
+      (s, dir) => {
+        import s.implicits._
+        val size_ = 50
+        val stride = 25
+        t(s, dir, "documents")
+          .select($"doc_id", TF.tokens($"text").as("tk"))
+          .withColumn("n", size($"tk").cast("long"))
+          .withColumn("nchunks",
+            lit(1L) + ceil(greatest($"n" - size_, lit(0L)).cast("double") / stride).cast("long"))
+          .select($"doc_id", $"n", $"tk",
+            explode(sequence(lit(0L), $"nchunks" - 1)).as("chunk_id"))
+          .select($"doc_id", $"chunk_id",
+            slice($"tk", ($"chunk_id" * stride + 1).cast("int"), lit(size_)).as("chunk"))
+          .select($"doc_id", $"chunk_id",
+            size($"chunk").cast("long").as("n_tokens"),
+            md5(concat_ws(" ", $"chunk")).as("chunk_fp"))
+          .orderBy($"doc_id", $"chunk_id")
+      },
+      Some("""WITH tk AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+             |            FROM documents),
+             |c AS (SELECT doc_id, tk, len(tk) AS n,
+             |             1 + ceil(greatest(len(tk) - 50, 0) / 25.0)::BIGINT AS nchunks
+             |      FROM tk),
+             |e AS (SELECT doc_id, tk, n, unnest(generate_series(0, nchunks - 1)) AS chunk_id
+             |      FROM c)
+             |SELECT doc_id, chunk_id,
+             |       len(tk[chunk_id * 25 + 1 : least(chunk_id * 25 + 50, n)])::BIGINT AS n_tokens,
+             |       md5(array_to_string(tk[chunk_id * 25 + 1 : least(chunk_id * 25 + 50, n)], ' ')) AS chunk_fp
+             |FROM e ORDER BY doc_id, chunk_id""".stripMargin))
   )
 
   val byName: Map[String, Query] = all.map(q => q.name -> q).toMap
