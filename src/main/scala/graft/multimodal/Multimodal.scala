@@ -114,4 +114,28 @@ object Multimodal {
   /** End-to-end: documents -> payloads -> decoded features table. */
   def pipeline(spark: SparkSession, documents: DataFrame): DataFrame =
     decodeStub(fromDocuments(documents)).toDF()
+
+  /** Perceptual average-hash (aHash) of a media payload: 64 evenly-
+    * spaced samples, bit i = sample i above the sample mean. STUB for
+    * a real DCT pHash over decoded pixels, but the dedup contract is
+    * the real one: near-identical payloads land within a small
+    * Hamming distance, so image near-dup dedup reuses the SimHash
+    * machinery unchanged (16-bit block bucketing + `graft_hamming64`
+    * verify, exactly q17's plan over `phash` instead of `simhash`).
+    */
+  def avgHash64(media: Dataset[MediaRecord]): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.map { rec =>
+      val n = rec.payload.length
+      val samples = Array.tabulate(64) { i =>
+        if (n == 0) 0 else rec.payload(((i.toLong * n) / 64).toInt) & 0xFF
+      }
+      val mean = samples.sum.toDouble / 64
+      val hash = samples.zipWithIndex.foldLeft(0L) { case (acc, (s, i)) =>
+        if (s > mean) acc | (1L << i) else acc
+      }
+      (rec.doc_id, hash)
+    }.toDF("doc_id", "phash")
+  }
 }

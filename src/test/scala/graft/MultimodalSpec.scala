@@ -77,4 +77,27 @@ class MultimodalSpec extends SparkSpec {
     // endpoints preserved by linear interpolation
     assert(resized.features.head == src.head && resized.features.last == src.last)
   }
+
+  test("perceptual average-hash clusters near-identical payloads") {
+    import spark.implicits._
+    import graft.functions.{TextFunctions => TF}
+    val base = "the quick brown fox jumps over the lazy dog " * 20
+    val docs = Seq(
+      (1L, base),                          // original
+      (2L, base),                          // exact duplicate
+      (3L, base.replace("quick", "quack")),// near-duplicate
+      (4L, base.reverse)                   // different content
+    ).toDF("doc_id", "text")
+    val hashed = Multimodal.avgHash64(Multimodal.fromDocuments(docs))
+    val h = hashed.as[(Long, Long)].collect().toMap
+    assert(h(1L) == h(2L), "identical payloads must hash identically")
+    // near-dup within a small Hamming radius, distinct content far away
+    val near = hashed.as("a").join(hashed.as("b"), $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id", $"b.doc_id",
+        TF.hamming64($"a.phash", $"b.phash").as("d"))
+      .as[(Long, Long, Long)].collect()
+      .map { case (a, b, d) => (a, b) -> d }.toMap
+    assert(near((1L, 3L)) <= 8, s"near-dup too far: ${near((1L, 3L))}")
+    assert(near((1L, 4L)) > 8, s"distinct content too close: ${near((1L, 4L))}")
+  }
 }

@@ -145,4 +145,38 @@ class ScaleToolsSpec extends SparkSpec {
     val json = spark.read.schema(csvSchema).json(s"$dir/json")
     assert(json.orderBy($"id").collect().toSeq == df.orderBy($"id").collect().toSeq)
   }
+
+  test("z-order layout prunes 2-D box queries where a linear sort cannot") {
+    import spark.implicits._
+    import graft.functions.ZOrder
+    // 64x64 grid of points; files = 16 equal row ranges after sorting.
+    // A file can be skipped for a box query iff its [min,max] envelope
+    // on x AND y misses the box — exactly what parquet row-group /
+    // manifest min-max stats give a scan planner for free.
+    val pts = (for { x <- 0 until 64; y <- 0 until 64 } yield (x, y))
+      .toDF("x", "y")
+    def fileEnvelopes(sorted: org.apache.spark.sql.DataFrame) = {
+      sorted
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy($"sk", $"x", $"y")))
+        .withColumn("file", (($"rn" - 1) / lit(256)).cast("int")) // 4096/16
+        .groupBy($"file")
+        .agg(min($"x").as("x0"), max($"x").as("x1"),
+             min($"y").as("y0"), max($"y").as("y1"))
+        .collect()
+        .map(r => (r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4)))
+    }
+    // box query: x in [8,15], y in [8,15] (1.5% of the domain)
+    def survivors(env: Array[(Int, Int, Int, Int)]): Int =
+      env.count { case (x0, x1, y0, y1) =>
+        x1 >= 8 && x0 <= 15 && y1 >= 8 && y0 <= 15 }
+
+    val zEnv = fileEnvelopes(pts.withColumn("sk", ZOrder.zValue($"x", $"y", 6)))
+    val linEnv = fileEnvelopes(pts.withColumn("sk", $"x".cast("long")))
+    // linear-by-x: every x-matching file spans all of y -> no y pruning;
+    // z-order: both dims tight -> the box touches very few files
+    assert(survivors(zEnv) < survivors(linEnv),
+      s"z-order should prune harder: z=${survivors(zEnv)} linear=${survivors(linEnv)}")
+    assert(survivors(zEnv) <= 2, s"z-order box should hit <=2 of 16 files, got ${survivors(zEnv)}")
+  }
 }
