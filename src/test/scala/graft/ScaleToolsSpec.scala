@@ -146,6 +146,26 @@ class ScaleToolsSpec extends SparkSpec {
     assert(json.orderBy($"id").collect().toSeq == df.orderBy($"id").collect().toSeq)
   }
 
+  test("schema evolution: mergeSchema unions parquet batches written years apart") {
+    import spark.implicits._
+    // A 100 TB fact table accretes columns over years; old files must
+    // stay readable with new columns null-filled, without a rewrite.
+    val dir = Files.createTempDirectory("evo").toString + "/facts"
+    Seq((1L, "a")).toDF("id", "v1")
+      .write.parquet(s"$dir/p_date=2023-01-01")
+    Seq((2L, "b", 9.5)).toDF("id", "v1", "v2_added_later")
+      .write.parquet(s"$dir/p_date=2024-01-01")
+
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.toSet == Set("id", "v1", "v2_added_later", "p_date"))
+    val rows = merged.orderBy($"id")
+      .select($"id", $"v1", $"v2_added_later").collect()
+    assert(rows(0).getLong(0) == 1L && rows(0).isNullAt(2), rows.toSeq)
+    assert(rows(1).getDouble(2) == 9.5, rows.toSeq)
+    // pushdown still reaches the evolved scan: filter on the new column
+    assert(merged.filter($"v2_added_later" > 5).count() == 1)
+  }
+
   test("z-order layout prunes 2-D box queries where a linear sort cannot") {
     import spark.implicits._
     import graft.functions.ZOrder

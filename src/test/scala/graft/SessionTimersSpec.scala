@@ -77,4 +77,30 @@ class SessionTimersSpec extends SparkSpec {
       .find(_.user_id == 1L).get
     assert(s.n_events == 3, s)
   }
+
+  test("MapState + bounded ListState maintain per-user profiles") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.streaming.ProfileState
+    import graft.streaming.ProfileState.{Ev, Profile}
+
+    val ms = MemoryStream[Ev]
+    val q = ProfileState.profiles(ms.toDS(), keepLast = 3)
+      .writeStream.format("memory").queryName("prof")
+      .outputMode("update").start()
+
+    ms.addData(Ev(1, "view", 1.0), Ev(1, "click", 2.0))
+    q.processAllAvailable()
+    ms.addData(Ev(1, "view", 3.0), Ev(1, "view", 4.0), Ev(2, "buy", 9.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val out = spark.table("prof").as[Profile].collect()
+    val u1 = out.filter(_.user_id == 1L).maxBy(_.total)
+    // 4 events over 2 types; list bounded to the LAST 3 samples
+    assert(u1.n_types == 2 && u1.total == 4, u1)
+    assert(u1.recent == Seq(2.0, 3.0, 4.0), u1)
+    val u2 = out.find(_.user_id == 2L).get
+    assert(u2.n_types == 1 && u2.total == 1 && u2.recent == Seq(9.0), u2)
+  }
 }
