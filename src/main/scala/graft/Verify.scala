@@ -5,7 +5,10 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // args: <sfDir> <outDir> [queryName...] — an explicit subset runs
+    // only those queries (dev iteration); the driver passes none.
+    val (Array(sfDir, outDir), subsetArr) = args.splitAt(2)
+    val subset: Set[String] = subsetArr.toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // Same pinned session as the bench (AQE, broadcast threshold,
     // UTC): the correctness gate should exercise the same plans that
@@ -22,7 +25,9 @@ object Verify {
     // follows the session's core count so one knob governs both.
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
       math.max(1, math.min(8, cpus.toInt / 4)))
-    val tasks = SparkEntry.queries.toSeq.map { case (name, fn) =>
+    val tasks = SparkEntry.queries.toSeq
+      .filter { case (name, _) => subset.isEmpty || subset(name) }
+      .map { case (name, fn) =>
       pool.submit(new Runnable {
         override def run(): Unit =
           try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

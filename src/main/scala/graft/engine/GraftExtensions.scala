@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{
   BitwiseCount, BitwiseXor, Cast, Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.{IntegerType, LongType}
 
-import graft.functions.{DotProduct, MinHashSignature, SimHash64, WordShingles}
+import graft.functions.{CmsEstimate, DotProduct, MinHashSignature, SimHash64, WordShingles}
 
 /** Registers the engine's custom Catalyst expressions as SQL
   * functions, so the full function surface is reachable from
@@ -20,6 +20,7 @@ import graft.functions.{DotProduct, MinHashSignature, SimHash64, WordShingles}
   *  - `graft_minhash_signature(array<string>, k) -> array<bigint>`
   *  - `graft_simhash64(array<string>) -> bigint`
   *  - `graft_hamming64(bigint, bigint) -> bigint`
+  *  - `graft_cms_estimate(binary, item) -> bigint`
   *
   * `n`/`k` must be integer literals: they size the generated code of
   * the underlying expression, so a per-row value cannot apply.
@@ -79,6 +80,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.length == 2, "graft_hamming64(a, b)")
         Cast(BitwiseCount(BitwiseXor(args(0), args(1))), LongType)
+      }))
+
+    ext.injectFunction((
+      FunctionIdentifier("graft_cms_estimate"),
+      info("graft_cms_estimate",
+        "graft_cms_estimate(sketch, item) - estimated count of item in a count_min_sketch binary"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_cms_estimate(sketch, item)")
+        CmsEstimate(args(0), args(1))
       }))
   }
 }

@@ -3577,7 +3577,226 @@ object Catalog {
              |SELECT doc_id, chunk_id,
              |       len(tk[chunk_id * 25 + 1 : least(chunk_id * 25 + 50, n)])::BIGINT AS n_tokens,
              |       md5(array_to_string(tk[chunk_id * 25 + 1 : least(chunk_id * 25 + 50, n)], ' ')) AS chunk_fp
-             |FROM e ORDER BY doc_id, chunk_id""".stripMargin))
+             |FROM e ORDER BY doc_id, chunk_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Q110: BPE merge step — the inner loop of tokenizer training: the
+    // most frequent adjacent character pairs across the corpus, each a
+    // candidate merge rule. The corpus collapses to VOCAB grain first
+    // (token -> count, one agg shuffle); pair expansion then explodes
+    // |token|-1 positions per DISTINCT token, not per corpus
+    // occurrence — at 100 TB the pair scan is O(|vocab| x avg_len),
+    // invariant to corpus size. Top-20 by a total (n DESC, pair) order
+    // so the limit boundary is deterministic across engines.
+    Query(
+      "q110_bpe_merge",
+      (s, dir) => {
+        import s.implicits._
+        val vocab = t(s, dir, "documents")
+          .select(explode(TF.tokens(lower($"text"))).as("tok"))
+          .groupBy($"tok").agg(count(lit(1)).as("cnt"))
+        vocab
+          .filter(length($"tok") >= 2)
+          .select($"tok", $"cnt",
+            explode(sequence(lit(1), length($"tok") - 1)).as("i"))
+          .select($"tok".substr($"i", lit(2)).as("pair"), $"cnt")
+          .groupBy($"pair").agg(sum($"cnt").as("n"))
+          .orderBy($"n".desc, $"pair")
+          .limit(20)
+      },
+      Some("""WITH tok AS (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+             |             FROM documents),
+             |v AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY 1),
+             |p AS (SELECT substring(tok, i, 2) AS pair, cnt
+             |      FROM (SELECT tok, cnt, unnest(generate_series(1, length(tok) - 1)) AS i
+             |            FROM v WHERE length(tok) >= 2))
+             |SELECT pair, sum(cnt)::BIGINT AS n FROM p GROUP BY 1
+             |ORDER BY n DESC, pair LIMIT 20""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Q111: canonical-URL dedup — the crawl-side twin of content dedup:
+    // scheme/case/www/trailing-slash/utm-tracking variants of the same
+    // page collapse to one canonical key. URLs are synthesized
+    // deterministically from doc_id (no url column in the corpus), the
+    // canonicalizer is the operator under test: strip scheme, strip
+    // www., lowercase, drop utm_* params, drop the pre-query slash.
+    // Group-by canonical key is one hash-agg shuffle whose key is a
+    // short string — the 100 TB shape is identical to exact dedup
+    // (q12) with the canonicalizer replacing the fingerprint.
+    Query(
+      "q111_url_dedup",
+      (s, dir) => {
+        import s.implicits._
+        val messy = t(s, dir, "documents")
+          .withColumn("url", concat(
+            when($"doc_id" % 2 === 0, "https").otherwise("http"), lit("://"),
+            when($"doc_id" % 4 === 0, "www.").otherwise(""),
+            when($"doc_id" % 3 === 0, "Data.Example.COM").otherwise("data.example.com"),
+            lit("/corpus/"), $"lang", lit("/"), ($"doc_id" % 40).cast("string"),
+            when($"doc_id" % 5 === 0, "/").otherwise(""),
+            lit("?id="), ($"doc_id" % 40).cast("string"),
+            when($"doc_id" % 7 === 0,
+              concat(lit("&utm_source="), $"source", lit("&utm_campaign=rerank")))
+              .otherwise("")))
+        messy
+          .withColumn("canon",
+            regexp_replace(regexp_replace(regexp_replace(lower(regexp_replace(
+              $"url", "^https?://(www\\.)?", "")),
+              "&utm_[a-z]+=[^&]*", ""), "/\\?", "?"), "/$", ""))
+          .groupBy($"canon")
+          .agg(count(lit(1)).as("n_variants"),
+               countDistinct($"url").as("n_distinct_urls"),
+               min($"doc_id").as("first_doc"))
+          .filter($"n_variants" > 1)
+          .orderBy($"canon")
+      },
+      Some("""WITH messy AS (
+             |  SELECT doc_id,
+             |         (CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'http' END) || '://'
+             |         || (CASE WHEN doc_id % 4 = 0 THEN 'www.' ELSE '' END)
+             |         || (CASE WHEN doc_id % 3 = 0 THEN 'Data.Example.COM' ELSE 'data.example.com' END)
+             |         || '/corpus/' || lang || '/' || (doc_id % 40)
+             |         || (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END)
+             |         || '?id=' || (doc_id % 40)
+             |         || (CASE WHEN doc_id % 7 = 0
+             |             THEN '&utm_source=' || source || '&utm_campaign=rerank' ELSE '' END) AS url
+             |  FROM documents)
+             |SELECT regexp_replace(regexp_replace(regexp_replace(lower(regexp_replace(
+             |         url, '^https?://(www\.)?', '')),
+             |         '&utm_[a-z]+=[^&]*', '', 'g'), '/\?', '?'), '/$', '') AS canon,
+             |       count(*) AS n_variants,
+             |       count(DISTINCT url) AS n_distinct_urls,
+             |       min(doc_id) AS first_doc
+             |FROM messy GROUP BY 1 HAVING count(*) > 1 ORDER BY canon""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Q112: per-group z-score outliers — standardize event values
+    // within each event_type and count |z| > 2 tails. Group stats are
+    // one agg shuffle collapsing to |types| rows, broadcast back over
+    // the facts (no second fact shuffle); the aggregate-then-join
+    // shape is the standard two-pass standardization at any scale.
+    Query(
+      "q112_zscore_outliers",
+      (s, dir) => {
+        import s.implicits._
+        val ev = t(s, dir, "events")
+        val stats = ev.groupBy($"event_type")
+          .agg(avg($"value").as("mu"), stddev_samp($"value").as("sd"))
+        ev.join(broadcast(stats), "event_type")
+          .withColumn("z", ($"value" - $"mu") / $"sd")
+          .groupBy($"event_type")
+          .agg(count(lit(1)).as("n"),
+               sum(when(abs($"z") > 2, 1L).otherwise(0L)).as("n_outliers"),
+               round(avg(abs($"z")), 4).as("mean_abs_z"),
+               round(max($"z"), 4).as("max_z"))
+          .orderBy($"event_type")
+      },
+      Some("""WITH s AS (SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sd
+             |           FROM events GROUP BY 1)
+             |SELECT e.event_type, count(*) AS n,
+             |       sum(CASE WHEN abs((value - mu) / sd) > 2 THEN 1 ELSE 0 END)::BIGINT AS n_outliers,
+             |       round(avg(abs((value - mu) / sd)), 4) AS mean_abs_z,
+             |       round(max((value - mu) / sd), 4) AS max_z
+             |FROM events e JOIN s ON e.event_type = s.event_type
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Q113: weekday seasonality profile — order volume and value by
+    // day-of-week, each day indexed against the overall mean
+    // (aggregate-then-window: the global mean runs over the 7-row
+    // aggregated frame, never the fact table). Spark dayofweek is
+    // 1=Sunday..7=Saturday; DuckDB's is 0=Sunday..6 — the oracle
+    // shifts by +1.
+    Query(
+      "q113_weekday_seasonality",
+      (s, dir) => {
+        import s.implicits._
+        val byDow = t(s, dir, "orders")
+          .groupBy(dayofweek($"o_orderdate").as("dow"))
+          .agg(count(lit(1)).as("n_orders"),
+               avg($"o_totalprice").as("avg_price"))
+        byDow
+          .withColumn("season_idx",
+            round($"avg_price" / avg($"avg_price").over(Window.partitionBy()), 4))
+          .select($"dow", $"n_orders", round($"avg_price", 2).as("avg_price_r"),
+                  $"season_idx")
+          .orderBy($"dow")
+      },
+      Some("""WITH d AS (SELECT dayofweek(o_orderdate) + 1 AS dow,
+             |                  count(*) AS n_orders, avg(o_totalprice) AS avg_price
+             |           FROM orders GROUP BY 1)
+             |SELECT dow, n_orders, round(avg_price, 2) AS avg_price_r,
+             |       round(avg_price / avg(avg_price) OVER (), 4) AS season_idx
+             |FROM d ORDER BY dow""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Q114: n-gram novelty — per document, the fraction of its
+    // distinct 3-shingles never seen in any EARLIER document (first
+    // occurrence = min doc_id over the corpus). The dedup/quality
+    // signal behind "how much of this crawl snapshot is new": shingle
+    // grain is the one big shuffle (first-occurrence agg), the join
+    // back is shingle-keyed, the output collapses to doc grain.
+    Query(
+      "q114_ngram_novelty",
+      (s, dir) => {
+        import s.implicits._
+        val sh = t(s, dir, "documents")
+          .select($"doc_id",
+            explode(array_distinct(TF.shingles($"text", 3))).as("sh"))
+        val first = sh.groupBy($"sh").agg(min($"doc_id").as("first_doc"))
+        sh.join(first, "sh")
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_shingles"),
+               sum(when($"first_doc" === $"doc_id", 1L).otherwise(0L)).as("n_novel"))
+          .withColumn("novelty",
+            round($"n_novel".cast("double") / $"n_shingles", 4))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH tk AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM documents),
+             |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+             |         generate_series(1, len(tk) - 2),
+             |         i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS sh FROM tk),
+             |f AS (SELECT sh, min(doc_id) AS first_doc FROM sh GROUP BY 1)
+             |SELECT s.doc_id, count(*) AS n_shingles,
+             |       sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)::BIGINT AS n_novel,
+             |       round(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)::DOUBLE
+             |             / count(*), 4) AS novelty
+             |FROM sh s JOIN f ON s.sh = f.sh
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Q115: Count-Min-sketch heavy hitters — per-supplier lineitem
+    // counts read from ONE mergeable sketch instead of a key-grained
+    // aggregation. Build is Spark's own `count_min_sketch` aggregate
+    // (partials merge cell-wise, so per-partition/per-day sketches
+    // roll up like sums — the streaming/cube-friendly counting path);
+    // probe is the engine's [[graft.functions.CmsEstimate]] over the
+    // broadcast one-row sketch. At this width (eps 5e-4 ⇒ 4000 cells
+    // x 10 rows, ~320 KB) and key cardinality the estimates are
+    // collision-free and the DuckDB exact-count oracle hash-matches —
+    // the sketch's determinism (fixed seed) makes that a stable
+    // property of this dataset, spec-asserted alongside the
+    // inequality guarantees (CmsSpec).
+    Query(
+      "q115_cms_heavy_hitters",
+      (s, dir) => {
+        import s.implicits._
+        // Attach the one-row sketch as a scalar subquery (same shape
+        // as BloomPrefilter): it evaluates once and reaches every
+        // probe row as ONE literal reference — a broadcast join would
+        // copy the sketch bytes per row and force per-row cache checks.
+        val sk = t(s, dir, "lineitem")
+          .agg(expr("count_min_sketch(l_suppkey, 0.0005d, 0.999d, 42)").as("cms"))
+          .scalar()
+        t(s, dir, "supplier").select($"s_suppkey")
+          .select($"s_suppkey",
+            graft.functions.CmsEstimate(sk, $"s_suppkey").as("n_lines"))
+          .filter($"n_lines" > 0)
+          .orderBy($"s_suppkey")
+      },
+      Some("""SELECT s_suppkey, count(*) AS n_lines
+             |FROM supplier JOIN lineitem ON l_suppkey = s_suppkey
+             |GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 
   val byName: Map[String, Query] = all.map(q => q.name -> q).toMap

@@ -297,4 +297,5 @@ class StreamingWindowsSpec extends SparkSpec {
       (Timestamp.valueOf("2024-01-01 10:00:00"), 1L),
       (Timestamp.valueOf("2024-01-01 10:05:00"), 1L)), s"got ${got.toSeq}")
   }
+
 }
