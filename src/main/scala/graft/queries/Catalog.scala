@@ -3796,7 +3796,147 @@ object Catalog {
       },
       Some("""SELECT s_suppkey, count(*) AS n_lines
              |FROM supplier JOIN lineitem ON l_suppkey = s_suppkey
-             |GROUP BY 1 ORDER BY 1""".stripMargin))
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Q116: Flesch reading-ease — the classic readability quality
+    // signal (words/sentence, syllables/word with a vowel-group
+    // heuristic, ≥1 per word). Entirely row-local (two regex scans +
+    // one array fold per document, no shuffle at all) — at 100 TB this
+    // is a pure map stage that fuses into whatever scan feeds it.
+    Query(
+      "q116_readability",
+      (s, dir) => {
+        import s.implicits._
+        val d = t(s, dir, "documents")
+          .withColumn("n_words", TF.tokenCount($"text"))
+          .withColumn("n_sent", greatest(lit(1L), size(filter(
+            split($"text", "[.!?]+"), x => length(trim(x)) > 0)).cast("long")))
+          .withColumn("n_syll", aggregate(
+            TF.tokens(lower($"text")), lit(0L),
+            (acc, w) => acc + greatest(lit(1L),
+              size(regexp_extract_all(w, lit("[aeiouy]+"), lit(0))).cast("long"))))
+        d.select($"doc_id", $"n_sent", $"n_words", $"n_syll",
+            round(lit(206.835)
+              - lit(1.015) * ($"n_words".cast("double") / $"n_sent")
+              - lit(84.6) * ($"n_syll".cast("double") / $"n_words"), 2)
+              .as("flesch_r"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id,
+             |         len(string_split_regex(trim(text), '\s+'))::BIGINT AS n_words,
+             |         greatest(1, len(list_filter(string_split_regex(text, '[.!?]+'),
+             |                                     x -> trim(x) <> '')))::BIGINT AS n_sent,
+             |         list_sum(list_transform(string_split_regex(trim(lower(text)), '\s+'),
+             |           w -> greatest(1, len(regexp_extract_all(w, '[aeiouy]+')))))::BIGINT AS n_syll
+             |  FROM documents)
+             |SELECT doc_id, n_sent, n_words, n_syll,
+             |       round(206.835 - 1.015 * (n_words::DOUBLE / n_sent)
+             |                     - 84.6 * (n_syll::DOUBLE / n_words), 2) AS flesch_r
+             |FROM d ORDER BY doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Q117: embedding-cluster dispersion — per label: centroid norm,
+    // mean and worst member-to-centroid cosine. The cluster-quality
+    // audit behind IVF/k-means ops (q31/q44/q71): positional centroid
+    // aggregation (one shuffle at label×pos grain), broadcast
+    // centroids joined back, one label-grain aggregate. Centroid
+    // components rounded 6 dp for cross-engine sum-order stability
+    // (same contract as q31).
+    Query(
+      "q117_embedding_dispersion",
+      (s, dir) => {
+        import s.implicits._
+        val e = t(s, dir, "embeddings")
+          .select($"vec_id", $"label", VF.asDouble($"embedding").as("v"))
+        val centroids = e
+          .select($"label", posexplode($"v").as(Seq("pos", "x")))
+          .groupBy($"label", $"pos")
+          .agg(round(avg($"x"), 6).as("cx"))
+          .groupBy($"label")
+          .agg(array_sort(collect_list(struct($"pos", $"cx"))).as("pairs"))
+          .select($"label", expr("transform(pairs, p -> p.cx)").as("cv"))
+          .withColumn("cnrm", sqrt(VF.dot($"cv", $"cv")))
+        e.join(broadcast(centroids), "label")
+          .withColumn("cos",
+            VF.dot($"v", $"cv") / (sqrt(VF.dot($"v", $"v")) * $"cnrm"))
+          .groupBy($"label")
+          .agg(count(lit(1)).as("n"),
+               round(first($"cnrm"), 4).as("centroid_norm"),
+               round(avg($"cos"), 4).as("mean_cos"),
+               round(min($"cos"), 4).as("min_cos"))
+          .orderBy($"label")
+      },
+      Some("""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+             |flat AS (SELECT label, unnest(v) AS x,
+             |                unnest(range(1, len(v) + 1)) AS pos FROM e),
+             |cent AS (SELECT label, array_agg(cx ORDER BY pos) AS cv
+             |         FROM (SELECT label, pos, round(avg(x), 6) AS cx FROM flat GROUP BY 1, 2)
+             |         GROUP BY label),
+             |j AS (SELECT e.label,
+             |             sqrt(list_dot_product(c.cv, c.cv)) AS cnrm,
+             |             list_dot_product(e.v, c.cv) /
+             |               (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))) AS cos
+             |      FROM e JOIN cent c ON e.label = c.label)
+             |SELECT label, count(*) AS n,
+             |       round(any_value(cnrm), 4) AS centroid_norm,
+             |       round(avg(cos), 4) AS mean_cos,
+             |       round(min(cos), 4) AS min_cos
+             |FROM j GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Q118: reciprocal-rank fusion — merge two retrieval rankings
+    // (embedding cosine to a query vector; lexical tf of a query term)
+    // into one RRF score: Σ 1/(60 + rank). The standard hybrid-search
+    // combiner in RAG stacks. Each ranking collapses to doc grain
+    // before its window; ties broken by id so ranks are total. The
+    // cosine ranks on the raw sequential-fold dot product — bit-equal
+    // across engines (q13/q31 establish this contract).
+    Query(
+      "q118_rrf_fusion",
+      (s, dir) => {
+        import s.implicits._
+        val e = t(s, dir, "embeddings")
+          .select($"vec_id", VF.asDouble($"embedding").as("v"))
+        val qv = e.filter($"vec_id" === 0).select($"v".as("qv")).scalar()
+        val cosRank = e.filter($"vec_id" =!= 0)
+          .withColumn("cos", VF.dot($"v", qv) /
+            (sqrt(VF.dot($"v", $"v")) * sqrt(VF.dot(qv, qv))))
+          .withColumn("rank_cos",
+            row_number().over(Window.orderBy($"cos".desc, $"vec_id")).cast("long"))
+          .select($"vec_id".as("doc_id"), $"rank_cos")
+        val tfRank = t(s, dir, "documents")
+          .filter($"doc_id" =!= 0)
+          .withColumn("tf", size(filter(TF.tokens(lower($"text")), w => w === "the"))
+            .cast("long"))
+          .withColumn("rank_tf",
+            row_number().over(Window.orderBy($"tf".desc, $"doc_id")).cast("long"))
+          .select($"doc_id", $"rank_tf")
+        cosRank.join(tfRank, "doc_id")
+          .withColumn("rrf", round(
+            lit(1.0) / (lit(60) + $"rank_cos") + lit(1.0) / (lit(60) + $"rank_tf"), 6))
+          .select($"doc_id", $"rank_cos", $"rank_tf", $"rrf")
+          .orderBy($"rrf".desc, $"doc_id")
+          .limit(20)
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |qv AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+             |cr AS (SELECT vec_id AS doc_id,
+             |              row_number() OVER (ORDER BY
+             |                list_dot_product(v, qv) /
+             |                  (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv)))
+             |                DESC, vec_id) AS rank_cos
+             |       FROM e CROSS JOIN qv WHERE vec_id <> 0),
+             |tr AS (SELECT doc_id,
+             |              row_number() OVER (ORDER BY
+             |                len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+             |                                w -> w = 'the')) DESC, doc_id) AS rank_tf
+             |       FROM documents WHERE doc_id <> 0)
+             |SELECT cr.doc_id, rank_cos, rank_tf,
+             |       round(1.0 / (60 + rank_cos) + 1.0 / (60 + rank_tf), 6) AS rrf
+             |FROM cr JOIN tr ON cr.doc_id = tr.doc_id
+             |ORDER BY rrf DESC, cr.doc_id LIMIT 20""".stripMargin))
   )
 
   val byName: Map[String, Query] = all.map(q => q.name -> q).toMap
