@@ -3088,15 +3088,18 @@ object Catalog {
         // through the join. Set sizes are unchanged unless two
         // distinct shingles of one corpus collide in 64 bits
         // (P ≈ |shingles|²/2⁶⁵ ≈ 5e-8 here — far below the 1e-4
-        // rounding of the reported jaccard).
+        // rounding of the reported jaccard). Each doc's hashes are
+        // sorted ONCE (doc grain) so the per-PAIR verify is a single
+        // allocation-free sorted-merge pass (JaccardSortedLongs)
+        // instead of array_intersect+array_union's two hash sets and
+        // two materialized arrays per candidate.
         val docsH = docs.select($"doc_id",
-          transform($"sh", x => xxhash64(x)).as("hh"))
+          array_sort(transform($"sh", x => xxhash64(x))).as("hh"))
         val sa = docsH.select($"doc_id".as("doc_a"), $"hh".as("sha"))
         val sb = docsH.select($"doc_id".as("doc_b"), $"hh".as("shb"))
         cand.join(sa, "doc_a").join(sb, "doc_b")
           .withColumn("jaccard",
-            size(array_intersect($"sha", $"shb")).cast("double") /
-            size(array_union($"sha", $"shb")))
+            graft.functions.JaccardSortedLongs($"sha", $"shb"))
           .filter($"jaccard" >= thr)
           .select($"doc_a", $"doc_b", round($"jaccard", 4).as("jaccard_r"))
           .orderBy($"doc_a", $"doc_b")
@@ -3812,10 +3815,10 @@ object Catalog {
           .withColumn("n_words", TF.tokenCount($"text"))
           .withColumn("n_sent", greatest(lit(1L), size(filter(
             split($"text", "[.!?]+"), x => length(trim(x)) > 0)).cast("long")))
-          .withColumn("n_syll", aggregate(
-            TF.tokens(lower($"text")), lit(0L),
-            (acc, w) => acc + greatest(lit(1L),
-              size(regexp_extract_all(w, lit("[aeiouy]+"), lit(0))).cast("long"))))
+          // native char-scan syllable counter (SyllableCount); the HOF
+          // regex fold is the spec-asserted bit-identical reference
+          .withColumn("n_syll",
+            graft.functions.SyllableCount(TF.tokens(lower($"text"))))
         d.select($"doc_id", $"n_sent", $"n_words", $"n_syll",
             round(lit(206.835)
               - lit(1.015) * ($"n_words".cast("double") / $"n_sent")

@@ -71,6 +71,49 @@ class FunctionsSpec extends SparkSpec {
     assert(byId(1L) != byId(3L))     // different text -> different signature
   }
 
+  test("native SyllableCount equals the HOF regex fold") {
+    import spark.implicits._
+    import graft.functions.SyllableCount
+    val docs = Seq("the quick brown fox", "rhythm tsk 12345 ...",
+                   "", "queueing aioli yyy", "a e i o u y")
+      .toDF("text")
+    val rows = docs.select(
+        SyllableCount(TF.tokens(lower($"text"))).as("native"),
+        aggregate(TF.tokens(lower($"text")), lit(0L),
+          (acc, w) => acc + greatest(lit(1L),
+            size(regexp_extract_all(w, lit("[aeiouy]+"), lit(0))).cast("long")))
+          .as("hof"))
+      .collect()
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1), r.toString))
+    // spot-check absolute values: vowel groups floored at 1 per token
+    val v = docs.select(SyllableCount(TF.tokens(lower($"text")))).collect().map(_.getLong(0))
+    assert(v(1) == 4L, // rhythm=1 (y), tsk/12345/... = 1 each (floor)
+      s"expected 4 syllables for 'rhythm tsk 12345 ...', got ${v(1)}")
+    assert(v(3) == 4L, // queueing: 'ueuei'=1 group; aioli: 'aio'+'i'=2; yyy: 1
+      s"expected 4 for 'queueing aioli yyy', got ${v(3)}")
+  }
+
+  test("JaccardSortedLongs equals the array_intersect/array_union composition") {
+    import spark.implicits._
+    import graft.functions.JaccardSortedLongs
+    // random-ish overlapping sets from the documents fixture shape:
+    // hashed, deduped, sorted — exactly the q98 verify pipeline
+    val docs = Seq(
+      ("a b c d e", "c d e f g"),
+      ("a b c", "x y z"),
+      ("same same", "same same"),
+      ("one", "one two three four")).toDF("ta", "tb")
+      .select(
+        array_sort(transform(array_distinct(TF.tokens($"ta")), x => xxhash64(x))).as("ha"),
+        array_sort(transform(array_distinct(TF.tokens($"tb")), x => xxhash64(x))).as("hb"))
+    val rows = docs.select(
+        JaccardSortedLongs($"ha", $"hb").as("native"),
+        (size(array_intersect($"ha", $"hb")).cast("double") /
+         size(array_union($"ha", $"hb"))).as("builtin"))
+      .collect()
+    rows.foreach(r => assert(r.getDouble(0) == r.getDouble(1), r.toString))
+  }
+
   test("native SimHash64 is bit-identical to the HOF composition") {
     import spark.implicits._
     val docs = Seq("the quick brown fox", "pack my box with five dozen jugs",
