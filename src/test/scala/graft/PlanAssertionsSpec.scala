@@ -170,4 +170,31 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(countOf(p, "Exchange hashpartitioning") <= 2,
       s"salted join added unexpected shuffles:\n${p.take(3000)}")
   }
+
+  test("q110: pair counting runs at vocab grain — two aggs, no join") {
+    val p = plan("q110_bpe_merge")
+    assert(!p.contains("Join"), s"BPE merge step must not join:\n${p.take(3000)}")
+    // corpus→vocab agg + pair agg; the top-20 is TakeOrdered, not a sort
+    assert(countOf(p, "Exchange hashpartitioning") == 2, p.take(3000))
+    assert(p.contains("TakeOrderedAndProject"), "top-20 lost its TakeOrdered rewrite")
+  }
+
+  test("q112: group stats broadcast back over the facts — no SMJ, no second fact shuffle") {
+    val p = plan("q112_zscore_outliers")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), "stats join fell back to SMJ")
+  }
+
+  test("q115: CMS probe reads the sketch as one scalar subquery, no join") {
+    val p = plan("q115_cms_heavy_hitters")
+    assert(!p.contains("Join"),
+      s"probe path must not join the sketch:\n${p.take(3000)}")
+    assert(p.contains("Subquery"), "sketch should attach as a scalar subquery")
+  }
+
+  test("q117: centroids broadcast back; only positional/label aggs shuffle") {
+    val p = plan("q117_embedding_dispersion")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), "centroid join-back fell back to SMJ")
+  }
 }
