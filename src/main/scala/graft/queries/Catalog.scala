@@ -3347,8 +3347,8 @@ object Catalog {
     // version numbers and a current flag, via lead() over one per-
     // entity window (single shuffle on user_id). The batch spelling
     // of the CDC latest-wins view's full history; the streaming twin
-    // appends versions from `CdcStream` deltas with the same window
-    // run per micro-batch key slice.
+    // is `streaming.Scd2View` — the same window re-run per micro-batch
+    // over the touched-id slice only (spec: incremental == one-shot).
     Query(
       "q104_scd2_build",
       (s, dir) => {

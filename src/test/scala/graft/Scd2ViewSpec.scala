@@ -1,0 +1,122 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.streaming.{CdcStream, Scd2View}
+
+/** Streaming SCD Type-2 dimension maintenance ([[Scd2View]]) — the
+  * streaming twin of `q104_scd2_build`: version chains built
+  * incrementally per micro-batch, O(touched-id slice) per merge.
+  */
+class Scd2ViewSpec extends SparkSpec {
+
+  private def ts(lsn: Long): Timestamp = new Timestamp(lsn * 1000L)
+
+  /** One decoded change row (CdcStream.classify shape; times are
+    * epoch millis, matching the envelope convention). */
+  private def change(id: String, lsn: Long, msg: String, user: String,
+                     delete: Boolean = false): (String, String, java.lang.Long, java.lang.Long, String, String, Long, Long) =
+    (if (delete) CdcStream.Delete else CdcStream.Upsert, id,
+     if (delete) null else java.lang.Long.valueOf(lsn * 1000L),
+     if (delete) null else java.lang.Long.valueOf(lsn * 1000L),
+     if (delete) null else msg, if (delete) null else user,
+     lsn, lsn * 1000L)
+
+  private def toDf(rows: Seq[(String, String, java.lang.Long, java.lang.Long, String, String, Long, Long)]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("event_type", "id", "create_time", "update_time",
+      "message", "username", "lsn", "ts_ms")
+  }
+
+  private def dim(stateDir: String) =
+    Scd2View.readDim(spark, stateDir)
+      .orderBy("id", "version").collect()
+      .map(r => (r.getString(0), r.getString(1),
+        Option(r.getTimestamp(4)), r.getLong(5), r.getBoolean(6)))
+
+  test("version chains across batches: update, delete, resurrection") {
+    val root = Files.createTempDirectory("scd2").toString
+    val state = s"$root/state"
+
+    // batch 1: insert a, insert b
+    Scd2View.mergeBatch(toDf(Seq(
+      change("a", 1, "a-v1", "alice"),
+      change("b", 2, "b-v1", "bob"))), state)
+    // batch 2: update a, delete b
+    Scd2View.mergeBatch(toDf(Seq(
+      change("a", 3, "a-v2", "alice"),
+      change("b", 4, "", "", delete = true))), state)
+    // batch 3: update a again, resurrect b
+    Scd2View.mergeBatch(toDf(Seq(
+      change("a", 5, "a-v3", "alice"),
+      change("b", 6, "b-v2", "bob"))), state)
+
+    val got = dim(state)
+    assert(got.toSeq == Seq(
+      ("a", "a-v1", Some(ts(3)), 1L, false),
+      ("a", "a-v2", Some(ts(5)), 2L, false),
+      ("a", "a-v3", None, 3L, true),
+      ("b", "b-v1", Some(ts(4)), 1L, false),   // closed by the delete
+      ("b", "b-v2", None, 2L, true)),          // resurrection = next version
+      s"got ${got.toSeq}")
+  }
+
+  test("a delete closes the open version and leaves NO current row") {
+    val root = Files.createTempDirectory("scd2d").toString
+    val state = s"$root/state"
+    Scd2View.mergeBatch(toDf(Seq(change("x", 1, "x-v1", "u"))), state)
+    Scd2View.mergeBatch(toDf(Seq(change("x", 2, "", "", delete = true))), state)
+    val got = dim(state)
+    assert(got.toSeq == Seq(("x", "x-v1", Some(ts(2)), 1L, false)), s"got ${got.toSeq}")
+    assert(!got.exists(_._5), "deleted id must have no current version")
+  }
+
+  test("incremental merge equals one-shot rebuild; replay is idempotent") {
+    val rootInc = Files.createTempDirectory("scd2i").toString
+    val rootAll = Files.createTempDirectory("scd2a").toString
+    val b1 = Seq(change("a", 1, "a1", "u1"), change("b", 2, "b1", "u2"))
+    val b2 = Seq(change("a", 3, "a2", "u1"), change("b", 4, "", "", delete = true))
+    val b3 = Seq(change("c", 5, "c1", "u3"), change("b", 6, "b2", "u2"))
+
+    Scd2View.mergeBatch(toDf(b1), s"$rootInc/state")
+    Scd2View.mergeBatch(toDf(b2), s"$rootInc/state")
+    Scd2View.mergeBatch(toDf(b3), s"$rootInc/state")
+    Scd2View.mergeBatch(toDf(b1 ++ b2 ++ b3), s"$rootAll/state")
+    assert(dim(s"$rootInc/state").toSeq == dim(s"$rootAll/state").toSeq,
+      "incremental != one-shot rebuild")
+
+    // at-least-once: replaying the last batch changes nothing
+    Scd2View.mergeBatch(toDf(b3), s"$rootInc/state")
+    assert(dim(s"$rootInc/state").toSeq == dim(s"$rootAll/state").toSeq,
+      "replay broke idempotency")
+  }
+
+  test("file-source stream drives the dimension end-to-end") {
+    val root = Files.createTempDirectory("scd2s").toString
+    val in = s"$root/in"; Files.createDirectories(Paths.get(in))
+    def rec(id: String, lsn: Long, after: Option[(String, String)]): String = {
+      val img = after.map { case (m, u) =>
+        s"""{"id":"$id","create_time":$lsn,"update_time":$lsn,"message":"$m","username":"$u"}"""
+      }.getOrElse("null")
+      s"""{"key":{"id":"$id"},"value":{"before":null,"after":$img,"source":{"lsn":$lsn,"ts_ms":$lsn,"txId":$lsn},"op":"x","ts_ms":$lsn}}"""
+    }
+    Files.write(Paths.get(s"$in/all.json"), Seq(
+      rec("m", 1, Some(("first", "alice"))),
+      rec("m", 2, Some(("second", "alice"))),
+      rec("n", 3, Some(("only", "bob")))).mkString("\n").getBytes("UTF-8"))
+
+    val q = Scd2View.run(spark, in, s"$root/cp", s"$root/state")
+    q.awaitTermination()
+
+    val got = Scd2View.readDim(spark, s"$root/state")
+      .orderBy("id", "version").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(5), r.getBoolean(6)))
+    assert(got.toSeq == Seq(
+      ("m", "first", 1L, false), ("m", "second", 2L, true),
+      ("n", "only", 1L, true)), s"got ${got.toSeq}")
+  }
+}
