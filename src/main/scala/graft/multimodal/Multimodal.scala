@@ -38,6 +38,31 @@ object Multimodal {
       .as[MediaRecord]
   }
 
+  /** Ingest real media blobs via Spark's `binaryFile` source — the
+    * production 100 TB path: files stream straight into executor
+    * partitions as (path, length, content) rows, never through the
+    * driver; `pathGlobFilter` prunes by extension at the LISTING
+    * stage (unmatched files are never opened); oversized blobs guard
+    * against executor OOM via the length metadata column BEFORE
+    * content is materialized downstream.
+    *
+    * doc_id derives from the file name's trailing digits (the usual
+    * `<id>.<ext>` layout); kind = lowercased extension.
+    */
+  def fromBinaryFiles(spark: SparkSession, dir: String,
+                      glob: String = "*", maxBytes: Long = 64L << 20): Dataset[MediaRecord] = {
+    import spark.implicits._
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .load(dir)
+      .filter(col("length") <= maxBytes)
+      .select(
+        regexp_extract(col("path"), "(\\d+)\\.[A-Za-z0-9]+$", 1).cast("long").as("doc_id"),
+        lower(regexp_extract(col("path"), "\\.([A-Za-z0-9]+)$", 1)).as("kind"),
+        col("content").as("payload"))
+      .as[MediaRecord]
+  }
+
   /** Batch decode over partitions. STUB decode: real deployments swap
     * `decodeOne` for an actual codec (JPEG decode, resample, frame
     * sample); the Spark-side contract is unchanged. */

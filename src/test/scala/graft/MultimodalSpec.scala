@@ -100,4 +100,25 @@ class MultimodalSpec extends SparkSpec {
     assert(near((1L, 3L)) <= 8, s"near-dup too far: ${near((1L, 3L))}")
     assert(near((1L, 4L)) > 8, s"distinct content too close: ${near((1L, 4L))}")
   }
+
+  test("binaryFile source ingests blobs with glob pruning and a size guard") {
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory("blobs").toString
+    Files.write(Paths.get(s"$dir/7.jpg"), Array.tabulate(300)(_.toByte))
+    Files.write(Paths.get(s"$dir/12.jpg"), Array.tabulate(40)(i => (i * 3).toByte))
+    Files.write(Paths.get(s"$dir/9.wav"), Array.fill(10)(1.toByte))   // pruned by glob
+    Files.write(Paths.get(s"$dir/5.jpg"), Array.fill(2048)(2.toByte)) // over maxBytes
+
+    val media = graft.multimodal.Multimodal
+      .fromBinaryFiles(spark, dir, glob = "*.jpg", maxBytes = 1024)
+    val rows = media.collect().sortBy(_.doc_id)
+    assert(rows.map(_.doc_id).toSeq == Seq(7L, 12L), rows.toSeq.map(_.doc_id))
+    assert(rows.forall(_.kind == "jpg"))
+    assert(rows.find(_.doc_id == 7L).get.payload.length == 300)
+
+    // the ingested records feed the existing decode path unchanged
+    val decoded = graft.multimodal.Multimodal.decodeStub(media).collect()
+    assert(decoded.map(_.doc_id).sorted.toSeq == Seq(7L, 12L))
+    assert(decoded.forall(_.sha256.length == 64))
+  }
 }

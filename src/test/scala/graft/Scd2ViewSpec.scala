@@ -95,6 +95,31 @@ class Scd2ViewSpec extends SparkSpec {
       "replay broke idempotency")
   }
 
+  test("property: incremental == one-shot for random op sequences and batch splits") {
+    val rnd = new scala.util.Random(42)
+    (1 to 3).foreach { trial =>
+      val ids = Seq("a", "b", "c")
+      // random global op sequence with strictly increasing lsn
+      val ops = (1 to 20).map { lsn =>
+        val id = ids(rnd.nextInt(ids.length))
+        if (rnd.nextDouble() < 0.25) change(id, lsn.toLong, "", "", delete = true)
+        else change(id, lsn.toLong, s"$id-m$lsn", s"u${rnd.nextInt(2)}")
+      }
+      // random split into 1..6 batches (order preserved)
+      val cuts = (0 +: Seq.fill(rnd.nextInt(5))(rnd.nextInt(ops.length)) :+ ops.length)
+        .distinct.sorted
+      val batches = cuts.zip(cuts.tail).map { case (s, e) => ops.slice(s, e) }
+        .filter(_.nonEmpty)
+
+      val rootInc = Files.createTempDirectory(s"scd2p$trial").toString
+      val rootAll = Files.createTempDirectory(s"scd2q$trial").toString
+      batches.foreach(b => Scd2View.mergeBatch(toDf(b), s"$rootInc/state"))
+      Scd2View.mergeBatch(toDf(ops), s"$rootAll/state")
+      assert(dim(s"$rootInc/state").toSeq == dim(s"$rootAll/state").toSeq,
+        s"trial $trial: ${batches.map(_.size)} splits diverged from one-shot")
+    }
+  }
+
   test("file-source stream drives the dimension end-to-end") {
     val root = Files.createTempDirectory("scd2s").toString
     val in = s"$root/in"; Files.createDirectories(Paths.get(in))
