@@ -197,4 +197,18 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
     assert(!p.contains("SortMergeJoin"), "centroid join-back fell back to SMJ")
   }
+
+  test("sweep: no headline query plans a non-broadcast cartesian product") {
+    // CartesianProductExec is the plan shape that cannot survive a
+    // 100 TB input on either side: both sides fully materialize and
+    // pair per-partition. Broadcast variants (BroadcastNestedLoopJoin
+    // over a scalar/one-row frame) are legitimate and NOT flagged.
+    val offenders = Catalog.headline.flatMap { q =>
+      val p = Catalog.byName(q.name).run(spark, dir)
+        .queryExecution.executedPlan.toString
+      if (p.contains("CartesianProduct")) Some(q.name) else None
+    }
+    assert(offenders.isEmpty,
+      s"non-broadcast cartesian products in: ${offenders.mkString(", ")}")
+  }
 }
