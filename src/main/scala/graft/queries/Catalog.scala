@@ -3939,7 +3939,99 @@ object Catalog {
              |SELECT cr.doc_id, rank_cos, rank_tf,
              |       round(1.0 / (60 + rank_cos) + 1.0 / (60 + rank_tf), 6) AS rrf
              |FROM cr JOIN tr ON cr.doc_id = tr.doc_id
-             |ORDER BY rrf DESC, cr.doc_id LIMIT 20""".stripMargin))
+             |ORDER BY rrf DESC, cr.doc_id LIMIT 20""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Q119: TPC-H Q5-shaped star join — local-supplier revenue: six
+    // tables, revenue where customer and supplier share a nation,
+    // one region, one order-date year. The canonical join-order test:
+    // every dimension (region→nation→supplier, customer) broadcasts
+    // with its filters pushed; the ONLY shuffle join is
+    // lineitem⋈orders on orderkey — the two fact tables.
+    Query(
+      "q119_local_supplier_rev",
+      (s, dir) => {
+        import s.implicits._
+        val nations = t(s, dir, "nation")
+          .join(t(s, dir, "region").filter($"r_name" === "ASIA"),
+            $"n_regionkey" === $"r_regionkey")
+          .select($"n_nationkey", $"n_name")
+        val cust = t(s, dir, "customer")
+          .join(broadcast(nations), $"c_nationkey" === $"n_nationkey")
+          .select($"c_custkey", $"c_nationkey", $"n_name")
+        val supp = t(s, dir, "supplier").select($"s_suppkey", $"s_nationkey")
+        val ord = t(s, dir, "orders")
+          .filter($"o_orderdate" >= lit("1997-01-01").cast("timestamp") &&
+                  $"o_orderdate" <  lit("1998-01-01").cast("timestamp"))
+          .select($"o_orderkey", $"o_custkey")
+        t(s, dir, "lineitem")
+          .select($"l_orderkey", $"l_suppkey", $"l_extendedprice", $"l_discount")
+          .join(ord, $"l_orderkey" === $"o_orderkey")
+          .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+          .join(broadcast(supp), $"l_suppkey" === $"s_suppkey" &&
+                                 $"c_nationkey" === $"s_nationkey")
+          .groupBy($"n_name")
+          .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2)
+            .as("revenue"))
+          .orderBy($"n_name")
+      },
+      Some("""SELECT n_name,
+             |       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+             |FROM customer, orders, lineitem, supplier, nation, region
+             |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+             |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+             |  AND c_nationkey = n_nationkey AND n_regionkey = r_regionkey
+             |  AND r_name = 'ASIA'
+             |  AND o_orderdate >= TIMESTAMP '1997-01-01'
+             |  AND o_orderdate <  TIMESTAMP '1998-01-01'
+             |GROUP BY n_name ORDER BY n_name""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Q120: last-touch attribution — each purchase credits the most
+    // recent click/view of the same user within a 7-day lookback
+    // (else 'direct'); revenue and conversion counts roll up per
+    // channel. The as-of operator (one shuffle, q08's union+window
+    // plan) carries (touch_ts, channel) as a struct so the lookback
+    // horizon filters AFTER the match; touches pre-dedup to one per
+    // (user, ts) so same-instant ties are deterministic on both
+    // engines.
+    Query(
+      "q120_attribution",
+      (s, dir) => {
+        import s.implicits._
+        val ev = t(s, dir, "events")
+        val touches = ev.filter($"event_type".isin("click", "view"))
+          .groupBy($"user_id", $"ts").agg(max($"event_type").as("ch"))
+          .select($"user_id", $"ts",
+            struct($"ts".as("tts"), $"ch".as("ch")).as("touch"))
+        val purchases = ev.filter($"event_type" === "purchase")
+          .select($"event_id", $"user_id", $"ts", $"value")
+        graft.operators.AsOfJoin.latestOnOrBefore(purchases, touches,
+            leftKey = "user_id", rightKey = "user_id",
+            leftTime = "ts", rightTime = "ts",
+            rightVal = "touch", outCol = "touch")
+          .withColumn("channel",
+            when($"touch".isNotNull &&
+                 $"touch.tts" >= $"ts" - expr("INTERVAL 7 DAYS"), $"touch.ch")
+              .otherwise("direct"))
+          .groupBy($"channel")
+          .agg(count(lit(1)).as("n_conv"),
+               round(sum($"value"), 2).as("revenue"))
+          .orderBy($"channel")
+      },
+      Some("""WITH tch AS (SELECT user_id, ts, max(event_type) AS ch
+             |             FROM events WHERE event_type IN ('click', 'view')
+             |             GROUP BY 1, 2),
+             |p AS (SELECT event_id, user_id, ts, value FROM events
+             |      WHERE event_type = 'purchase'),
+             |a AS (SELECT p.value,
+             |             CASE WHEN tch.ts IS NOT NULL
+             |                   AND tch.ts >= p.ts - INTERVAL 7 DAY
+             |                  THEN tch.ch ELSE 'direct' END AS channel
+             |      FROM p ASOF LEFT JOIN tch
+             |        ON p.user_id = tch.user_id AND p.ts >= tch.ts)
+             |SELECT channel, count(*) AS n_conv, round(sum(value), 2) AS revenue
+             |FROM a GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 
   val byName: Map[String, Query] = all.map(q => q.name -> q).toMap

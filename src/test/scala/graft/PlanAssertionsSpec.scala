@@ -198,6 +198,15 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), "centroid join-back fell back to SMJ")
   }
 
+  test("q119: six-table star join — facts SMJ once, every dimension broadcasts") {
+    val p = plan("q119_local_supplier_rev")
+    // lineitem⋈orders is the only shuffle join; region/nation/customer/
+    // supplier chains all broadcast with their filters pushed
+    assert(countOf(p, "SortMergeJoin") <= 1, s"extra shuffle join:\n${p.take(3000)}")
+    assert(countOf(p, "BroadcastHashJoin") >= 2, p.take(3000))
+    assert(p.contains("PushedFilters"), "dim filters not pushed to scans")
+  }
+
   test("sweep: no headline query plans a non-broadcast cartesian product") {
     // CartesianProductExec is the plan shape that cannot survive a
     // 100 TB input on either side: both sides fully materialize and
