@@ -4031,7 +4031,54 @@ object Catalog {
              |      FROM p ASOF LEFT JOIN tch
              |        ON p.user_id = tch.user_id AND p.ts >= tch.ts)
              |SELECT channel, count(*) AS n_conv, round(sum(value), 2) AS revenue
-             |FROM a GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM a GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Q121: vocabulary encoding — apply a top-K token vocabulary to
+    // the corpus: token → id (rank by corpus frequency, OOV → 0),
+    // per-doc OOV rate and an ORDER-SENSITIVE fingerprint of the
+    // encoded id sequence (md5 of the space-joined ids), i.e. the
+    // tokenizer-application step of a training pipeline. The vocab is
+    // built aggregate-then-window (rank runs over |vocab| rows) and
+    // broadcasts back over the exploded corpus; position order is
+    // restored per doc with one sort_array over (pos, id) structs —
+    // never a window over the corpus.
+    Query(
+      "q121_vocab_encode",
+      (s, dir) => {
+        import s.implicits._
+        val toks = t(s, dir, "documents")
+          .select($"doc_id", posexplode(TF.tokens(lower($"text"))).as(Seq("pos", "tok")))
+        val vocab = toks.groupBy($"tok").agg(count(lit(1)).as("cnt"))
+          .withColumn("id", row_number().over(
+            Window.orderBy($"cnt".desc, $"tok")).cast("long"))
+          .filter($"id" <= 1000)
+          .select($"tok", $"id")
+        toks.join(broadcast(vocab), Seq("tok"), "left")
+          .select($"doc_id", $"pos", coalesce($"id", lit(0L)).as("id"))
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_tokens"),
+               sum(when($"id" === 0, 1L).otherwise(0L)).as("n_oov"),
+               md5(concat_ws(" ",
+                 expr("transform(array_sort(collect_list(struct(pos, id))), p -> p.id)")))
+                 .as("ids_fp"))
+          .withColumn("oov_rate", round($"n_oov".cast("double") / $"n_tokens", 4))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH tok AS (
+             |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok,
+             |         generate_subscripts(string_split_regex(trim(lower(text)), '\s+'), 1) - 1 AS pos
+             |  FROM documents),
+             |v AS (SELECT tok, row_number() OVER (ORDER BY count(*) DESC, tok) AS id
+             |      FROM tok GROUP BY tok QUALIFY id <= 1000),
+             |enc AS (SELECT t.doc_id, t.pos, coalesce(v.id, 0) AS id
+             |        FROM tok t LEFT JOIN v USING (tok))
+             |SELECT doc_id, count(*) AS n_tokens,
+             |       sum(CASE WHEN id = 0 THEN 1 ELSE 0 END)::BIGINT AS n_oov,
+             |       md5(string_agg(id, ' ' ORDER BY pos)) AS ids_fp,
+             |       round(sum(CASE WHEN id = 0 THEN 1 ELSE 0 END)::DOUBLE
+             |             / count(*), 4) AS oov_rate
+             |FROM enc GROUP BY doc_id ORDER BY doc_id""".stripMargin))
   )
 
   val byName: Map[String, Query] = all.map(q => q.name -> q).toMap
