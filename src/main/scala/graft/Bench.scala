@@ -49,11 +49,11 @@ object Bench {
     // The driver parses the JSON line out of the LAST ~2000 chars of
     // output; with 60+ queries the full names + nanosecond precision
     // overflowed that window in round 4 (parsed:null). Emit the short
-    // query id ("q60_bloom_join" -> "q60") at millisecond precision so
-    // the line stays far under the window. BASELINE.md maps ids back
-    // to full names.
+    // query id ("q60_bloom_join" -> "q60") at centisecond precision:
+    // at ~12.5 chars/query the window fits ~145 queries (117 now).
+    // BASELINE.md maps ids back to full names.
     val qs = results.map { case (k, v) =>
-      "\"" + k.takeWhile(_ != '_') + "\":" + f"$v%.3f"
+      "\"" + k.takeWhile(_ != '_') + "\":" + f"$v%.2f"
     }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
