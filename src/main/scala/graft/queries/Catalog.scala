@@ -4078,7 +4078,49 @@ object Catalog {
              |       md5(string_agg(id, ' ' ORDER BY pos)) AS ids_fp,
              |       round(sum(CASE WHEN id = 0 THEN 1 ELSE 0 END)::DOUBLE
              |             / count(*), 4) AS oov_rate
-             |FROM enc GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+             |FROM enc GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Q122: median imputation — repair missing measures with the
+    // per-group median of the OBSERVED values (the testdata has no
+    // nulls, so a deterministic event_id % 11 mask creates them —
+    // the imputation is the operator under test). Median computes on
+    // the group-collapsed frame and broadcasts back over the facts;
+    // nulls never poison the aggregates (`avg`/`median` skip them,
+    // asserted by the imputed-vs-observed means diverging). The
+    // missing-data pass every feature pipeline runs before training.
+    Query(
+      "q122_impute",
+      (s, dir) => {
+        import s.implicits._
+        val masked = t(s, dir, "events")
+          .select($"event_id", $"event_type",
+            when($"event_id" % 11 === 0, lit(null).cast("double"))
+              .otherwise($"value").as("value"))
+        val med = masked.groupBy($"event_type")
+          .agg(median($"value").as("med"))
+        masked.join(broadcast(med), "event_type")
+          .withColumn("imputed", coalesce($"value", $"med"))
+          .groupBy($"event_type")
+          .agg(count(lit(1)).as("n"),
+               sum(when($"value".isNull, 1L).otherwise(0L)).as("n_imputed"),
+               round(first($"med"), 4).as("med_r"),
+               round(avg($"value"), 4).as("mean_observed"),
+               round(avg($"imputed"), 4).as("mean_imputed"))
+          .orderBy($"event_type")
+      },
+      Some("""WITH m AS (SELECT event_id, event_type,
+             |                  CASE WHEN event_id % 11 = 0 THEN NULL
+             |                       ELSE value END AS value
+             |           FROM events),
+             |med AS (SELECT event_type, median(value) AS med FROM m GROUP BY 1)
+             |SELECT m.event_type, count(*) AS n,
+             |       sum(CASE WHEN m.value IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_imputed,
+             |       round(any_value(med.med), 4) AS med_r,
+             |       round(avg(m.value), 4) AS mean_observed,
+             |       round(avg(coalesce(m.value, med.med)), 4) AS mean_imputed
+             |FROM m JOIN med ON m.event_type = med.event_type
+             |GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 
   val byName: Map[String, Query] = all.map(q => q.name -> q).toMap
