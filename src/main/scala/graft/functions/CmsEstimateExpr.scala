@@ -26,9 +26,12 @@ import org.apache.spark.util.sketch.CountMinSketch
   * estimate ≤ true + eps·N with probability ≥ confidence.
   *
   * CodegenFallback: the probe side is a handful of candidate keys per
-  * sketch, never the 100 TB fact scan. The deserialized sketch is
-  * cached per byte-array reference — the broadcast-literal case — so
-  * a k-row probe deserializes once, not k times.
+  * sketch, never the 100 TB fact scan. Deserialized sketches are
+  * cached in a small MRU list keyed by byte-array
+  * reference-then-content — so the broadcast-literal case (one
+  * sketch) deserializes once, and per-group sketches joined onto
+  * probes (a few distinct byte arrays INTERLEAVED row-by-row) each
+  * deserialize once instead of thrashing a single slot.
   */
 case class CmsEstimate(left: Expression, right: Expression)
     extends BinaryExpression with CodegenFallback {
@@ -43,19 +46,36 @@ case class CmsEstimate(left: Expression, right: Expression)
         s"CmsEstimate requires (binary sketch, integral|string item), got ($l, $r)")
     }
 
-  @transient private var cachedBytes: Array[Byte] = _
-  @transient private var cachedSketch: CountMinSketch = _
+  private val MaxCached = 8
+  @transient private var entries: Array[(Array[Byte], CountMinSketch)] = _
 
   private def sketchFor(bytes: Array[Byte]): CountMinSketch = {
-    // Reference hit = scalar-subquery/literal sketch (the fast path);
-    // content hit = a join re-materialized the same bytes per row
-    // (Arrays.equals is an intrinsified memcmp, ~ns/KB — still far
-    // cheaper than re-reading 40k longs through a DataInputStream).
-    if (!(cachedBytes eq bytes) && !java.util.Arrays.equals(cachedBytes, bytes)) {
-      cachedSketch = CountMinSketch.readFrom(bytes)
+    // Per-entry check is reference first (scalar-subquery/literal
+    // sketches re-present the same array), then Arrays.equals (an
+    // intrinsified memcmp, ~ns/KB — far cheaper than re-reading 40k
+    // longs through a DataInputStream). Hits promote to front; beyond
+    // MaxCached distinct sketches the least-recently-used drops off —
+    // the probe contract is a FEW sketches per task, not thousands.
+    if (entries == null) entries = Array.empty
+    var i = 0
+    while (i < entries.length) {
+      val e = entries(i)
+      if ((e._1 eq bytes) || java.util.Arrays.equals(e._1, bytes)) {
+        if (i != 0) {
+          System.arraycopy(entries, 0, entries, 1, i)
+          entries(0) = e
+        }
+        return e._2
+      }
+      i += 1
     }
-    cachedBytes = bytes
-    cachedSketch
+    val s = CountMinSketch.readFrom(bytes)
+    val n = math.min(entries.length + 1, MaxCached)
+    val next = new Array[(Array[Byte], CountMinSketch)](n)
+    next(0) = (bytes, s)
+    System.arraycopy(entries, 0, next, 1, n - 1)
+    entries = next
+    s
   }
 
   override def nullSafeEval(sketchBytes: Any, item: Any): Any = {

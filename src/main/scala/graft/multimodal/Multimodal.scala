@@ -47,7 +47,11 @@ object Multimodal {
     * content is materialized downstream.
     *
     * doc_id derives from the file name's trailing digits (the usual
-    * `<id>.<ext>` layout); kind = lowercased extension.
+    * `<id>.<ext>` layout); kind = lowercased extension. Files the glob
+    * admits but whose names carry no trailing digits (`cover.jpg`)
+    * are dropped BEFORE the typed cast — a null doc_id would otherwise
+    * fail MediaRecord's non-nullable Long encoder and poison the whole
+    * read.
     */
   def fromBinaryFiles(spark: SparkSession, dir: String,
                       glob: String = "*", maxBytes: Long = 64L << 20): Dataset[MediaRecord] = {
@@ -55,7 +59,8 @@ object Multimodal {
     spark.read.format("binaryFile")
       .option("pathGlobFilter", glob)
       .load(dir)
-      .filter(col("length") <= maxBytes)
+      .filter(col("length") <= maxBytes &&
+              col("path").rlike("\\d+\\.[A-Za-z0-9]+$"))
       .select(
         regexp_extract(col("path"), "(\\d+)\\.[A-Za-z0-9]+$", 1).cast("long").as("doc_id"),
         lower(regexp_extract(col("path"), "\\.([A-Za-z0-9]+)$", 1)).as("kind"),

@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+
+/** Exact all-pairs cosine-threshold join over dense embeddings — the
+  * pair generator behind q21 (embed near-dup) and q103 (semantic
+  * dedup).
+  *
+  * Replaces the broadcast nested-loop spelling (`a.join(broadcast(b),
+  * id_a < id_b)` + per-row DotProduct): that plan materializes every
+  * candidate ROW — two 64-double arrays copied into an UnsafeRow per
+  * pair, ~1 KB x n^2/2 — before the similarity filter drops 99.95% of
+  * them (measured 4.9 s at sf0.1). This kernel keeps the O(n^2 * d)
+  * arithmetic but runs it over primitive arrays with zero per-pair
+  * allocation and emits ONLY qualifying pairs: one scan job to build
+  * the broadcast matrix, one embarrassingly-parallel compute job over
+  * strided row ranges (stride = task count, so every task owns an
+  * equal share of the triangular work).
+  *
+  * Why not LSH/IVF candidate generation here: candidates beat
+  * all-pairs only when qualifying pairs are well separated from the
+  * background. On the corpus this engine is specified against, the
+  * qualifying pairs sit AT the threshold — measured at sf0.01/sf0.1:
+  * min qualifying cosine 0.4005/0.4000 against t = 0.4, over a
+  * near-random 64-dim background (sigma ~ 1/sqrt(64) = 0.125; 14 k
+  * pairs in [0.3, 0.4) at sf0.1). Sign-LSH at theta = acos(0.4) ~ 66
+  * deg has per-bit agreement p = 1 - theta/pi ~ 0.63, so exact recall
+  * on boundary pairs needs ~200 six-bit tables — whose background
+  * collisions exceed n^2/2, i.e. MORE work than all-pairs. The same
+  * geometry defeats IVF triangle-inequality pruning (cluster radii
+  * ~ 90 deg). In high-threshold regimes (cosine >= ~0.7 — true
+  * near-dup embeddings) LSH candidates win: use
+  * [[graft.functions.VectorFunctions.hyperplaneBuckets]] (q22's
+  * machinery). At t ~ 0.4 the exact blocked kernel is the honest
+  * plan, and the exactness is what lets these queries hash-match the
+  * DuckDB all-pairs oracle.
+  *
+  * Scale posture: the driver-side collect IS the broadcast build
+  * (same as Spark's own BroadcastExchange) — n * d * 8 B, 1 MB at
+  * sf0.1, ~5 GB at n = 10 M x 64 d. When the matrix outgrows the
+  * broadcast budget, the same inner loop runs over block PAIRS —
+  * split ids into B row blocks, one task per (i <= j) block pair,
+  * each row replicated ~B/2 times — communication O(n * B) instead
+  * of a broadcast, arithmetic unchanged.
+  *
+  * Determinism contract (oracle hash-match): dot products are
+  * sequential index-order folds and the norm is sqrt of the
+  * self-dot, sim = dot / (norm_a * norm_b) — bit-identical to
+  * [[graft.functions.DotProduct]] and DuckDB's `list_dot_product`
+  * per the q13/q21/q31 cross-engine contract.
+  */
+object CosinePairs {
+
+  private def selfNorm(v: Array[Double]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < v.length) { s += v(i) * v(i); i += 1 }
+    math.sqrt(s)
+  }
+
+  /** All (id_a < id_b) pairs with cosine >= threshold, as columns
+    * (id_a, id_b, sim); `sim` is the raw double — callers round for
+    * presentation. Input ids must be distinct.
+    */
+  def exact(vecs: Dataset[(Long, Array[Double])], threshold: Double): DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val matrix = vecs.collect().sortBy(_._1)
+    val n = matrix.length
+    val ids = matrix.map(_._1)
+    val norms = matrix.map(m => selfNorm(m._2))
+    val mats = matrix.map(_._2)
+    val bc = spark.sparkContext.broadcast((ids, norms, mats))
+    val slices = math.max(1, spark.sparkContext.defaultParallelism)
+    spark.sparkContext
+      .parallelize(0 until slices, slices)
+      // Row i's scan length is n - i, so contiguous chunks would give
+      // the first task ~2x the mean work and the last ~0; the stride
+      // interleave hands every task an equal slice of the triangle.
+      .flatMap { t =>
+        val (idsL, normsL, vecsL) = bc.value
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+        var i = t
+        while (i < n) {
+          val va = vecsL(i)
+          val na = normsL(i)
+          var j = i + 1
+          while (j < n) {
+            val vb = vecsL(j)
+            val len = math.min(va.length, vb.length)
+            var acc = 0.0
+            var k = 0
+            while (k < len) { acc += va(k) * vb(k); k += 1 }
+            val sim = acc / (na * normsL(j))
+            if (sim >= threshold) out += ((idsL(i), idsL(j), sim))
+            j += 1
+          }
+          i += slices
+        }
+        out
+      }
+      .toDF("id_a", "id_b", "sim")
+  }
+}

@@ -59,9 +59,12 @@ object PageRank {
     var round = 0
     var delta = Double.MaxValue
     while (delta > tol && round < maxRounds) {
-      // Rank mass sitting on dangling nodes (no out-edges) this round.
+      // Rank mass sitting on dangling nodes (no out-edges) this round —
+      // a broadcast one-row aggregate folded into the plan, not a
+      // separate driver-side action (the only per-round action left is
+      // the convergence delta, which the fixed point inherently needs).
       val dangling = ranks.join(outd, ranks("node") === outd("src"), "left_anti")
-        .agg(coalesce(sum($"pr"), lit(0.0))).as[Double].head()
+        .agg(coalesce(sum($"pr"), lit(0.0)).as("dang"))
       val contrib = e
         .join(outd, "src")
         .join(ranks, e("src") === ranks("node"))
@@ -69,15 +72,29 @@ object PageRank {
         .agg(sum($"pr" * $"w" / $"wout").as("cin"))
       val next = nodes
         .join(contrib, nodes("node") === contrib("dst"), "left")
+        .crossJoin(broadcast(dangling))
         .select($"node",
           (lit((1 - damping) / n) +
-            lit(damping) * (coalesce($"cin", lit(0.0)) + lit(dangling / n))).as("pr"))
+            lit(damping) * (coalesce($"cin", lit(0.0)) + $"dang" / n)).as("pr"))
         .localCheckpoint()
       delta = next.as("a").join(ranks.as("b"), "node")
         .agg(sum(abs($"a.pr" - $"b.pr"))).as[Double].head()
+      // The delta join was the last reader of the previous round's
+      // checkpointed RDD — release it, or maxRounds |V|-sized RDDs
+      // pile up in block-manager memory over a long fixed point.
+      unpersistCheckpoint(ranks)
       ranks = next
       round += 1
     }
     ranks
   }
+
+  /** Drop the cached blocks behind a `localCheckpoint`ed frame. The
+    * persisted RDD is the one inside the plan's LogicalRDD leaf —
+    * `df.rdd` would be a fresh derived RDD whose unpersist is a no-op.
+    */
+  private def unpersistCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.logical.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }.foreach(_.unpersist(blocking = false))
 }

@@ -114,22 +114,18 @@ object CdcStream {
   def malformedCount(changes: DataFrame): Long =
     changes.filter(col("event_type") === Malformed).count()
 
-  /** Run the end-to-end file-source stream: envelope JSON lines under
-    * `inputDir` → decoded changelog → per-micro-batch idempotent merge
-    * into a parquet state snapshot at `stateDir`.
-    *
-    * The merge unions the incoming batch with the existing state
-    * (which retains tombstones so redelivered older upserts cannot
-    * resurrect deleted keys — at-least-once safe) and re-runs
-    * latest-wins. Idempotent: replaying a batch yields the same state.
+  /** The source-selection seam: ANY decoded changelog stream (file,
+    * kafka, memory — anything that went through [[decodeFile]] or
+    * [[decodeKafka]]) → checkpointed `foreachBatch` merge through a
+    * [[graft.sinks.CdcSink]]. `runFileStream` / `runFileStreamBucketed`
+    * / `runKafkaStream` are one reader choice each over this single
+    * pipeline, so source and sink swap independently of the decode +
+    * merge semantics the specs pin down.
     */
-  def runFileStream(spark: SparkSession, inputDir: String, checkpointDir: String,
-                    stateDir: String, trigger: Trigger = Trigger.AvailableNow(),
-                    deadLetterDir: Option[String] = None): StreamingQuery = {
-    val raw = spark.readStream
-      .schema(fileRecordSchema)
-      .json(inputDir)
-    val decoded = decodeFile(raw)
+  def runDecodedStream(decoded: DataFrame, checkpointDir: String,
+                       sink: graft.sinks.CdcSink,
+                       trigger: Trigger = Trigger.AvailableNow(),
+                       deadLetterDir: Option[String] = None): StreamingQuery =
     decoded.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
@@ -154,10 +150,26 @@ object CdcStream {
                 .parquet(dir)
           } finally bad.unpersist()
         }
-        mergeBatch(batch, stateDir)
+        sink.merge(batch)
       }
       .start()
-  }
+
+  /** Run the end-to-end file-source stream: envelope JSON lines under
+    * `inputDir` → decoded changelog → per-micro-batch idempotent merge
+    * into a parquet state snapshot at `stateDir`.
+    *
+    * The merge unions the incoming batch with the existing state
+    * (which retains tombstones so redelivered older upserts cannot
+    * resurrect deleted keys — at-least-once safe) and re-runs
+    * latest-wins. Idempotent: replaying a batch yields the same state.
+    */
+  def runFileStream(spark: SparkSession, inputDir: String, checkpointDir: String,
+                    stateDir: String, trigger: Trigger = Trigger.AvailableNow(),
+                    deadLetterDir: Option[String] = None): StreamingQuery =
+    runDecodedStream(
+      decodeFile(spark.readStream.schema(fileRecordSchema).json(inputDir)),
+      checkpointDir, new graft.sinks.ParquetSnapshotSink(stateDir),
+      trigger, deadLetterDir)
 
   /** A decoded change row (typed twin of [[classify]]'s output). */
   case class Change(event_type: String, id: String,
@@ -258,14 +270,19 @@ object CdcStream {
 
   /** Kafka-source variant of the pipeline — the production wiring for
     * the reference's topology (topic `messages.public.messages`,
-    * `startingOffsets=latest` per reference `application.yaml:12`).
+    * `startingOffsets=latest` per reference `application.yaml:12`;
+    * broker-integration parity target is the reference's
+    * Testcontainers e2e, `TestcontainersConfiguration.kt:17-129`).
     * Requires the spark-sql-kafka connector package on the cluster
-    * classpath (not shipped in this build's jars — the decode path is
-    * unit-tested via [[decodeKafka]] on kafka-shaped records instead).
+    * classpath (not shipped in this build's jars). Everything past the
+    * reader is [[runDecodedStream]] — KafkaParitySpec drives
+    * kafka-shaped records through that same decode + merge pipeline,
+    * so only the connector's `.load()` itself is environment-blocked.
     */
   def runKafkaStream(spark: SparkSession, bootstrapServers: String, topic: String,
                      checkpointDir: String, stateDir: String,
-                     trigger: Trigger = Trigger.ProcessingTime(100)): StreamingQuery = {
+                     trigger: Trigger = Trigger.ProcessingTime(100),
+                     deadLetterDir: Option[String] = None): StreamingQuery = {
     val raw = spark.readStream
       .format("kafka")
       .option("kafka.bootstrap.servers", bootstrapServers)
@@ -273,11 +290,8 @@ object CdcStream {
       .option("startingOffsets", "latest")
       .load()
       .selectExpr("CAST(key AS STRING) AS key", "CAST(value AS STRING) AS value")
-    decodeKafka(raw).writeStream
-      .option("checkpointLocation", checkpointDir)
-      .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) => mergeBatch(batch, stateDir) }
-      .start()
+    runDecodedStream(decodeKafka(raw), checkpointDir,
+      new graft.sinks.ParquetSnapshotSink(stateDir), trigger, deadLetterDir)
   }
 
   /** Bootstrap the state from a batch read of the base table — the
@@ -371,16 +385,11 @@ object CdcStream {
   /** File-source stream variant using the bucketed merge. */
   def runFileStreamBucketed(spark: SparkSession, inputDir: String, checkpointDir: String,
                             stateDir: String, nBuckets: Int,
-                            trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
-    val raw = spark.readStream.schema(fileRecordSchema).json(inputDir)
-    decodeFile(raw).writeStream
-      .option("checkpointLocation", checkpointDir)
-      .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        mergeBatchBucketed(batch, stateDir, nBuckets)
-      }
-      .start()
-  }
+                            trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    runDecodedStream(
+      decodeFile(spark.readStream.schema(fileRecordSchema).json(inputDir)),
+      checkpointDir, new graft.sinks.BucketedParquetSink(stateDir, nBuckets),
+      trigger)
 
   /** The view in the reference's presentation order: newest
     * `create_time` first (`static/index.html:99-100`), id as the

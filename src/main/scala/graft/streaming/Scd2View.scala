@@ -55,14 +55,22 @@ object Scd2View {
       } else (emptyState(spark), delta)
 
     // Rebuild only the touched slice: one (id)-clustered pass computes
-    // the interval chain AND the version numbers (both windows share
+    // the interval chain AND the version numbers (all windows share
     // the exchange). Replays dedup on the (lsn, ts_ms) change identity.
+    // valid_from is the event's update_time clamped to a running max
+    // along the (lsn, ts_ms) chain order: the chain is ordered by the
+    // WAL, and a source whose wall clock skews backwards across
+    // changes must not produce valid_to < valid_from — the skewed
+    // version instead starts where its predecessor started (a
+    // zero-length interval under point-in-time reads, which is the
+    // honest answer for an out-of-order clock).
     val w = Window.partitionBy(col("id"))
       .orderBy(col("lsn"), col("ts_ms"))
     val rebuilt = sliceEvents
       .dropDuplicates("id", "lsn", "ts_ms")
       .withColumn("valid_from",
-        timestamp_millis(coalesce(col("update_time"), col("ts_ms"))))
+        max(timestamp_millis(coalesce(col("update_time"), col("ts_ms"))))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .withColumn("valid_to", lead(col("valid_from"), 1).over(w))
       .withColumn("version",
         sum(when(col("is_delete"), 0L).otherwise(1L))

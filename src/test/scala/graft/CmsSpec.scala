@@ -59,6 +59,23 @@ class CmsSpec extends SparkSpec {
     assert(est == Map("alpha" -> 3L, "beta" -> 2L, "gamma" -> 1L))
   }
 
+  test("distinct per-group sketches interleaved row-by-row probe correctly") {
+    import spark.implicits._
+    // Three per-group sketches joined onto probe rows so consecutive
+    // rows carry DIFFERENT sketch byte arrays — the MRU-cache case
+    // (one slot would thrash; correctness must hold regardless).
+    val data = (1 to 3).flatMap(g => Seq.fill(g * 5)((g, g * 100L))).toDF("g", "k")
+    val sketches = data.groupBy($"g")
+      .agg(expr("count_min_sketch(k, 0.001d, 0.99d, 42)").as("cms"))
+    val probes = (1 to 3).flatMap(g => Seq.fill(4)((g, g * 100L))).toDF("g", "k")
+      .join(broadcast(sketches), "g")
+      .repartition(1) // force row-by-row interleaving in one task
+      .select($"g", CmsEstimate($"cms", $"k").as("est"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    assert(probes.length == 12)
+    probes.foreach { case (g, est) => assert(est == g * 5L, s"group $g: $est") }
+  }
+
   test("SQL surface: graft_cms_estimate is registered") {
     import spark.implicits._
     skewed.createOrReplaceTempView("cms_in")

@@ -108,6 +108,7 @@ class MultimodalSpec extends SparkSpec {
     Files.write(Paths.get(s"$dir/12.jpg"), Array.tabulate(40)(i => (i * 3).toByte))
     Files.write(Paths.get(s"$dir/9.wav"), Array.fill(10)(1.toByte))   // pruned by glob
     Files.write(Paths.get(s"$dir/5.jpg"), Array.fill(2048)(2.toByte)) // over maxBytes
+    Files.write(Paths.get(s"$dir/cover.jpg"), Array.fill(8)(3.toByte)) // no id digits
 
     val media = graft.multimodal.Multimodal
       .fromBinaryFiles(spark, dir, glob = "*.jpg", maxBytes = 1024)

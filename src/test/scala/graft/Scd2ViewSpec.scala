@@ -144,4 +144,28 @@ class Scd2ViewSpec extends SparkSpec {
       ("m", "first", 1L, false), ("m", "second", 2L, true),
       ("n", "only", 1L, true)), s"got ${got.toSeq}")
   }
+
+  test("clock-skewed update_time cannot invert validity intervals") {
+    val root = Files.createTempDirectory("scd2skew").toString
+    val state = s"$root/state"
+    def jl(v: Long): java.lang.Long = java.lang.Long.valueOf(v)
+    // Chain order is (lsn, ts_ms); the middle change's wall clock went
+    // BACKWARDS (update_time 3000 after 5000). valid_from must clamp
+    // to the running max so no interval has valid_to < valid_from.
+    Scd2View.mergeBatch(toDf(Seq(
+      (CdcStream.Upsert, "x", jl(5000), jl(5000), "v1", "u", 1L, 1000L),
+      (CdcStream.Upsert, "x", jl(3000), jl(3000), "v2", "u", 2L, 2000L),
+      (CdcStream.Upsert, "x", jl(7000), jl(7000), "v3", "u", 3L, 3000L))), state)
+
+    val got = Scd2View.readDim(spark, state).orderBy("version").collect()
+      .map(r => (r.getString(1), r.getTimestamp(3), Option(r.getTimestamp(4)),
+        r.getLong(5), r.getBoolean(6)))
+    assert(got.map(_._4).toSeq == Seq(1L, 2L, 3L))
+    got.foreach { case (m, from, to, _, _) =>
+      to.foreach(t => assert(!t.before(from), s"inverted interval on $m: $from > $t"))
+    }
+    // the skewed version starts where its predecessor started
+    assert(got(1)._2.getTime == 5000L && got(1)._3.get.getTime == 7000L)
+    assert(got(2)._5, "latest version is current")
+  }
 }
