@@ -4144,7 +4144,448 @@ object Catalog {
              |       round(avg(m.value), 4) AS mean_observed,
              |       round(avg(coalesce(m.value, med.med)), 4) AS mean_imputed
              |FROM m JOIN med ON m.event_type = med.event_type
-             |GROUP BY 1 ORDER BY 1""".stripMargin))
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Q123: Markov transition matrix — per-user time-ordered event
+    // sequences, counts and probabilities of each (current → next)
+    // event-type transition. The session-model / user-journey operator.
+    // One user-partitioned window (the natural key partition) + one
+    // agg; the probability window runs aggregate-then-window over the
+    // |types|² frame, never the events.
+    Query(
+      "q123_markov_transition",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        t(s, dir, "events")
+          .select($"user_id", $"event_type", $"ts", $"event_id")
+          .withColumn("next_type", lead($"event_type", 1).over(w))
+          .filter($"next_type".isNotNull)
+          .select($"event_type".as("cur_type"), $"next_type")
+          .groupBy($"cur_type", $"next_type")
+          .agg(count(lit(1)).as("n"))
+          .withColumn("p_r", round($"n".cast("double") /
+            sum($"n").over(Window.partitionBy($"cur_type")), 4))
+          .orderBy($"cur_type", $"next_type")
+      },
+      Some("""WITH s AS (SELECT event_type AS cur_type,
+             |                  lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+             |           FROM events),
+             |c AS (SELECT cur_type, next_type, count(*) AS n
+             |      FROM s WHERE next_type IS NOT NULL GROUP BY 1, 2)
+             |SELECT cur_type, next_type, n,
+             |       round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY cur_type), 4) AS p_r
+             |FROM c ORDER BY cur_type, next_type""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Q124: skip-gram co-occurrence counts (word2vec-style training
+    // pairs) — unordered token pairs within distance 1..2, top-30.
+    // The pair expansion is PURE map side: transform-with-index over
+    // the token array zips each token with its d-ahead neighbor
+    // (named_struct inside a HOF), so the per-doc ×2 blowup never
+    // shuffles — only the (w1, w2) counts do, and top-30 is
+    // TakeOrdered. The self-join-on-position spelling is rejected: it
+    // would shuffle every token row twice.
+    Query(
+      "q124_skipgram_cooc",
+      (s, dir) => {
+        import s.implicits._
+        val pairCols = (1 to 2).map { d =>
+          expr(s"""transform(slice(toks, 1, greatest(size(toks) - $d, 0)),
+                  (x, i) -> named_struct(
+                    'w1', least(x, element_at(toks, i + 1 + $d)),
+                    'w2', greatest(x, element_at(toks, i + 1 + $d))))""")
+        }
+        t(s, dir, "documents")
+          .withColumn("toks", TF.tokens(lower($"text")))
+          .select(explode(concat(pairCols: _*)).as("p"))
+          .filter($"p.w1" =!= $"p.w2")
+          .select($"p.w1".as("w1"), $"p.w2".as("w2"))
+          .groupBy($"w1", $"w2")
+          .agg(count(lit(1)).as("n"))
+          .orderBy($"n".desc, $"w1", $"w2")
+          .limit(30)
+      },
+      Some("""WITH t AS (SELECT string_split_regex(trim(lower(text)), '\s+') AS toks
+             |           FROM documents),
+             |p AS (SELECT least(toks[i], toks[i + d]) AS w1,
+             |             greatest(toks[i], toks[i + d]) AS w2
+             |      FROM t, generate_series(1, 2) AS g(d),
+             |           generate_series(1, 4096) AS s(i)
+             |      WHERE i + d <= len(toks) AND toks[i] <> toks[i + d])
+             |SELECT w1, w2, count(*) AS n FROM p
+             |GROUP BY 1, 2 ORDER BY n DESC, w1, w2 LIMIT 30""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Q125: schema profile — per-column null count / distinct count /
+    // min / max over `orders`, the ANALYZE/data-quality pass every
+    // ingest runs. ONE scan computes every column's aggregates
+    // (count-distincts share the scan via Expand), then `stack`
+    // unpivots the single aggregate row into one row per column —
+    // nothing but the 1-row aggregate ever moves. At 100 TB the exact
+    // count-distincts swap for approx_count_distinct (q09b's HLL
+    // contract).
+    Query(
+      "q125_schema_profile",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "orders")
+          .agg(
+            count(lit(1)).as("n_rows"),
+            // o_orderkey
+            sum(isnull($"o_orderkey").cast("long")).as("k_null"),
+            countDistinct($"o_orderkey").as("k_dist"),
+            min($"o_orderkey").cast("double").as("k_min"),
+            max($"o_orderkey").cast("double").as("k_max"),
+            // o_custkey
+            sum(isnull($"o_custkey").cast("long")).as("c_null"),
+            countDistinct($"o_custkey").as("c_dist"),
+            min($"o_custkey").cast("double").as("c_min"),
+            max($"o_custkey").cast("double").as("c_max"),
+            // o_totalprice
+            sum(isnull($"o_totalprice").cast("long")).as("t_null"),
+            countDistinct($"o_totalprice").as("t_dist"),
+            min($"o_totalprice").as("t_min"),
+            max($"o_totalprice").as("t_max"),
+            // o_orderstatus
+            sum(isnull($"o_orderstatus").cast("long")).as("s_null"),
+            countDistinct($"o_orderstatus").as("s_dist"),
+            min($"o_orderstatus").as("s_min"),
+            max($"o_orderstatus").as("s_max"),
+            // o_orderpriority
+            sum(isnull($"o_orderpriority").cast("long")).as("p_null"),
+            countDistinct($"o_orderpriority").as("p_dist"),
+            min($"o_orderpriority").as("p_min"),
+            max($"o_orderpriority").as("p_max"),
+            // o_orderdate (profiled at day grain, date-string form)
+            sum(isnull($"o_orderdate").cast("long")).as("d_null"),
+            countDistinct(to_date($"o_orderdate")).as("d_dist"),
+            min(to_date($"o_orderdate").cast("string")).as("d_min"),
+            max(to_date($"o_orderdate").cast("string")).as("d_max"))
+          .selectExpr(
+            """stack(6,
+              'o_orderkey',      n_rows, k_null, k_dist, k_min, k_max, CAST(NULL AS STRING), CAST(NULL AS STRING),
+              'o_custkey',       n_rows, c_null, c_dist, c_min, c_max, CAST(NULL AS STRING), CAST(NULL AS STRING),
+              'o_totalprice',    n_rows, t_null, t_dist, t_min, t_max, CAST(NULL AS STRING), CAST(NULL AS STRING),
+              'o_orderstatus',   n_rows, s_null, s_dist, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), s_min, s_max,
+              'o_orderpriority', n_rows, p_null, p_dist, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), p_min, p_max,
+              'o_orderdate',     n_rows, d_null, d_dist, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), d_min, d_max
+            ) AS (col_name, n, n_null, n_distinct, min_num, max_num, min_str, max_str)""")
+          .orderBy($"col_name")
+      },
+      Some("""WITH base AS (SELECT count(*) AS n FROM orders)
+             |SELECT 'o_custkey' AS col_name, n,
+             |       (SELECT sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) FROM orders)::BIGINT AS n_null,
+             |       (SELECT count(DISTINCT o_custkey) FROM orders) AS n_distinct,
+             |       (SELECT CAST(min(o_custkey) AS DOUBLE) FROM orders) AS min_num,
+             |       (SELECT CAST(max(o_custkey) AS DOUBLE) FROM orders) AS max_num,
+             |       CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str FROM base
+             |UNION ALL
+             |SELECT 'o_orderdate', n,
+             |       (SELECT sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) FROM orders)::BIGINT,
+             |       (SELECT count(DISTINCT CAST(o_orderdate AS DATE)) FROM orders),
+             |       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+             |       (SELECT CAST(CAST(min(o_orderdate) AS DATE) AS VARCHAR) FROM orders),
+             |       (SELECT CAST(CAST(max(o_orderdate) AS DATE) AS VARCHAR) FROM orders) FROM base
+             |UNION ALL
+             |SELECT 'o_orderkey', n,
+             |       (SELECT sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) FROM orders)::BIGINT,
+             |       (SELECT count(DISTINCT o_orderkey) FROM orders),
+             |       (SELECT CAST(min(o_orderkey) AS DOUBLE) FROM orders),
+             |       (SELECT CAST(max(o_orderkey) AS DOUBLE) FROM orders),
+             |       CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR) FROM base
+             |UNION ALL
+             |SELECT 'o_orderpriority', n,
+             |       (SELECT sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) FROM orders)::BIGINT,
+             |       (SELECT count(DISTINCT o_orderpriority) FROM orders),
+             |       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+             |       (SELECT min(o_orderpriority) FROM orders),
+             |       (SELECT max(o_orderpriority) FROM orders) FROM base
+             |UNION ALL
+             |SELECT 'o_orderstatus', n,
+             |       (SELECT sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) FROM orders)::BIGINT,
+             |       (SELECT count(DISTINCT o_orderstatus) FROM orders),
+             |       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+             |       (SELECT min(o_orderstatus) FROM orders),
+             |       (SELECT max(o_orderstatus) FROM orders) FROM base
+             |UNION ALL
+             |SELECT 'o_totalprice', n,
+             |       (SELECT sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) FROM orders)::BIGINT,
+             |       (SELECT count(DISTINCT o_totalprice) FROM orders),
+             |       (SELECT min(o_totalprice) FROM orders),
+             |       (SELECT max(o_totalprice) FROM orders),
+             |       CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR) FROM base
+             |ORDER BY col_name""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Q126: Benford leading-digit audit — distribution of the leading
+    // digit of order totals vs Benford's log10(1 + 1/d) expectation.
+    // The fraud/data-quality screen. Digit extraction is pure
+    // arithmetic (no string formatting — double→string rendering
+    // differs between engines); one agg shuffle over 9 groups; the
+    // share window runs on the 9-row frame.
+    Query(
+      "q126_benford",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "orders")
+          .filter($"o_totalprice" > 0)
+          .select(floor($"o_totalprice" /
+            pow(lit(10.0), floor(log10($"o_totalprice")))).cast("long").as("digit"))
+          .groupBy($"digit")
+          .agg(count(lit(1)).as("n"))
+          .withColumn("share_r", round($"n".cast("double") /
+            sum($"n").over(Window.partitionBy()), 4))
+          .withColumn("benford_r", round(log10(lit(1.0) + lit(1.0) / $"digit"), 4))
+          .withColumn("dev_r", round($"n".cast("double") /
+            sum($"n").over(Window.partitionBy()) -
+            log10(lit(1.0) + lit(1.0) / $"digit"), 4))
+          .orderBy($"digit")
+      },
+      Some("""WITH d AS (SELECT CAST(floor(o_totalprice / power(10, floor(log10(o_totalprice)))) AS BIGINT) AS digit
+             |           FROM orders WHERE o_totalprice > 0),
+             |c AS (SELECT digit, count(*) AS n FROM d GROUP BY 1)
+             |SELECT digit, n,
+             |       round(CAST(n AS DOUBLE) / sum(n) OVER (), 4) AS share_r,
+             |       round(log10(1.0 + 1.0 / digit), 4) AS benford_r,
+             |       round(CAST(n AS DOUBLE) / sum(n) OVER () - log10(1.0 + 1.0 / digit), 4) AS dev_r
+             |FROM c ORDER BY digit""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Q127: RFM segmentation — recency/frequency/monetary scores per
+    // customer, segment census. Scores come from EXACT global quartile
+    // cut points (one 9-scalar aggregate over the customer-grain
+    // frame, broadcast back via crossJoin) — NOT a global ntile
+    // window, so no single-task funnel; at unbounded grain the cuts
+    // swap for approx_percentile (q37b / EquiDepth.approxHistogram
+    // contract). Recency scores invert (recent = high).
+    Query(
+      "q127_rfm_segments",
+      (s, dir) => {
+        import s.implicits._
+        val cust = t(s, dir, "orders")
+          .groupBy($"o_custkey")
+          .agg(max(to_date($"o_orderdate")).as("last_d"),
+               count(lit(1)).as("freq"),
+               sum($"o_totalprice").as("monetary"))
+        val mx = cust.agg(max($"last_d").as("mx")).scalar()
+        val graded = cust.withColumn("recency_d", datediff(mx, $"last_d"))
+        val cuts = graded.agg(
+          percentile($"recency_d", lit(0.25)).as("r1"),
+          percentile($"recency_d", lit(0.5)).as("r2"),
+          percentile($"recency_d", lit(0.75)).as("r3"),
+          percentile($"freq", lit(0.25)).as("f1"),
+          percentile($"freq", lit(0.5)).as("f2"),
+          percentile($"freq", lit(0.75)).as("f3"),
+          percentile($"monetary", lit(0.25)).as("m1"),
+          percentile($"monetary", lit(0.5)).as("m2"),
+          percentile($"monetary", lit(0.75)).as("m3"))
+        graded.crossJoin(broadcast(cuts))
+          .select(
+            when($"recency_d" <= $"r1", 4L).when($"recency_d" <= $"r2", 3L)
+              .when($"recency_d" <= $"r3", 2L).otherwise(1L).as("r_score"),
+            (lit(1L) + ($"freq" > $"f1").cast("long") +
+              ($"freq" > $"f2").cast("long") +
+              ($"freq" > $"f3").cast("long")).as("f_score"),
+            (lit(1L) + ($"monetary" > $"m1").cast("long") +
+              ($"monetary" > $"m2").cast("long") +
+              ($"monetary" > $"m3").cast("long")).as("m_score"),
+            $"monetary")
+          .groupBy($"r_score", $"f_score", $"m_score")
+          .agg(count(lit(1)).as("n_customers"),
+               round(avg($"monetary"), 2).as("avg_monetary"))
+          .orderBy($"r_score", $"f_score", $"m_score")
+      },
+      Some("""WITH cust AS (SELECT o_custkey, CAST(max(o_orderdate) AS DATE) AS last_d,
+             |                     count(*) AS freq, sum(o_totalprice) AS monetary
+             |              FROM orders GROUP BY 1),
+             |g AS (SELECT *, date_diff('day', last_d, (SELECT max(last_d) FROM cust)) AS recency_d
+             |      FROM cust),
+             |cuts AS (SELECT quantile_cont(recency_d, 0.25) AS r1, quantile_cont(recency_d, 0.5) AS r2,
+             |                quantile_cont(recency_d, 0.75) AS r3,
+             |                quantile_cont(freq, 0.25) AS f1, quantile_cont(freq, 0.5) AS f2,
+             |                quantile_cont(freq, 0.75) AS f3,
+             |                quantile_cont(monetary, 0.25) AS m1, quantile_cont(monetary, 0.5) AS m2,
+             |                quantile_cont(monetary, 0.75) AS m3
+             |         FROM g)
+             |SELECT (CASE WHEN recency_d <= r1 THEN 4 WHEN recency_d <= r2 THEN 3
+             |             WHEN recency_d <= r3 THEN 2 ELSE 1 END)::BIGINT AS r_score,
+             |       (1 + (freq > f1)::INT + (freq > f2)::INT + (freq > f3)::INT)::BIGINT AS f_score,
+             |       (1 + (monetary > m1)::INT + (monetary > m2)::INT + (monetary > m3)::INT)::BIGINT AS m_score,
+             |       count(*) AS n_customers, round(avg(monetary), 2) AS avg_monetary
+             |FROM g, cuts GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Q128: conversion lag (survival-style) — per user, first 'view'
+    // and the first 'purchase' on/after it; converted iff within a
+    // 72 h horizon; cohorted by the first view's weekday. Every side
+    // collapses to user grain BEFORE joining (q95's funnel
+    // discipline). avg lag aggregates in integer seconds (exact sums)
+    // and divides once, so no cross-engine fp-order drift.
+    Query(
+      "q128_conversion_lag",
+      (s, dir) => {
+        import s.implicits._
+        val ev = t(s, dir, "events")
+        val v = ev.filter($"event_type" === "view")
+          .groupBy($"user_id").agg(min($"ts").as("first_view"))
+        val p = ev.filter($"event_type" === "purchase")
+          .join(v, "user_id")
+          .filter($"ts" >= $"first_view")
+          .groupBy($"user_id").agg(min($"ts").as("first_purchase"))
+        v.join(p, Seq("user_id"), "left")
+          .withColumn("lag_s",
+            when(unix_timestamp($"first_purchase") - unix_timestamp($"first_view")
+                   <= 72L * 3600L,
+                 unix_timestamp($"first_purchase") - unix_timestamp($"first_view")))
+          .groupBy(dayofweek($"first_view").as("cohort_dow"))
+          .agg(count(lit(1)).as("n_users"),
+               count($"lag_s").as("n_converted"),
+               round(count($"lag_s").cast("double") / count(lit(1)), 4).as("conv_rate"),
+               round(avg($"lag_s") / 3600.0, 4).as("avg_hours"))
+          .orderBy($"cohort_dow")
+      },
+      Some("""WITH v AS (SELECT user_id, min(ts) AS first_view FROM events
+             |           WHERE event_type = 'view' GROUP BY 1),
+             |p AS (SELECT v.user_id, min(e.ts) AS first_purchase
+             |      FROM v JOIN events e ON e.user_id = v.user_id
+             |       AND e.event_type = 'purchase' AND e.ts >= v.first_view
+             |      GROUP BY 1),
+             |j AS (SELECT v.user_id, first_view,
+             |             CASE WHEN date_diff('second', first_view, first_purchase) <= 72 * 3600
+             |                  THEN date_diff('second', first_view, first_purchase) END AS lag_s
+             |      FROM v LEFT JOIN p USING (user_id))
+             |SELECT dayofweek(first_view) + 1 AS cohort_dow, count(*) AS n_users,
+             |       count(lag_s) AS n_converted,
+             |       round(CAST(count(lag_s) AS DOUBLE) / count(*), 4) AS conv_rate,
+             |       round(avg(lag_s) / 3600.0, 4) AS avg_hours
+             |FROM j GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Q129: Kolmogorov–Smirnov drift — per source, the KS statistic
+    // between its doc-length distribution and the REST of the corpus.
+    // The two-sample distribution test complementing q99's JS
+    // divergence (JS sees token mix, KS sees any numeric feature).
+    // Step functions only jump at observed values, so evaluating both
+    // CDFs on the |distinct values| × |sources| grid is exact; all
+    // cumulative sums are integer counts (no fp drift), windows
+    // partition by source — no global window, the grid is
+    // aggregate-grain.
+    Query(
+      "q129_ks_drift",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+        val c = docs.groupBy($"source", $"n_chars".as("v"))
+          .agg(count(lit(1)).as("n"))
+        val tot = c.groupBy($"v").agg(sum($"n").as("nv"))
+        val grid = docs.select($"source").distinct()
+          .crossJoin(broadcast(tot))
+          .join(c, Seq("source", "v"), "left")
+          .na.fill(0L, Seq("n"))
+        val wc = Window.partitionBy($"source").orderBy($"v")
+        val wp = Window.partitionBy($"source")
+        grid
+          .withColumn("cs", sum($"n").over(wc))
+          .withColumn("ct", sum($"nv").over(wc))
+          .withColumn("ns", sum($"n").over(wp))
+          .withColumn("nt", sum($"nv").over(wp))
+          .groupBy($"source")
+          .agg(max($"ns").as("n_docs"),
+               round(max(abs($"cs".cast("double") / $"ns" -
+                 ($"ct" - $"cs").cast("double") / ($"nt" - $"ns"))), 4).as("ks_r"))
+          .orderBy($"source")
+      },
+      Some("""WITH c AS (SELECT source, n_chars AS v, count(*) AS n FROM documents GROUP BY 1, 2),
+             |tot AS (SELECT v, sum(n) AS nv FROM c GROUP BY 1),
+             |grid AS (SELECT s.source, t.v, t.nv, coalesce(c.n, 0) AS n
+             |         FROM (SELECT DISTINCT source FROM documents) s
+             |         CROSS JOIN tot t
+             |         LEFT JOIN c ON c.source = s.source AND c.v = t.v),
+             |cum AS (SELECT source, v,
+             |               sum(n) OVER (PARTITION BY source ORDER BY v) AS cs,
+             |               sum(nv) OVER (PARTITION BY source ORDER BY v) AS ct,
+             |               sum(n) OVER (PARTITION BY source) AS ns,
+             |               sum(nv) OVER (PARTITION BY source) AS nt
+             |        FROM grid)
+             |SELECT source, max(ns)::BIGINT AS n_docs,
+             |       round(max(abs(CAST(cs AS DOUBLE) / ns - CAST(ct - cs AS DOUBLE) / (nt - ns))), 4) AS ks_r
+             |FROM cum GROUP BY source ORDER BY source""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Q130: pairwise source similarity — cosine between source-level
+    // token-frequency vectors via an inverted-index term join (q107's
+    // sparse-cosine shape at source grain). The corpus collapses to
+    // (source, token) counts FIRST; the pair join moves only the
+    // shared-token mass. Counts are integers, so dot products and
+    // norms are exact across engines (integer-valued double sums).
+    Query(
+      "q130_source_cosine",
+      (s, dir) => {
+        import s.implicits._
+        val tok = t(s, dir, "documents")
+          .select($"source", explode(TF.tokens(lower($"text"))).as("token"))
+          .groupBy($"source", $"token")
+          .agg(count(lit(1)).as("n"))
+        val nrm = tok.groupBy($"source")
+          .agg(sqrt(sum(($"n" * $"n").cast("double"))).as("nn"))
+        tok.as("a").join(tok.as("b"),
+            $"a.token" === $"b.token" && $"a.source" < $"b.source")
+          .groupBy($"a.source".as("src_a"), $"b.source".as("src_b"))
+          .agg(sum(($"a.n" * $"b.n").cast("double")).as("dot"))
+          .join(broadcast(nrm.select($"source".as("src_a"), $"nn".as("na"))), "src_a")
+          .join(broadcast(nrm.select($"source".as("src_b"), $"nn".as("nb"))), "src_b")
+          .select($"src_a", $"src_b", round($"dot" / ($"na" * $"nb"), 4).as("cos_r"))
+          .orderBy($"src_a", $"src_b")
+      },
+      Some("""WITH tok AS (SELECT source, t AS token, count(*) AS n
+             |             FROM documents,
+             |                  LATERAL unnest(string_split_regex(trim(lower(text)), '\s+')) AS u(t)
+             |             GROUP BY 1, 2),
+             |nrm AS (SELECT source, sqrt(sum(CAST(n AS DOUBLE) * n)) AS nn FROM tok GROUP BY 1),
+             |dots AS (SELECT a.source AS src_a, b.source AS src_b,
+             |                sum(CAST(a.n AS DOUBLE) * b.n) AS dot
+             |         FROM tok a JOIN tok b ON a.token = b.token AND a.source < b.source
+             |         GROUP BY 1, 2)
+             |SELECT src_a, src_b, round(dot / (na.nn * nb.nn), 4) AS cos_r
+             |FROM dots JOIN nrm na ON na.source = src_a JOIN nrm nb ON nb.source = src_b
+             |ORDER BY src_a, src_b""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Q131: peak detection — days whose event count exceeds both
+    // neighbors and ≥1.05× the trailing 7-day mean. The
+    // monitoring/anomaly screen. Aggregate-then-window (q113's
+    // discipline): events collapse to day grain first, every window
+    // runs over the ~|days| frame; the trailing mean is an integer
+    // sum ÷ count, exact across engines.
+    Query(
+      "q131_peak_days",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.orderBy($"day")
+        t(s, dir, "events")
+          .groupBy(to_date($"ts").as("day"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("prev_n", lag($"n", 1).over(w))
+          .withColumn("next_n", lead($"n", 1).over(w))
+          .withColumn("trail", avg($"n").over(w.rowsBetween(-7, -1)))
+          .filter($"prev_n".isNotNull && $"next_n".isNotNull &&
+            $"n" > $"prev_n" && $"n" > $"next_n" && $"n" >= lit(1.05) * $"trail")
+          .select($"day".cast("string").as("day_s"), $"n",
+                  round($"trail", 4).as("trail_r"))
+          .orderBy($"day_s")
+      },
+      Some("""WITH d AS (SELECT CAST(ts AS DATE) AS day, count(*) AS n FROM events GROUP BY 1),
+             |w AS (SELECT day, n,
+             |             lag(n) OVER (ORDER BY day) AS prev_n,
+             |             lead(n) OVER (ORDER BY day) AS next_n,
+             |             avg(n) OVER (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS trail
+             |      FROM d)
+             |SELECT CAST(day AS VARCHAR) AS day_s, n, round(trail, 4) AS trail_r
+             |FROM w WHERE prev_n IS NOT NULL AND next_n IS NOT NULL
+             |  AND n > prev_n AND n > next_n AND n >= 1.05 * trail
+             |ORDER BY day_s""".stripMargin))
   )
 
   val byName: Map[String, Query] = all.map(q => q.name -> q).toMap
