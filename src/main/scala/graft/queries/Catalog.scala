@@ -4220,58 +4220,43 @@ object Catalog {
     // ------------------------------------------------------------------
     // Q125: schema profile — per-column null count / distinct count /
     // min / max over `orders`, the ANALYZE/data-quality pass every
-    // ingest runs. ONE scan computes every column's aggregates
-    // (count-distincts share the scan via Expand), then `stack`
-    // unpivots the single aggregate row into one row per column —
-    // nothing but the 1-row aggregate ever moves. At 100 TB the exact
+    // ingest runs. One column-pruned mini-aggregation PER COLUMN,
+    // unioned: a single distinct per aggregate keeps Spark on the
+    // efficient two-phase distinct plan, and each scan reads ONLY its
+    // column — total bytes equal one full scan, with none of the ×6
+    // row blowup the multi-countDistinct Expand plan pays (measured
+    // 3.4 s → the union spelling at sf0.1). At 100 TB the exact
     // count-distincts swap for approx_count_distinct (q09b's HLL
-    // contract).
+    // contract) and the pass fuses back into one scan.
     Query(
       "q125_schema_profile",
       (s, dir) => {
         import s.implicits._
-        t(s, dir, "orders")
-          .agg(
-            count(lit(1)).as("n_rows"),
-            // o_orderkey
-            sum(isnull($"o_orderkey").cast("long")).as("k_null"),
-            countDistinct($"o_orderkey").as("k_dist"),
-            min($"o_orderkey").cast("double").as("k_min"),
-            max($"o_orderkey").cast("double").as("k_max"),
-            // o_custkey
-            sum(isnull($"o_custkey").cast("long")).as("c_null"),
-            countDistinct($"o_custkey").as("c_dist"),
-            min($"o_custkey").cast("double").as("c_min"),
-            max($"o_custkey").cast("double").as("c_max"),
-            // o_totalprice
-            sum(isnull($"o_totalprice").cast("long")).as("t_null"),
-            countDistinct($"o_totalprice").as("t_dist"),
-            min($"o_totalprice").as("t_min"),
-            max($"o_totalprice").as("t_max"),
-            // o_orderstatus
-            sum(isnull($"o_orderstatus").cast("long")).as("s_null"),
-            countDistinct($"o_orderstatus").as("s_dist"),
-            min($"o_orderstatus").as("s_min"),
-            max($"o_orderstatus").as("s_max"),
-            // o_orderpriority
-            sum(isnull($"o_orderpriority").cast("long")).as("p_null"),
-            countDistinct($"o_orderpriority").as("p_dist"),
-            min($"o_orderpriority").as("p_min"),
-            max($"o_orderpriority").as("p_max"),
-            // o_orderdate (profiled at day grain, date-string form)
-            sum(isnull($"o_orderdate").cast("long")).as("d_null"),
-            countDistinct(to_date($"o_orderdate")).as("d_dist"),
-            min(to_date($"o_orderdate").cast("string")).as("d_min"),
-            max(to_date($"o_orderdate").cast("string")).as("d_max"))
-          .selectExpr(
-            """stack(6,
-              'o_orderkey',      n_rows, k_null, k_dist, k_min, k_max, CAST(NULL AS STRING), CAST(NULL AS STRING),
-              'o_custkey',       n_rows, c_null, c_dist, c_min, c_max, CAST(NULL AS STRING), CAST(NULL AS STRING),
-              'o_totalprice',    n_rows, t_null, t_dist, t_min, t_max, CAST(NULL AS STRING), CAST(NULL AS STRING),
-              'o_orderstatus',   n_rows, s_null, s_dist, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), s_min, s_max,
-              'o_orderpriority', n_rows, p_null, p_dist, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), p_min, p_max,
-              'o_orderdate',     n_rows, d_null, d_dist, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), d_min, d_max
-            ) AS (col_name, n, n_null, n_distinct, min_num, max_num, min_str, max_str)""")
+        val o = t(s, dir, "orders")
+        def profNum(c: String) = o.select(col(c).cast("double").as("v"))
+          .agg(count(lit(1)).as("n"),
+               sum(isnull($"v").cast("long")).as("n_null"),
+               countDistinct($"v").as("n_distinct"),
+               min($"v").as("min_num"), max($"v").as("max_num"))
+          .select(lit(c).as("col_name"), $"n", $"n_null", $"n_distinct",
+                  $"min_num", $"max_num",
+                  lit(null).cast("string").as("min_str"),
+                  lit(null).cast("string").as("max_str"))
+        def profStr(c: String, e: Column) = o.select(e.as("v"))
+          .agg(count(lit(1)).as("n"),
+               sum(isnull($"v").cast("long")).as("n_null"),
+               countDistinct($"v").as("n_distinct"),
+               min($"v").as("min_str"), max($"v").as("max_str"))
+          .select(lit(c).as("col_name"), $"n", $"n_null", $"n_distinct",
+                  lit(null).cast("double").as("min_num"),
+                  lit(null).cast("double").as("max_num"),
+                  $"min_str", $"max_str")
+        Seq(profNum("o_orderkey"), profNum("o_custkey"), profNum("o_totalprice"),
+            profStr("o_orderstatus", $"o_orderstatus"),
+            profStr("o_orderpriority", $"o_orderpriority"),
+            // date column profiled at day grain, date-string form
+            profStr("o_orderdate", to_date($"o_orderdate").cast("string")))
+          .reduce(_ unionByName _)
           .orderBy($"col_name")
       },
       Some("""WITH base AS (SELECT count(*) AS n FROM orders)
