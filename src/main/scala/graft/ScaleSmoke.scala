@@ -131,6 +131,57 @@ object ScaleSmoke {
             ($"tf" + lit(1.2) * (lit(0.25) + lit(0.75) * $"dl" / $"avgdl")))
         .groupBy($"doc_id").agg(sum($"contrib")).count()
     }
+    // global-rank shape — the SAME operator as q118's rankings: a
+    // range-partitioned sort + zipWithIndex, no single-partition
+    // WindowExec however large the input
+    time(s"global_rank_${factor}x") {
+      graft.operators.GlobalRank
+        .withRank(ord.select($"o_orderkey", $"o_totalprice"),
+          "rk", $"o_totalprice".desc, $"o_orderkey")
+        .count()
+    }
+    // skip-gram shape — q124's plan: the ×2 pair expansion happens
+    // inside the scan (transform-with-index), only pair counts shuffle
+    time(s"skipgram_${factor}x") {
+      val pairCols = (1 to 2).map { d =>
+        expr(s"""transform(slice(toks, 1, greatest(size(toks) - $d, 0)),
+                (x, i) -> named_struct(
+                  'w1', least(x, element_at(toks, i + 1 + $d)),
+                  'w2', greatest(x, element_at(toks, i + 1 + $d))))""")
+      }
+      docs.withColumn("toks", graft.functions.TextFunctions.tokens(lower($"text")))
+        .select(explode(concat(pairCols: _*)).as("p"))
+        .filter($"p.w1" =!= $"p.w2")
+        .groupBy($"p.w1", $"p.w2").agg(count(lit(1)))
+        .count()
+    }
+    // equi-depth sketch shape — q84's production spelling
+    // (EquiDepth.approxHistogram): percentile sketch partials + one
+    // agg shuffle, no global sort
+    time(s"equidepth_approx_${factor}x") {
+      graft.operators.EquiDepth
+        .approxHistogram(ord.select($"o_totalprice"), col("o_totalprice"), 10)
+        .count()
+    }
+    // KS-drift shape — q129's plan on a 10x corpus: the cumulative
+    // windows run over the (source x distinct-value) grid, which does
+    // NOT grow with replication — only the counting scan does
+    time(s"ks_drift_${factor}x") {
+      import org.apache.spark.sql.expressions.Window
+      val c = docs.groupBy($"source", $"n_chars".as("v")).agg(count(lit(1)).as("n"))
+      val tot = c.groupBy($"v").agg(sum($"n").as("nv"))
+      val grid = docs.select($"source").distinct()
+        .crossJoin(broadcast(tot))
+        .join(c, Seq("source", "v"), "left").na.fill(0L, Seq("n"))
+      val wc = Window.partitionBy($"source").orderBy($"v")
+      val wp = Window.partitionBy($"source")
+      grid.withColumn("cs", sum($"n").over(wc)).withColumn("ct", sum($"nv").over(wc))
+        .withColumn("ns", sum($"n").over(wp)).withColumn("nt", sum($"nv").over(wp))
+        .groupBy($"source")
+        .agg(max(abs($"cs".cast("double") / $"ns" -
+          ($"ct" - $"cs").cast("double") / ($"nt" - $"ns"))))
+        .count()
+    }
     spark.stop()
   }
 }

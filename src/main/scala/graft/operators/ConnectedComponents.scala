@@ -75,6 +75,10 @@ object ConnectedComponents {
         .join(labels.as("o"), $"n.node" === $"o.node")
         .filter($"n.lbl" < $"o.lbl")
         .limit(1).count()
+      // The convergence join was the previous round's last reader —
+      // release its checkpointed blocks (Iterate.unpersistCheckpoint)
+      // so long fixed points hold two label frames, not maxRounds.
+      Iterate.unpersistCheckpoint(labels)
       labels = next
       converged = changed == 0
       round += 1

@@ -38,10 +38,11 @@ import org.apache.spark.sql.{DataFrame, Dataset}
   * Scale posture: the driver-side collect IS the broadcast build
   * (same as Spark's own BroadcastExchange) — n * d * 8 B, 1 MB at
   * sf0.1, ~5 GB at n = 10 M x 64 d. When the matrix outgrows the
-  * broadcast budget, the same inner loop runs over block PAIRS —
-  * split ids into B row blocks, one task per (i <= j) block pair,
-  * each row replicated ~B/2 times — communication O(n * B) instead
-  * of a broadcast, arithmetic unchanged.
+  * broadcast budget, [[exactBlocked]] runs the same inner loop over
+  * block PAIRS — ids hash into B row blocks, one task per (i <= j)
+  * block pair, each row replicated ~B/2 times — communication
+  * O(n * B) instead of a broadcast, arithmetic unchanged
+  * (spec-asserted equal to [[exact]]).
   *
   * Determinism contract (oracle hash-match): dot products are
   * sequential index-order folds and the norm is sqrt of the
@@ -56,6 +57,81 @@ object CosinePairs {
     var i = 0
     while (i < v.length) { s += v(i) * v(i); i += 1 }
     math.sqrt(s)
+  }
+
+  /** All (id_a < id_b) pairs with cosine >= threshold via block-pair
+    * decomposition — the spelling for matrices beyond the broadcast
+    * budget: ids hash into `nBlocks` row blocks; one task per
+    * (i <= j) block pair receives exactly its two blocks' vectors
+    * (each row replicated ~nBlocks/2 times — communication O(n·B)
+    * instead of a full broadcast) and runs the same primitive-array
+    * inner loop, emitting only qualifying pairs. Same determinism
+    * contract as [[exact]]; equality is spec-asserted
+    * (PairKernelsSpec).
+    */
+  def exactBlocked(vecs: Dataset[(Long, Array[Double])], threshold: Double,
+                   nBlocks: Int): DataFrame = {
+    require(nBlocks > 0)
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val nPairs = nBlocks * (nBlocks + 1) / 2
+    // (blockPair, (blockOfVec, id, vec)) — every vector goes to each
+    // block pair its block participates in.
+    val routed = vecs.rdd.flatMap { case (id, v) =>
+      val b = (math.abs(id.hashCode) % nBlocks + nBlocks) % nBlocks
+      (0 until nBlocks).map { o =>
+        val (i, j) = if (b <= o) (b, o) else (o, b)
+        (i * nBlocks - i * (i - 1) / 2 + (j - i), (b, id, v))
+      }
+    }
+    routed
+      .groupByKey(math.min(nPairs, spark.sparkContext.defaultParallelism * 2))
+      .flatMap { case (pairKey, members) =>
+        // Recover (i, j) from the triangular pair index.
+        var i = 0
+        var rem = pairKey
+        while (rem >= nBlocks - i) { rem -= nBlocks - i; i += 1 }
+        val j = i + rem
+        val all = members.toArray
+        val left = all.filter(_._1 == i).sortBy(_._2)
+        val right = all.filter(_._1 == j).sortBy(_._2)
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+        def emit(ia: Long, va: Array[Double], na: Double,
+                 ib: Long, vb: Array[Double], nb: Double): Unit = {
+          val len = math.min(va.length, vb.length)
+          var acc = 0.0
+          var k = 0
+          while (k < len) { acc += va(k) * vb(k); k += 1 }
+          val sim = acc / (na * nb)
+          if (sim >= threshold) out += (if (ia < ib) (ia, ib, sim) else (ib, ia, sim))
+        }
+        if (i == j) {
+          val norms = left.map(m => selfNorm(m._3))
+          var a = 0
+          while (a < left.length) {
+            var b = a + 1
+            while (b < left.length) {
+              emit(left(a)._2, left(a)._3, norms(a), left(b)._2, left(b)._3, norms(b))
+              b += 1
+            }
+            a += 1
+          }
+        } else {
+          val lNorms = left.map(m => selfNorm(m._3))
+          val rNorms = right.map(m => selfNorm(m._3))
+          var a = 0
+          while (a < left.length) {
+            var b = 0
+            while (b < right.length) {
+              emit(left(a)._2, left(a)._3, lNorms(a), right(b)._2, right(b)._3, rNorms(b))
+              b += 1
+            }
+            a += 1
+          }
+        }
+        out
+      }
+      .toDF("id_a", "id_b", "sim")
   }
 
   /** All (id_a < id_b) pairs with cosine >= threshold, as columns

@@ -80,21 +80,13 @@ object PageRank {
       delta = next.as("a").join(ranks.as("b"), "node")
         .agg(sum(abs($"a.pr" - $"b.pr"))).as[Double].head()
       // The delta join was the last reader of the previous round's
-      // checkpointed RDD — release it, or maxRounds |V|-sized RDDs
-      // pile up in block-manager memory over a long fixed point.
-      unpersistCheckpoint(ranks)
+      // checkpointed RDD — release it ([[Iterate.unpersistCheckpoint]]),
+      // or maxRounds |V|-sized RDDs pile up in block-manager memory
+      // over a long fixed point.
+      Iterate.unpersistCheckpoint(ranks)
       ranks = next
       round += 1
     }
     ranks
   }
-
-  /** Drop the cached blocks behind a `localCheckpoint`ed frame. The
-    * persisted RDD is the one inside the plan's LogicalRDD leaf —
-    * `df.rdd` would be a fresh derived RDD whose unpersist is a no-op.
-    */
-  private def unpersistCheckpoint(df: DataFrame): Unit =
-    df.queryExecution.logical.collect {
-      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
-    }.foreach(_.unpersist(blocking = false))
 }

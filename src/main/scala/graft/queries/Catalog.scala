@@ -4570,7 +4570,58 @@ object Catalog {
              |SELECT CAST(day AS VARCHAR) AS day_s, n, round(trail, 4) AS trail_r
              |FROM w WHERE prev_n IS NOT NULL AND next_n IS NOT NULL
              |  AND n > prev_n AND n > next_n AND n >= 1.05 * trail
-             |ORDER BY day_s""".stripMargin))
+             |ORDER BY day_s""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Q132: trade reachability — BFS hop distances from nation 0 over
+    // the top-2-partner trade graph (each customer nation keeps its 2
+    // heaviest cross-border supplier nations). The reachability /
+    // supply-chain-depth operator (operators.ShortestPaths) beside
+    // components (q58) and PageRank (q100). Edge build is the only
+    // fact shuffle (q100's shape) collapsed to nation grain before
+    // the top-2 window; BFS rounds then run at |V| grain. Oracle =
+    // DuckDB recursive-CTE BFS (UNION-dedup'd frontier, min dist).
+    Query(
+      "q132_trade_hops",
+      (s, dir) => {
+        import s.implicits._
+        val w = t(s, dir, "lineitem")
+          .select($"l_orderkey", $"l_suppkey")
+          .join(t(s, dir, "orders").select($"o_orderkey", $"o_custkey"),
+                $"l_orderkey" === $"o_orderkey")
+          .join(broadcast(t(s, dir, "customer").select($"c_custkey", $"c_nationkey")),
+                $"o_custkey" === $"c_custkey")
+          .join(broadcast(t(s, dir, "supplier").select($"s_suppkey", $"s_nationkey")),
+                $"l_suppkey" === $"s_suppkey")
+          .filter($"c_nationkey" =!= $"s_nationkey")
+          .groupBy($"c_nationkey".as("un"), $"s_nationkey".as("vn"))
+          .agg(count(lit(1)).as("wt"))
+        val e = w.withColumn("rk",
+            row_number().over(Window.partitionBy($"un").orderBy($"wt".desc, $"vn")))
+          .filter($"rk" <= 2)
+          .select($"un", $"vn")
+        val src = t(s, dir, "nation").filter($"n_nationkey" === 0)
+          .select($"n_nationkey".as("node"))
+        graft.operators.ShortestPaths.hops(e, src)
+          .join(broadcast(t(s, dir, "nation")), $"node" === $"n_nationkey")
+          .select($"n_name", $"dist")
+          .orderBy($"dist", $"n_name")
+      },
+      Some("""WITH RECURSIVE w AS (SELECT c.c_nationkey AS un, s.s_nationkey AS vn, count(*) AS wt
+             |           FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+             |           JOIN customer c ON o.o_custkey = c.c_custkey
+             |           JOIN supplier s ON l.l_suppkey = s.s_suppkey
+             |           WHERE c.c_nationkey <> s.s_nationkey
+             |           GROUP BY 1, 2),
+             |e AS (SELECT un, vn FROM (
+             |        SELECT un, vn, row_number() OVER (PARTITION BY un ORDER BY wt DESC, vn) AS rk
+             |        FROM w) WHERE rk <= 2),
+             |r AS (SELECT CAST(0 AS INTEGER) AS node, 0 AS dist
+             |      UNION
+             |      SELECT e.vn, r.dist + 1 FROM r JOIN e ON e.un = r.node WHERE r.dist < 25)
+             |SELECT n_name, min(dist)::BIGINT AS dist
+             |FROM r JOIN nation ON n_nationkey = node
+             |GROUP BY 1 ORDER BY dist, n_name""".stripMargin))
   )
 
   val byName: Map[String, Query] = all.map(q => q.name -> q).toMap

@@ -2,7 +2,6 @@ package graft.sinks
 
 import java.io.IOException
 import java.net.{ServerSocket, Socket, SocketException}
-import java.nio.charset.StandardCharsets
 import java.util.concurrent.CopyOnWriteArrayList
 
 import org.apache.spark.sql.{DataFrame, Dataset}
@@ -19,10 +18,13 @@ import graft.streaming.CdcStream
   * swallows per-session send failures at
   * `MessageWebSocketHandler.kt:62-64`).
   *
-  * Transport is a plain TCP line protocol (newline-delimited JSON)
-  * instead of WebSocket — the semantics under test (broadcast,
-  * per-client failure isolation, UPSERT/DELETE frame shape) are
-  * transport-independent and this keeps the engine dependency-free.
+  * The transport is pluggable ([[PushTransport]]): the default is a
+  * plain TCP line protocol (newline-delimited JSON, dependency-free),
+  * and [[WebSocketTransport]] speaks the reference's actual transport
+  * — RFC 6455 handshake + text frames — so a browser `WebSocket`
+  * client consumes the stream directly. The semantics under test
+  * (broadcast, per-client failure isolation, UPSERT/DELETE frame
+  * shape) are transport-independent.
   *
   * Scale posture: what flows here is the CHANGE stream (one frame per
   * changed key per micro-batch, from
@@ -32,22 +34,29 @@ import graft.streaming.CdcStream
   * broker between the query and the clients (executors publish via
   * `foreachPartition`); the frame schema is identical either way.
   */
-final class PushServer(port: Int = 0, outboxFrames: Int = 1024) extends AutoCloseable {
+final class PushServer(port: Int = 0, outboxFrames: Int = 1024,
+                       transport: PushTransport = LineTransport) extends AutoCloseable {
 
   /** One connected client: a bounded outbox drained by its own writer
     * thread. `broadcast` only ever enqueues, so a STALLED client (hung
     * reader, TCP backpressure — no IOException, the write just blocks)
     * fills its own queue and gets evicted; it can never block the
-    * streaming pipeline or starve the other clients. */
+    * streaming pipeline or starve the other clients. The transport
+    * handshake runs HERE (not on the accept loop), so a client that
+    * connects and never completes it only stalls itself; frames
+    * broadcast meanwhile wait in its outbox and flush after the 101. */
   private final class Client(val socket: Socket) {
     val outbox = new java.util.concurrent.LinkedBlockingQueue[Array[Byte]](outboxFrames)
     @volatile var dead = false
     val writer = new Thread(() => {
       try {
-        val out = socket.getOutputStream
-        while (!dead) {
-          val frame = outbox.poll(1, java.util.concurrent.TimeUnit.SECONDS)
-          if (frame != null) { out.write(frame); out.flush() }
+        if (!transport.handshake(socket)) evict(Client.this)
+        else {
+          val out = socket.getOutputStream
+          while (!dead) {
+            val frame = outbox.poll(1, java.util.concurrent.TimeUnit.SECONDS)
+            if (frame != null) { out.write(frame); out.flush() }
+          }
         }
       } catch {
         case _: IOException | _: InterruptedException => ()
@@ -86,13 +95,14 @@ final class PushServer(port: Int = 0, outboxFrames: Int = 1024) extends AutoClos
 
   def clientCount: Int = clients.size()
 
-  /** Enqueue one frame for every connected client. Serialization
-    * happened once upstream. Never blocks: a client that cannot keep
+  /** Enqueue one frame for every connected client. Serialization AND
+    * transport encoding happen once per broadcast; the byte array is
+    * shared across outboxes. Never blocks: a client that cannot keep
     * up (full outbox) or whose writer died is evicted, exactly like
     * the reference swallowing per-session send failures — the other
     * clients and the pipeline are unaffected. */
   def broadcast(frame: String): Unit = {
-    val bytes = (frame + "\n").getBytes(StandardCharsets.UTF_8)
+    val bytes = transport.encode(frame)
     clients.forEach { c =>
       if (c.dead || !c.outbox.offer(bytes)) evict(c)
     }

@@ -199,4 +199,18 @@ class OperatorsSpec extends SparkSpec {
     assert(direct == approx.toLong,
       s"daily-union estimate ${approx.toLong} != whole-table sketch $direct")
   }
+
+  test("ShortestPaths BFS: hop distances, cycles, unreachable nodes, multi-source, maxHops") {
+    import spark.implicits._
+    // 1→2→3→4→2 (cycle back), 5→6 in a separate component
+    val edges = Seq((1, 2), (2, 3), (3, 4), (4, 2), (5, 6)).toDF("s", "d")
+    def run(src: Seq[Int], maxHops: Int = 30) =
+      graft.operators.ShortestPaths.hops(edges, src.toDF("n"), maxHops)
+        .as[(Int, Long)].collect().toMap
+
+    assert(run(Seq(1)) == Map(1 -> 0L, 2 -> 1L, 3 -> 2L, 4 -> 3L))
+    assert(run(Seq(1, 5)) == Map(1 -> 0L, 2 -> 1L, 3 -> 2L, 4 -> 3L, 5 -> 0L, 6 -> 1L))
+    assert(run(Seq(1), maxHops = 2) == Map(1 -> 0L, 2 -> 1L, 3 -> 2L))
+    assert(run(Seq(6)) == Map(6 -> 0L)) // sink node: no out-edges
+  }
 }

@@ -54,6 +54,22 @@ class PairKernelsSpec extends SparkSpec {
     assert(out(0)._3 == 1.0 && out(1)._3 == -1.0 && out(2)._3 == -1.0)
   }
 
+  test("CosinePairs.exactBlocked equals exact for any block count") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(99)
+    val vecs = (0L until 80L).map(id => (id, Array.fill(12)(rnd.nextGaussian()))).toDS()
+    val want = CosinePairs.exact(vecs, 0.25)
+      .select($"id_a", $"id_b", round($"sim", 9).as("s"))
+      .as[(Long, Long, Double)].collect().toSeq.sorted
+    assert(want.nonEmpty)
+    for (b <- Seq(1, 3, 8)) {
+      val got = CosinePairs.exactBlocked(vecs, 0.25, b)
+        .select($"id_a", $"id_b", round($"sim", 9).as("s"))
+        .as[(Long, Long, Double)].collect().toSeq.sorted
+      assert(got == want, s"nBlocks=$b diverged")
+    }
+  }
+
   test("CosinePairs.exact on empty and singleton inputs") {
     import spark.implicits._
     val empty = spark.emptyDataset[(Long, Array[Double])]
