@@ -4621,7 +4621,215 @@ object Catalog {
              |      SELECT e.vn, r.dist + 1 FROM r JOIN e ON e.un = r.node WHERE r.dist < 25)
              |SELECT n_name, min(dist)::BIGINT AS dist
              |FROM r JOIN nation ON n_nationkey = node
-             |GROUP BY 1 ORDER BY dist, n_name""".stripMargin))
+             |GROUP BY 1 ORDER BY dist, n_name""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Q133: tokenizer fertility — per language, BPE-tokens-per-word
+    // and chars-per-BPE-token (the tokenizer-efficiency metric that
+    // drives per-language training cost). Pure map stage (two token
+    // counts per doc, q34's machinery) + one agg; ratio averages
+    // rounded on both sides per the order-dependent-double contract.
+    Query(
+      "q133_tokenizer_fertility",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "documents")
+          .select($"lang", $"n_chars",
+                  TF.tokenCount($"text").as("ws"),
+                  TF.bpeTokenCount($"text").as("bpe"))
+          .groupBy($"lang")
+          .agg(count(lit(1)).as("n_docs"),
+               round(avg($"bpe".cast("double") / $"ws"), 4).as("fertility_r"),
+               round(avg($"n_chars".cast("double") / $"bpe"), 4).as("chars_per_tok_r"))
+          .orderBy($"lang")
+      },
+      Some("""WITH d AS (SELECT lang, n_chars,
+             |                  len(string_split_regex(trim(text), '\s+')) AS ws,
+             |                  len(regexp_extract_all(text,
+             |                      '''(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s'']+')) AS bpe
+             |           FROM documents)
+             |SELECT lang, count(*) AS n_docs,
+             |       round(avg(CAST(bpe AS DOUBLE) / ws), 4) AS fertility_r,
+             |       round(avg(CAST(n_chars AS DOUBLE) / bpe), 4) AS chars_per_tok_r
+             |FROM d GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Q134: Wilson confidence bound — per event type, the success
+    // share (value > 50) with its Wilson lower bound at z = 1.96: the
+    // uncertainty-aware CTR ranking that beats raw proportions on
+    // low-n arms. One agg to |types| grain; the bound is pure scalar
+    // math over exact integer (n, s), written with the same
+    // expression structure on both sides so the doubles agree
+    // bit-for-bit before rounding.
+    Query(
+      "q134_ctr_wilson",
+      (s, dir) => {
+        import s.implicits._
+        val z2 = 1.96 * 1.96
+        t(s, dir, "events")
+          .groupBy($"event_type")
+          .agg(count(lit(1)).as("n"),
+               sum(when($"value" > 50, 1L).otherwise(0L)).as("s"))
+          .withColumn("p", $"s".cast("double") / $"n")
+          .select($"event_type", $"n", $"s",
+            round($"p", 4).as("p_r"),
+            round(($"p" + lit(z2) / (lit(2) * $"n") -
+                lit(1.96) * sqrt(($"p" * (lit(1) - $"p") + lit(z2) / (lit(4) * $"n")) / $"n")) /
+              (lit(1) + lit(z2) / $"n"), 4).as("wilson_low_r"))
+          .orderBy($"event_type")
+      },
+      Some("""WITH c AS (SELECT event_type, count(*) AS n,
+             |                  sum(CASE WHEN value > 50 THEN 1 ELSE 0 END)::BIGINT AS s
+             |           FROM events GROUP BY 1)
+             |SELECT event_type, n, s,
+             |       round(CAST(s AS DOUBLE) / n, 4) AS p_r,
+             |       round(((CAST(s AS DOUBLE)/n) + 1.96*1.96/(2*n)
+             |              - 1.96 * sqrt(((CAST(s AS DOUBLE)/n)*(1 - CAST(s AS DOUBLE)/n) + 1.96*1.96/(4*n)) / n))
+             |             / (1 + 1.96*1.96/n), 4) AS wilson_low_r
+             |FROM c ORDER BY event_type""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Q135: A/B lift — users deterministically split into two arms by
+    // content hash (q43's stable bucket, reproducible across engines
+    // and runs — no rand()), per event type: arm means, relative
+    // lift, and the two-sample z statistic from var_samp. One agg to
+    // |types| grain; moment aggregates are constant partial state
+    // (q37's contract); z rounded to 3 (var_samp accumulation order).
+    Query(
+      "q135_ab_lift",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "events")
+          .select($"event_type",
+                  TF.stableBucket($"user_id".cast("string"), 2).as("arm"),
+                  $"value")
+          .groupBy($"event_type")
+          .agg(count(when($"arm" === 0, 1)).as("na"),
+               avg(when($"arm" === 0, $"value")).as("ma"),
+               var_samp(when($"arm" === 0, $"value")).as("va"),
+               count(when($"arm" === 1, 1)).as("nb"),
+               avg(when($"arm" === 1, $"value")).as("mb"),
+               var_samp(when($"arm" === 1, $"value")).as("vb"))
+          .select($"event_type", $"na", $"nb",
+            round($"ma", 4).as("mean_a_r"), round($"mb", 4).as("mean_b_r"),
+            round(($"mb" - $"ma") / $"ma", 4).as("lift_r"),
+            round(($"mb" - $"ma") / sqrt($"va" / $"na" + $"vb" / $"nb"), 3).as("z_r"))
+          .orderBy($"event_type")
+      },
+      Some("""WITH a AS (SELECT event_type,
+             |                  ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 4))::BIGINT % 2 AS arm,
+             |                  value
+             |           FROM events),
+             |g AS (SELECT event_type,
+             |             count(CASE WHEN arm = 0 THEN 1 END) AS na,
+             |             avg(CASE WHEN arm = 0 THEN value END) AS ma,
+             |             var_samp(CASE WHEN arm = 0 THEN value END) AS va,
+             |             count(CASE WHEN arm = 1 THEN 1 END) AS nb,
+             |             avg(CASE WHEN arm = 1 THEN value END) AS mb,
+             |             var_samp(CASE WHEN arm = 1 THEN value END) AS vb
+             |      FROM a GROUP BY 1)
+             |SELECT event_type, na, nb,
+             |       round(ma, 4) AS mean_a_r, round(mb, 4) AS mean_b_r,
+             |       round((mb - ma) / ma, 4) AS lift_r,
+             |       round((mb - ma) / sqrt(va / na + vb / nb), 3) AS z_r
+             |FROM g ORDER BY event_type""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Q136: cohort LTV triangle — customers cohorted by first-order
+    // month, cumulative revenue per customer by month index. The
+    // lifetime-value companion to q96's retention triangle. First-order
+    // collapse is one customer-grain agg; the cumulative window runs
+    // at (cohort × month) grain, partitioned by cohort.
+    Query(
+      "q136_cohort_ltv",
+      (s, dir) => {
+        import s.implicits._
+        val f = t(s, dir, "orders")
+          .groupBy($"o_custkey")
+          .agg(min(date_trunc("month", $"o_orderdate")).as("cohort"))
+        val sz = f.groupBy($"cohort").agg(count(lit(1)).as("n_customers"))
+        // Every order amount converts to integer CENTS before ANY
+        // summation (per-row cents are exact — amounts are 2-dp by
+        // construction — so all sums are exact longs), and the final
+        // per-customer division rounds at CENT precision, not 2-dp
+        // dollars: a 2-dp round of a double hits values like x.465
+        // that the double cannot represent, where Spark (BigDecimal
+        // shortest-repr HALF_UP) and DuckDB (raw-double round)
+        // disagree; at 0 decimals the .5 boundary IS representable
+        // and both engines round it away from zero (measured: 4/1845
+        // then 2/1845 rows off by $0.01 before this spelling).
+        val r = t(s, dir, "orders")
+          .join(f, "o_custkey")
+          .groupBy($"cohort",
+            ((year($"o_orderdate") * 12 + month($"o_orderdate")) -
+             (year($"cohort") * 12 + month($"cohort"))).as("month_idx"))
+          .agg(sum(round($"o_totalprice" * 100).cast("long")).as("rev_c"))
+        r.withColumn("cum_c",
+            sum($"rev_c").over(Window.partitionBy($"cohort").orderBy($"month_idx")))
+          .join(broadcast(sz), "cohort")
+          .select(date_format($"cohort", "yyyy-MM").as("cohort_m"),
+                  $"month_idx".cast("long").as("month_idx"),
+                  $"n_customers",
+                  (round($"cum_c".cast("double") / $"n_customers").cast("long")
+                    .cast("double") / 100.0).as("cum_rev_per_cust_r"))
+          .orderBy($"cohort_m", $"month_idx")
+      },
+      Some("""WITH f AS (SELECT o_custkey, min(date_trunc('month', o_orderdate)) AS cohort
+             |           FROM orders GROUP BY 1),
+             |sz AS (SELECT cohort, count(*) AS n_customers FROM f GROUP BY 1),
+             |r AS (SELECT f.cohort,
+             |             (year(o.o_orderdate)*12 + month(o.o_orderdate))
+             |               - (year(f.cohort)*12 + month(f.cohort)) AS month_idx,
+             |             sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS rev_c
+             |      FROM orders o JOIN f ON o.o_custkey = f.o_custkey GROUP BY 1, 2),
+             |c AS (SELECT cohort, month_idx,
+             |             sum(rev_c) OVER (PARTITION BY cohort ORDER BY month_idx) AS cum_c
+             |      FROM r)
+             |SELECT strftime(cohort, '%Y-%m') AS cohort_m, month_idx::BIGINT AS month_idx,
+             |       any_value(n_customers)::BIGINT AS n_customers,
+             |       CAST(round(CAST(any_value(cum_c) AS DOUBLE) / any_value(n_customers)) AS BIGINT) / 100.0 AS cum_rev_per_cust_r
+             |FROM c JOIN sz USING (cohort)
+             |GROUP BY cohort, month_idx ORDER BY cohort_m, month_idx""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Q137: mean-shift changepoint scan — the split day maximizing
+    // |mean(before) − mean(after)| of daily event counts, 5-day
+    // margins each side. The drift-alarm companion to q131's local
+    // peaks. Aggregate-then-window at day grain; cumulative sums are
+    // integers (exact); top-3 is TakeOrdered.
+    Query(
+      "q137_mean_shift",
+      (s, dir) => {
+        import s.implicits._
+        val d = t(s, dir, "events")
+          .groupBy(to_date($"ts").as("day"))
+          .agg(count(lit(1)).as("n"))
+        val tot = d.agg(count(lit(1)).as("nt"), sum($"n").as("st"))
+        val w = Window.orderBy($"day")
+        d.withColumn("cs", sum($"n").over(w))
+          .withColumn("i", row_number().over(w).cast("long"))
+          .crossJoin(broadcast(tot))
+          .filter($"i" >= 5 && $"i" <= $"nt" - 5)
+          .select($"day".cast("string").as("day_s"),
+            round($"cs".cast("double") / $"i", 4).as("left_mean_r"),
+            round(($"st" - $"cs").cast("double") / ($"nt" - $"i"), 4).as("right_mean_r"),
+            round(abs($"cs".cast("double") / $"i" -
+              ($"st" - $"cs").cast("double") / ($"nt" - $"i")), 4).as("shift_r"))
+          .orderBy($"shift_r".desc, $"day_s")
+          .limit(3)
+      },
+      Some("""WITH d AS (SELECT CAST(ts AS DATE) AS day, count(*) AS n FROM events GROUP BY 1),
+             |t AS (SELECT count(*) AS nt, sum(n) AS st FROM d),
+             |c AS (SELECT day, n,
+             |             sum(n) OVER (ORDER BY day) AS cs,
+             |             row_number() OVER (ORDER BY day) AS i
+             |      FROM d)
+             |SELECT CAST(day AS VARCHAR) AS day_s,
+             |       round(CAST(cs AS DOUBLE) / i, 4) AS left_mean_r,
+             |       round(CAST(st - cs AS DOUBLE) / (nt - i), 4) AS right_mean_r,
+             |       round(abs(CAST(cs AS DOUBLE) / i - CAST(st - cs AS DOUBLE) / (nt - i)), 4) AS shift_r
+             |FROM c, t WHERE i >= 5 AND i <= nt - 5
+             |ORDER BY shift_r DESC, day_s LIMIT 3""".stripMargin))
   )
 
   val byName: Map[String, Query] = all.map(q => q.name -> q).toMap
