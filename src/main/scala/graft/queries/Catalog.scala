@@ -4829,7 +4829,194 @@ object Catalog {
              |       round(CAST(st - cs AS DOUBLE) / (nt - i), 4) AS right_mean_r,
              |       round(abs(CAST(cs AS DOUBLE) / i - CAST(st - cs AS DOUBLE) / (nt - i)), 4) AS shift_r
              |FROM c, t WHERE i >= 5 AND i <= nt - 5
-             |ORDER BY shift_r DESC, day_s LIMIT 3""".stripMargin))
+             |ORDER BY shift_r DESC, day_s LIMIT 3""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Q138: blocked entity resolution — fuzzy name matching via the
+    // native JaroWinkler expression (Spark has levenshtein but no
+    // Jaro-Winkler; semantics pinned bit-for-bit to DuckDB's
+    // jaro_winkler_similarity, so this hash-matches an oracle that
+    // uses the engine-builtin). Blocking on p_brand bounds the pair
+    // space to within-block (the standard ER design: candidates from
+    // cheap equality blocking, the expensive similarity only inside
+    // blocks); identical names are excluded — exact duplicates are
+    // q12's exact-dedup contract, this is the FUZZY residue.
+    Query(
+      "q138_entity_resolution",
+      (s, dir) => {
+        import s.implicits._
+        val p = t(s, dir, "part")
+        val a = p.select($"p_partkey".as("k1"), $"p_name".as("n1"), $"p_brand")
+        val b = p.select($"p_partkey".as("k2"), $"p_name".as("n2"),
+                         $"p_brand".as("b2"))
+        a.join(b, $"p_brand" === $"b2" && $"k1" < $"k2" && $"n1" =!= $"n2")
+          .withColumn("jw", graft.functions.JaroWinkler($"n1", $"n2"))
+          .filter($"jw" >= 0.88)
+          .select($"k1", $"k2", round($"jw", 4).as("jw_r"))
+          .orderBy($"k1", $"k2")
+      },
+      Some("""SELECT a.p_partkey AS k1, b.p_partkey AS k2,
+             |       round(jaro_winkler_similarity(a.p_name, b.p_name), 4) AS jw_r
+             |FROM part a JOIN part b
+             |  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+             |WHERE a.p_name <> b.p_name
+             |  AND jaro_winkler_similarity(a.p_name, b.p_name) >= 0.88
+             |ORDER BY k1, k2""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Q139: product-quantization ANN (operators.PqAnn) — the
+    // memory-scale ANN path beside IVF (q44: scan less of the corpus)
+    // and int8 (q102: 4x denser scan): PQ codes are 32x denser than
+    // float32, shortlist by quantized inner product, exact rescore.
+    // Codebook training is Lloyd-in-DataFrames with a seedless stable
+    // init, so the result is deterministic — but k-means-in-SQL is
+    // not reasonably DuckDB-expressible: rows-only here, recall and
+    // determinism spec-asserted in PqAnnSpec.
+    Query(
+      "q139_pq_ann",
+      (s, dir) => {
+        import s.implicits._
+        graft.operators.PqAnn.topK(
+          t(s, dir, "embeddings")
+            .select($"vec_id", VF.asDouble($"embedding").as("v")),
+          isQuery = $"vec_id" < 10, m = 8, subDim = 8, k = 5)
+          .select($"qid", $"nid", $"rank", round($"sim", 4).as("sim_r"))
+          .orderBy($"qid", $"rank")
+      },
+      None),
+
+    // ------------------------------------------------------------------
+    // Q140: triangle counting — co-purchase graph (parts co-occurring
+    // in an order, co-occurrence >= 2 to thin noise edges), triangles
+    // via the oriented wedge join: every edge stored once as u < v,
+    // wedges e(a,b)x(b,c) closed against e(a,c). The orientation
+    // means each triangle is produced exactly once and the join never
+    // builds the unoriented 6x wedge space. Per-node participation
+    // counts, top 20 — the graph-structure companion to q100/q132.
+    Query(
+      "q140_triangles",
+      (s, dir) => {
+        import s.implicits._
+        val lp = t(s, dir, "lineitem")
+          .select($"l_orderkey".as("o"), $"l_partkey".as("p")).distinct()
+        val e = lp.as("a").join(lp.as("b"), $"a.o" === $"b.o" && $"a.p" < $"b.p")
+          .groupBy($"a.p".as("u"), $"b.p".as("v"))
+          .agg(count(lit(1)).as("c"))
+          .filter($"c" >= 2)
+          .select($"u", $"v")
+        val tri = e.as("e1")
+          .join(e.as("e2"), $"e2.u" === $"e1.v")
+          .join(e.as("e3"), $"e3.u" === $"e1.u" && $"e3.v" === $"e2.v")
+          .select($"e1.u".as("a"), $"e1.v".as("b"), $"e2.v".as("c"))
+        tri.select(explode(array($"a", $"b", $"c")).as("node"))
+          .groupBy($"node")
+          .agg(count(lit(1)).as("n_triangles"))
+          .orderBy($"n_triangles".desc, $"node")
+          .limit(20)
+      },
+      Some("""WITH lp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+             |e AS (SELECT a.p AS u, b.p AS v FROM lp a JOIN lp b ON a.o = b.o AND a.p < b.p
+             |      GROUP BY 1, 2 HAVING count(*) >= 2),
+             |tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+             |        FROM e e1 JOIN e e2 ON e2.u = e1.v
+             |             JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+             |n AS (SELECT unnest([a, b, c]) AS node FROM tri)
+             |SELECT node, count(*) AS n_triangles FROM n
+             |GROUP BY 1 ORDER BY n_triangles DESC, node LIMIT 20""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Q141: EWMA smoothing of daily event counts (alpha = 0.3) — the
+    // recursive filter in closed form: e_t = sum_j w_j x_j with
+    // w_j = a(1-a)^(t-j) for j > 1 and (1-a)^(t-1) for j = 1,
+    // spelled as a triangular self-join AT DAY GRAIN — the recursion
+    // collapses to ~90 rows after the one aggregation shuffle, so the
+    // O(days^2) join is constant work regardless of corpus size (the
+    // same aggregate-then-window contract as q131/q137). Weighted
+    // sums are order-dependent doubles: rounded 4 dp both sides.
+    Query(
+      "q141_ewma",
+      (s, dir) => {
+        import s.implicits._
+        val d = t(s, dir, "events")
+          .groupBy(to_date($"ts").as("day"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("i", row_number().over(Window.orderBy($"day")).cast("long"))
+        d.as("x").join(d.as("y"), $"y.i" <= $"x.i")
+          .groupBy($"x.day".as("day"), $"x.n".as("n"))
+          .agg(round(sum(
+            $"y.n" * pow(lit(0.7), $"x.i" - $"y.i") *
+              when($"y.i" === 1, lit(1.0)).otherwise(lit(0.3))), 4).as("ewma_r"))
+          .select($"day".cast("string").as("day_s"), $"n", $"ewma_r")
+          .orderBy($"day_s")
+      },
+      Some("""WITH d AS (SELECT CAST(ts AS DATE) AS day, count(*) AS n FROM events GROUP BY 1),
+             |i AS (SELECT day, n, row_number() OVER (ORDER BY day) AS i FROM d)
+             |SELECT CAST(x.day AS VARCHAR) AS day_s, x.n,
+             |       round(sum(y.n * pow(0.7, x.i - y.i) *
+             |                 CASE WHEN y.i = 1 THEN 1.0 ELSE 0.3 END), 4) AS ewma_r
+             |FROM i x JOIN i y ON y.i <= x.i
+             |GROUP BY x.day, x.n ORDER BY day_s""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Q142: composite quality gate — the Gopher-style multi-rule
+    // document filter that sits in front of every training-data
+    // pipeline: word count, mean word length, distinct-token ratio,
+    // stopword presence, each a reusable TF metric (exact q19
+    // spellings so the two engines agree bit-for-bit), combined into
+    // a pass flag + per-rule fail counts per source. One scan, one
+    // agg to |sources| grain; at 100 TB the gate is map-side work and
+    // the output is the mixture report.
+    Query(
+      "q142_quality_gate",
+      (s, dir) => {
+        import s.implicits._
+        val stop = array(Seq("the", "of", "and", "to", "in").map(lit): _*)
+        t(s, dir, "documents")
+          .select($"source",
+                  TF.tokenCount($"text").as("ws"),
+                  TF.avgTokenLen($"text").as("awl"),
+                  TF.distinctTokenRatio($"text").as("dtr"),
+                  arrays_overlap(TF.tokens($"text"), stop).as("has_stop"))
+          .select($"source",
+                  ($"ws" >= 20 && $"ws" <= 1000).as("r1"),
+                  ($"awl" >= 4.0 && $"awl" <= 6.5).as("r2"),
+                  ($"dtr" >= 0.45).as("r3"),
+                  $"has_stop".as("r4"))
+          .groupBy($"source")
+          .agg(count(lit(1)).as("n_docs"),
+               sum(when(!$"r1", 1L).otherwise(0L)).as("fail_len"),
+               sum(when(!$"r2", 1L).otherwise(0L)).as("fail_awl"),
+               sum(when(!$"r3", 1L).otherwise(0L)).as("fail_rep"),
+               sum(when(!$"r4", 1L).otherwise(0L)).as("fail_stop"),
+               sum(when($"r1" && $"r2" && $"r3" && $"r4", 1L).otherwise(0L)).as("n_pass"))
+          .withColumn("pass_rate_r",
+                      round($"n_pass".cast("double") / $"n_docs", 4))
+          .orderBy($"source")
+      },
+      Some("""WITH m AS (SELECT source,
+             |  len(string_split_regex(trim(text), '\s+')) AS ws,
+             |  length(regexp_replace(text, '\s', '', 'g'))::DOUBLE /
+             |    len(string_split_regex(trim(text), '\s+')) AS awl,
+             |  len(list_distinct(string_split_regex(trim(text), '\s+')))::DOUBLE /
+             |    len(string_split_regex(trim(text), '\s+')) AS dtr,
+             |  len(list_intersect(string_split_regex(trim(text), '\s+'),
+             |      ['the','of','and','to','in'])) >= 1 AS has_stop
+             |  FROM documents),
+             |r AS (SELECT source,
+             |  ws BETWEEN 20 AND 1000 AS r1,
+             |  awl BETWEEN 4.0 AND 6.5 AS r2,
+             |  dtr >= 0.45 AS r3,
+             |  has_stop AS r4
+             |  FROM m)
+             |SELECT source, count(*) AS n_docs,
+             |  sum(CASE WHEN NOT r1 THEN 1 ELSE 0 END)::BIGINT AS fail_len,
+             |  sum(CASE WHEN NOT r2 THEN 1 ELSE 0 END)::BIGINT AS fail_awl,
+             |  sum(CASE WHEN NOT r3 THEN 1 ELSE 0 END)::BIGINT AS fail_rep,
+             |  sum(CASE WHEN NOT r4 THEN 1 ELSE 0 END)::BIGINT AS fail_stop,
+             |  sum(CASE WHEN r1 AND r2 AND r3 AND r4 THEN 1 ELSE 0 END)::BIGINT AS n_pass,
+             |  round(sum(CASE WHEN r1 AND r2 AND r3 AND r4 THEN 1 ELSE 0 END)::DOUBLE
+             |        / count(*), 4) AS pass_rate_r
+             |FROM r GROUP BY source ORDER BY source""".stripMargin))
   )
 
   val byName: Map[String, Query] = all.map(q => q.name -> q).toMap

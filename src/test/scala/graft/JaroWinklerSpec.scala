@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.JaroWinkler
+
+/** Pins the native JaroWinkler expression to the conventional
+  * semantics (match window, transposition halving, 0.7 boost
+  * threshold, 4-char prefix cap) via the published worked examples
+  * and the edge cases that distinguish implementation variants. The
+  * q138 oracle hash-match additionally pins it bit-for-bit against
+  * DuckDB's jaro_winkler_similarity over the whole part corpus.
+  */
+class JaroWinklerSpec extends SparkSpec {
+
+  private val eps = 1e-12
+
+  test("worked examples match the conventional Jaro-Winkler values") {
+    val cases = Seq(
+      ("MARTHA", "MARHTA", 0.9611111111111111),
+      ("DIXON", "DICKSONX", 0.8133333333333332),
+      ("JELLYFISH", "SMELLYFISH", 0.8962962962962964),
+      ("DWAYNE", "DUANE", 0.8400000000000001),
+      ("CRATE", "TRACE", 0.7333333333333334),
+      ("apple inc", "apple incorporated", 0.9))
+    for ((a, b, want) <- cases) {
+      val got = JaroWinkler.similarity(a, b)
+      assert(math.abs(got - want) < eps, s"($a, $b): got $got want $want")
+    }
+  }
+
+  test("edge cases: equality, empties, disjoint, tight window") {
+    assert(JaroWinkler.similarity("abc", "abc") == 1.0)
+    assert(JaroWinkler.similarity("x", "x") == 1.0)
+    assert(JaroWinkler.similarity("", "") == 1.0)
+    assert(JaroWinkler.similarity("a", "") == 0.0)
+    assert(JaroWinkler.similarity("abc", "xyz") == 0.0)
+    // window = max(2,2)/2 - 1 = 0: adjacent transposition can't match
+    assert(JaroWinkler.similarity("ab", "ba") == 0.0)
+    // symmetric
+    assert(math.abs(JaroWinkler.similarity("DIXON", "DICKSONX") -
+                    JaroWinkler.similarity("DICKSONX", "DIXON")) < eps)
+  }
+
+  test("prefix boost applies only above the 0.7 jaro threshold") {
+    // jaro("abcdefgh","abzzzzzz") = (2/8 + 2/8 + 1)/3 = 0.5 <= 0.7:
+    // the 2-char common prefix must NOT boost.
+    assert(math.abs(JaroWinkler.similarity("abcdefgh", "abzzzzzz") - 0.5) < eps)
+    // jaro("abcdx","abcdy") = (4/5+4/5+1)/3 = 0.8666... > 0.7, l=4:
+    // boosted to 0.92.
+    assert(math.abs(JaroWinkler.similarity("abcdx", "abcdy") - 0.92) < eps)
+  }
+
+  test("column form evaluates the same function, null-safe") {
+    import spark.implicits._
+    val df = Seq(("MARTHA", "MARHTA"), ("abc", "xyz"))
+      .toDF("a", "b")
+      .select(JaroWinkler(col("a"), col("b")).as("jw"))
+    val got = df.as[Double].collect().sorted
+    assert(math.abs(got(0) - 0.0) < eps)
+    assert(math.abs(got(1) - 0.9611111111111111) < eps)
+    val n = Seq((Option("abc"), Option.empty[String])).toDF("a", "b")
+      .select(JaroWinkler(col("a"), col("b")).as("jw"))
+      .collect()(0)
+    assert(n.isNullAt(0))
+  }
+}
