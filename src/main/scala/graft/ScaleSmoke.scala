@@ -182,6 +182,56 @@ object ScaleSmoke {
           ($"ct" - $"cs").cast("double") / ($"nt" - $"ns"))))
         .count()
     }
+    // PQ ANN shape — the SAME operator as q139 (operators.PqAnn):
+    // Lloyd training + encode scale linearly in corpus x codebook;
+    // the ADC scan carries m code rows per corpus vector and the
+    // exact rescore touches only the shortlist
+    time(s"pq_ann_${factor}x") {
+      import graft.functions.{VectorFunctions => VF}
+      graft.operators.PqAnn.topK(
+        emb.select($"vec_id", VF.asDouble($"embedding").as("v")),
+        isQuery = $"vec_id" < 10, m = 8, subDim = 8, k = 5)
+        .count()
+    }
+    // blocked-ER shape — q138's plan with the block key salted by the
+    // replica id: models corpus growth at CONSTANT block granularity
+    // (the design lever at scale — block sizes stay bounded, total
+    // pairs grow linearly with block count, never |corpus|^2)
+    val parts = {
+      val p = graft.sources.Tables(spark, dir, "part")
+        .withColumn("__rep", explode(sequence(lit(0), lit(factor - 1))))
+      p.withColumn("p_partkey", $"p_partkey" + $"__rep" * lit(100000000L))
+        .withColumn("p_brand", concat($"p_brand", lit("#r"), $"__rep"))
+        .drop("__rep").cache()
+    }
+    println(s"SCALE inputs part=${parts.count()}")
+    time(s"jw_block_${factor}x") {
+      val blocked = parts.withColumn("blk",
+        concat($"p_brand", lit("|"), split($"p_name", " ").getItem(0)))
+      val a = blocked.select($"p_partkey".as("k1"), $"p_name".as("n1"), $"blk")
+      val b = blocked.select($"p_partkey".as("k2"), $"p_name".as("n2"),
+                             $"blk".as("blk2"))
+      a.join(b, $"blk" === $"blk2" && $"k1" < $"k2" && $"n1" =!= $"n2")
+        .withColumn("jw", graft.functions.JaroWinkler($"n1", $"n2"))
+        .filter($"jw" >= 0.88)
+        .count()
+    }
+    // triangle shape — q140's oriented wedge join on a graph that
+    // replicates as `factor` disjoint copies (order AND part keys
+    // shifted): wedge volume scales with edges x degree, linear here
+    val lp2 = replicate(graft.sources.Tables.lineitem(spark, dir),
+                        Seq("l_orderkey", "l_partkey"))
+      .select($"l_orderkey".as("o"), $"l_partkey".as("p")).distinct().cache()
+    println(s"SCALE inputs lp=${lp2.count()}")
+    time(s"triangles_${factor}x") {
+      val e = lp2.as("a").join(lp2.as("b"), $"a.o" === $"b.o" && $"a.p" < $"b.p")
+        .groupBy($"a.p".as("u"), $"b.p".as("v"))
+        .agg(count(lit(1)).as("c")).filter($"c" >= 2)
+        .select($"u", $"v")
+      e.as("e1").join(e.as("e2"), $"e2.u" === $"e1.v")
+        .join(e.as("e3"), $"e3.u" === $"e1.u" && $"e3.v" === $"e2.v")
+        .count()
+    }
     spark.stop()
   }
 }

@@ -43,8 +43,16 @@ object VectorFunctions {
     cosine(ad, bd)
   }
 
-  /** Squared L2 distance. */
-  def l2sq(a: Column, b: Column): Column =
+  /** Squared L2 distance — codegen'd native (see [[L2Sq]]);
+    * bit-identical to [[l2sqHof]]. */
+  def l2sq(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftshim.ColumnInterop
+    ColumnInterop.column(
+      L2Sq(ColumnInterop.expression(a), ColumnInterop.expression(b)))
+  }
+
+  /** Higher-order-function fold — composition reference for [[l2sq]]. */
+  def l2sqHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0d), (acc, x) => acc + x)
 
   /** Random-hyperplane (SimHash-style) LSH bucket id for an embedding:

@@ -157,6 +157,9 @@ class FunctionsSpec extends SparkSpec {
 
     // bit-identity on irrational values, not just integers
     val v = Seq((Array(0.1, 0.2, 0.7, -0.3), Array(0.9, -0.4, 0.05, 2.2))).toDF("a", "b")
+    val l2 = v.select(VF.l2sq($"a", $"b"), VF.l2sqHof($"a", $"b")).head()
+    assert(l2.getDouble(0) == l2.getDouble(1),
+           "native L2Sq must match the HOF fold bit-for-bit")
     val r2 = v.select(VF.dot($"a", $"b"), VF.dotHof($"a", $"b")).head()
     assert(java.lang.Double.doubleToLongBits(r2.getDouble(0)) ==
            java.lang.Double.doubleToLongBits(r2.getDouble(1)))
