@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{
   BitwiseCount, BitwiseXor, Cast, Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.{IntegerType, LongType}
 
-import graft.functions.{CmsEstimate, DotProduct, MinHashSignature, SimHash64, WordShingles}
+import graft.functions.{CmsEstimate, DotProduct, JaroWinkler, L2Sq, MinHashSignature, SimHash64, WordShingles}
 
 /** Registers the engine's custom Catalyst expressions as SQL
   * functions, so the full function surface is reachable from
@@ -21,6 +21,8 @@ import graft.functions.{CmsEstimate, DotProduct, MinHashSignature, SimHash64, Wo
   *  - `graft_simhash64(array<string>) -> bigint`
   *  - `graft_hamming64(bigint, bigint) -> bigint`
   *  - `graft_cms_estimate(binary, item) -> bigint`
+  *  - `graft_jaro_winkler(string, string) -> double`
+  *  - `graft_l2sq(array<double>, array<double>) -> double`
   *
   * `n`/`k` must be integer literals: they size the generated code of
   * the underlying expression, so a per-row value cannot apply.
@@ -89,6 +91,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.length == 2, "graft_cms_estimate(sketch, item)")
         CmsEstimate(args(0), args(1))
+      }))
+
+    ext.injectFunction((
+      FunctionIdentifier("graft_jaro_winkler"),
+      info("graft_jaro_winkler",
+        "graft_jaro_winkler(a, b) - Jaro-Winkler similarity (0.7 boost threshold, 4-char prefix cap)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_jaro_winkler(a, b)")
+        JaroWinkler(args(0), args(1))
+      }))
+
+    ext.injectFunction((
+      FunctionIdentifier("graft_l2sq"),
+      info("graft_l2sq",
+        "graft_l2sq(a, b) - codegen'd sequential-fold squared L2 distance of two double arrays"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_l2sq(a, b)")
+        L2Sq(args(0), args(1))
       }))
   }
 }

@@ -90,5 +90,14 @@ class SqlSurfaceSpec extends SparkSpec {
         .collect()
     }
     assert(err.getMessage.contains("integer literal"))
+    // jaro-winkler: the MARTHA/MARHTA worked example
+    val jw = spark.sql("SELECT graft_jaro_winkler('MARTHA', 'MARHTA') AS jw")
+      .collect().head.getDouble(0)
+    assert(math.abs(jw - 0.9611111111111111) < 1e-12)
+    // l2sq: (1-4)^2 + (2-5)^2 + (3-6)^2 = 27
+    val l2 = spark.sql(
+      "SELECT graft_l2sq(array(1.0d, 2.0d, 3.0d), array(4.0d, 5.0d, 6.0d)) AS l")
+      .collect().head.getDouble(0)
+    assert(l2 == 27.0)
   }
 }
