@@ -5084,7 +5084,45 @@ object Catalog {
              |       CASE WHEN best.near_id IS NOT NULL THEN round(best.j, 4) END AS j_r
              |FROM bt LEFT JOIN ex ON ex.doc_id = bt.doc_id
              |        LEFT JOIN best ON best.doc_id = bt.doc_id
-             |ORDER BY bt.doc_id""".stripMargin))
+             |ORDER BY bt.doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Q144: deterministic weighted sampling WITHOUT replacement —
+    // Efraimidis-Spirakis exponential race: per row, key =
+    // −ln(u)/w with u a hash-derived uniform in (0, 1]; the k
+    // smallest keys per group are a weighted sample without
+    // replacement. No rand(): u comes from md5(id) (q43/q88's
+    // engine-portable determinism), so the sample is reproducible
+    // across runs, engines, and partitionings — the property a
+    // data-mixture pipeline needs for auditable subsets. One
+    // per-group rank shuffle; key math is row-local.
+    Query(
+      "q144_weighted_sample",
+      (s, dir) => {
+        import s.implicits._
+        val u = (conv(substring(md5($"o_orderkey".cast("string")), 1, 8),
+                      16, 10).cast("long") + 1L) / lit(4294967296.0)
+        val k = -log(u) / $"o_totalprice"
+        val w = Window.partitionBy($"o_orderpriority").orderBy($"k", $"o_orderkey")
+        t(s, dir, "orders")
+          .select($"o_orderpriority", $"o_orderkey", $"o_totalprice", k.as("k"))
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .filter($"rk" <= 10)
+          .select($"o_orderpriority", $"rk", $"o_orderkey", $"o_totalprice",
+                  round($"k" * lit(1e6), 6).as("key_ppm_r"))
+          .orderBy($"o_orderpriority", $"rk")
+      },
+      Some("""WITH keyed AS (SELECT o_orderpriority, o_orderkey, o_totalprice,
+             |  -ln((('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT + 1)
+             |      / 4294967296.0) / o_totalprice AS k
+             |  FROM orders),
+             |r AS (SELECT *, row_number() OVER (PARTITION BY o_orderpriority
+             |                                   ORDER BY k, o_orderkey) AS rk
+             |      FROM keyed)
+             |SELECT o_orderpriority, rk::BIGINT AS rk, o_orderkey, o_totalprice,
+             |       round(k * 1e6, 6) AS key_ppm_r
+             |FROM r WHERE rk <= 10
+             |ORDER BY o_orderpriority, rk""".stripMargin))
   )
 
   val byName: Map[String, Query] = all.map(q => q.name -> q).toMap

