@@ -61,6 +61,11 @@ object IncrementalDedup {
     val exB = exploded(shB)
     val exH = exploded(shH)
     // One consistent rarity order for both sides: df over the union.
+    // Deliberately NOT checkpointed: measured at sf0.1, letting AQE
+    // reuse/recompute the two identical dfreq subtrees (3.1 s) beats
+    // eagerly materializing either dfreq (4.4 s) or the whole prefix
+    // frame via a tagged union (4.1 s) — localCheckpoint pays a full
+    // eager pass per invocation that lazy stage reuse avoids.
     val dfreq = exB.unionByName(exH).groupBy(col("shingle"))
       .agg(count(lit(1)).as("df"))
     def prefixed(ex: DataFrame) = ex.join(dfreq, "shingle")
