@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.unsafe.types.UTF8String
 import org.apache.spark.sql.types._
@@ -28,7 +28,7 @@ import org.apache.spark.sql.types._
   * candidate-generation cost.
   */
 case class JaroWinkler(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
 
@@ -44,6 +44,15 @@ case class JaroWinkler(left: Expression, right: Expression)
     val b = rightVal.asInstanceOf[UTF8String].toString
     JaroWinkler.similarity(a, b)
   }
+
+  /** Unlike the per-element array loops that stay CodegenFallback
+    * (boxing is dwarfed by loop cost there), JW runs once per verify
+    * pair inside a join condition/filter — a fallback here would
+    * break the enclosing WholeStageCodegen span. Emit a static call
+    * into the same scalar kernel instead. */
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.JaroWinkler.similarity($a.toString(), $b.toString())")
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
