@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
@@ -26,7 +26,7 @@ import org.apache.spark.sql.types._
   * non-null string is non-null).
   */
 case class JaccardSortedLongs(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
 
@@ -38,9 +38,26 @@ case class JaccardSortedLongs(left: Expression, right: Expression)
         s"JaccardSortedLongs requires two array<bigint>, got ($l, $r)")
     }
 
-  override def nullSafeEval(leftVal: Any, rightVal: Any): Any = {
-    val a = leftVal.asInstanceOf[ArrayData]
-    val b = rightVal.asInstanceOf[ArrayData]
+  override def nullSafeEval(leftVal: Any, rightVal: Any): Any =
+    JaccardSortedLongs.jaccard(
+      leftVal.asInstanceOf[ArrayData], rightVal.asInstanceOf[ArrayData])
+
+  /** Static call into the same merge kernel: the loop stays plain
+    * JIT-compiled JVM code, but the row boundary stays inside the
+    * enclosing WholeStageCodegen span instead of falling back to
+    * interpreted eval per candidate pair. */
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.JaccardSortedLongs.jaccard($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object JaccardSortedLongs {
+
+  def jaccard(a: ArrayData, b: ArrayData): Double = {
     val na = a.numElements()
     val nb = b.numElements()
     var i = 0
@@ -57,12 +74,6 @@ case class JaccardSortedLongs(left: Expression, right: Expression)
     if (union == 0L) 1.0 else inter.toDouble / union
   }
 
-  override protected def withNewChildrenInternal(
-      newLeft: Expression, newRight: Expression): Expression =
-    copy(left = newLeft, right = newRight)
-}
-
-object JaccardSortedLongs {
   def apply(a: Column, b: Column): Column = {
     import org.apache.spark.sql.graftshim.ColumnInterop
     ColumnInterop.column(

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -23,12 +23,13 @@ import org.apache.spark.sql.types._
   * banding needs). Deterministic across runs and executors: lane
   * coefficients are a pure function of the lane index.
   *
-  * CodegenFallback is deliberate: the per-row work (a fused hash
-  * loop) dwarfs the row-boundary boxing this costs, and it keeps the
-  * hot loop in plain JVM code the JIT vectorizes.
+  * Codegen is a static call into the fused kernel — the hot loop
+  * stays plain JIT-compiled JVM code AND the row boundary stays
+  * inside the enclosing WholeStageCodegen span (a fallback would
+  * break the span for every downstream expression in the stage).
   */
 case class MinHashSignature(child: Expression, k: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   require(k > 0 && k <= 1024, "k must be in (0, 1024]")
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -42,10 +43,30 @@ case class MinHashSignature(child: Expression, k: Int)
           s"MinHashSignature requires array<string>, got $other")
     }
 
+  override def nullSafeEval(input: Any): Any =
+    MinHashSignature.signature(input.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a =>
+      s"graft.functions.MinHashSignature.signature($a, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object MinHashSignature {
+
   // Lane coefficients from SplitMix64 (public-domain mixer): odd
-  // multipliers for the 2-universal multiply-xor transform.
-  private lazy val mulA: Array[Long] = Array.tabulate(k)(j => splitmix64(2L * j + 1) | 1L)
-  private lazy val addB: Array[Long] = Array.tabulate(k)(j => splitmix64(2L * j + 2))
+  // multipliers for the 2-universal multiply-xor transform. Cached
+  // per k (coefficients are a pure function of the lane index, so
+  // every executor derives identical tables).
+  private val coefCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, (Array[Long], Array[Long])]()
+
+  private def coefs(k: Int): (Array[Long], Array[Long]) =
+    coefCache.computeIfAbsent(k, kk => (
+      Array.tabulate(kk)(j => splitmix64(2L * j + 1) | 1L),
+      Array.tabulate(kk)(j => splitmix64(2L * j + 2))))
 
   private def splitmix64(seed: Long): Long = {
     var z = seed + 0x9e3779b97f4a7c15L
@@ -54,8 +75,8 @@ case class MinHashSignature(child: Expression, k: Int)
     z ^ (z >>> 31)
   }
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  def signature(arr: ArrayData, k: Int): ArrayData = {
+    val (mulA, addB) = coefs(k)
     val n = arr.numElements()
     val mins = Array.fill(k)(Long.MaxValue)
     var i = 0
@@ -74,11 +95,6 @@ case class MinHashSignature(child: Expression, k: Int)
     new GenericArrayData(mins)
   }
 
-  override protected def withNewChildInternal(newChild: Expression): Expression =
-    copy(child = newChild)
-}
-
-object MinHashSignature {
   def apply(shingles: Column, k: Int): Column = {
     import org.apache.spark.sql.graftshim.ColumnInterop
     ColumnInterop.column(MinHashSignature(ColumnInterop.expression(shingles), k))

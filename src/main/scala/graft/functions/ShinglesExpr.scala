@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -17,7 +17,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * shingle.
   */
 case class WordShingles(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   require(n > 0, "n must be positive")
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
@@ -31,10 +31,21 @@ case class WordShingles(child: Expression, n: Int)
           s"WordShingles requires array<string>, got $other")
     }
 
+  override def nullSafeEval(input: Any): Any =
+    WordShingles.shingle(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.WordShingles.shingle($a, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object WordShingles {
+
   private val sep = UTF8String.fromString(" ")
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  def shingle(arr: ArrayData, n: Int): ArrayData = {
     val m = arr.numElements()
     def tok(i: Int): UTF8String = arr.getUTF8String(i)
     if (m < n) {
@@ -54,11 +65,6 @@ case class WordShingles(child: Expression, n: Int)
     }
   }
 
-  override protected def withNewChildInternal(newChild: Expression): Expression =
-    copy(child = newChild)
-}
-
-object WordShingles {
   def apply(tokens: Column, n: Int): Column = {
     import org.apache.spark.sql.graftshim.ColumnInterop
     ColumnInterop.column(WordShingles(ColumnInterop.expression(tokens), n))

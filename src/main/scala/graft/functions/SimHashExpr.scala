@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
@@ -11,11 +11,11 @@ import org.apache.spark.sql.types._
   * original composition (per-token `xxhash64` seed 42, MSB-first
   * counter order, sign pack), but one tight JVM loop per row instead
   * of 64 interpreted lambda dispatches per token. Same rationale and
-  * structure as [[MinHashSignature]]; CodegenFallback because the
-  * fused per-row loop dwarfs row-boundary boxing.
+  * structure as [[MinHashSignature]]; codegen is a static call into
+  * the fused kernel, keeping the WholeStageCodegen span unbroken.
   */
 case class SimHash64(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = LongType
 
@@ -28,8 +28,19 @@ case class SimHash64(child: Expression)
           s"SimHash64 requires array<string>, got $other")
     }
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  override def nullSafeEval(input: Any): Any =
+    SimHash64.hash(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.SimHash64.hash($a)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object SimHash64 {
+
+  def hash(arr: ArrayData): Long = {
     val n = arr.numElements()
     val counts = new Array[Int](64)
     var i = 0
@@ -58,11 +69,6 @@ case class SimHash64(child: Expression)
     acc
   }
 
-  override protected def withNewChildInternal(newChild: Expression): Expression =
-    copy(child = newChild)
-}
-
-object SimHash64 {
   def apply(tokens: Column): Column = {
     import org.apache.spark.sql.graftshim.ColumnInterop
     ColumnInterop.column(SimHash64(ColumnInterop.expression(tokens)))

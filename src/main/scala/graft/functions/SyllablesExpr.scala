@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
@@ -16,14 +16,14 @@ import org.apache.spark.sql.types._
   * is just counting non-vowel→vowel transitions, so the regex
   * machinery (one compiled-pattern matcher allocation per token, per
   * row) collapses into a single branch-free char scan per document.
-  * Same rationale as [[SimHash64]]/[[MinHashSignature]]: the per-row
-  * loop dwarfs row-boundary boxing, hence CodegenFallback.
+  * Codegen emits a static call into the same scalar kernel so the
+  * row boundary stays inside the enclosing WholeStageCodegen span.
   *
   * ASCII-lowercase input is the caller's contract (q116 lowercases
   * first), matching what the regex form would see.
   */
 case class SyllableCount(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = LongType
 
@@ -34,11 +34,22 @@ case class SyllableCount(child: Expression)
         s"SyllableCount requires array<string>, got $other")
     }
 
+  override def nullSafeEval(input: Any): Any =
+    SyllableCount.count(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.SyllableCount.count($a)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object SyllableCount {
+
   private def isVowel(c: Byte): Boolean =
     c == 'a' || c == 'e' || c == 'i' || c == 'o' || c == 'u' || c == 'y'
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  def count(arr: ArrayData): Long = {
     val n = arr.numElements()
     var total = 0L
     var i = 0
@@ -70,11 +81,6 @@ case class SyllableCount(child: Expression)
     total
   }
 
-  override protected def withNewChildInternal(newChild: Expression): Expression =
-    copy(child = newChild)
-}
-
-object SyllableCount {
   def apply(tokens: Column): Column = {
     import org.apache.spark.sql.graftshim.ColumnInterop
     ColumnInterop.column(SyllableCount(ColumnInterop.expression(tokens)))
