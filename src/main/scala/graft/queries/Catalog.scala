@@ -5122,7 +5122,252 @@ object Catalog {
              |SELECT o_orderpriority, rk::BIGINT AS rk, o_orderkey, o_totalprice,
              |       round(k * 1e6, 6) AS key_ppm_r
              |FROM r WHERE rk <= 10
-             |ORDER BY o_orderpriority, rk""".stripMargin))
+             |ORDER BY o_orderpriority, rk""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Q145: PCA fit + projection (operators.Pca) — the dimensionality-
+    // reduction step of an embedding pipeline, here on a 2-D feature
+    // space so the eigensolve itself is oracle-checkable: ONE moments
+    // pass (each partition reduces to a d + d(d+1)/2 buffer, shuffle
+    // carries O(partitions·d²) bytes), a driver-side Jacobi eigensolve,
+    // and a map-only projection with the axes baked in as literals.
+    // Features are integer-valued (whitespace token count, n_chars),
+    // so the double-summed moments are EXACT (≪ 2^53) and identical to
+    // the oracle's sums under ANY partition/summation order; the oracle
+    // solves the same 2×2 symmetric eigenproblem in closed form with
+    // the same mean-then-covariance arithmetic and the same
+    // largest-|entry|-positive sign canonicalization, so the per-row
+    // projections agree to ~1e-11 and hash-match at 4 decimals. The
+    // 64-D embedding fit (not SQL-expressible) is spec-covered
+    // (PcaSpec: planted axes, decorrelation, partitioning-invariance).
+    Query(
+      "q145_pca_project",
+      (s, dir) => {
+        import s.implicits._
+        val f = t(s, dir, "documents")
+          .select($"doc_id",
+            array(size(TF.tokens($"text")).cast("double"),
+                  $"n_chars".cast("double")).as("vec"))
+        val m = graft.operators.Pca.fit(f, $"vec", dim = 2, k = 2)
+        graft.operators.Pca.project(f, $"vec", m)
+          .select($"doc_id", round($"pc1", 4).as("pc1_r"),
+                  round($"pc2", 4).as("pc2_r"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH f AS (SELECT doc_id,
+             |                  len(string_split_regex(trim(text), '\s+'))::DOUBLE AS x,
+             |                  n_chars::DOUBLE AS y
+             |           FROM documents),
+             |s AS (SELECT count(*)::DOUBLE AS n, sum(x) AS sx, sum(y) AS sy,
+             |             sum(x*x) AS sxx, sum(x*y) AS sxy, sum(y*y) AS syy
+             |      FROM f),
+             |c AS (SELECT sx/n AS mx, sy/n AS my,
+             |             sxx/n - (sx/n)*(sx/n) AS a,
+             |             sxy/n - (sx/n)*(sy/n) AS cv,
+             |             syy/n - (sy/n)*(sy/n) AS b
+             |      FROM s),
+             |e AS (SELECT mx, my, a, b, cv,
+             |             (a+b)/2 + sqrt(((a-b)/2)*((a-b)/2) + cv*cv) AS l1,
+             |             (a+b)/2 - sqrt(((a-b)/2)*((a-b)/2) + cv*cv) AS l2
+             |      FROM c),
+             |u AS (SELECT mx, my,
+             |             cv / sqrt(cv*cv + (l1-a)*(l1-a)) AS u1x,
+             |             (l1-a) / sqrt(cv*cv + (l1-a)*(l1-a)) AS u1y,
+             |             cv / sqrt(cv*cv + (l2-a)*(l2-a)) AS u2x,
+             |             (l2-a) / sqrt(cv*cv + (l2-a)*(l2-a)) AS u2y
+             |      FROM e),
+             |v AS (SELECT mx, my,
+             |             CASE WHEN (CASE WHEN abs(u1y) > abs(u1x) THEN u1y ELSE u1x END) < 0
+             |                  THEN -u1x ELSE u1x END AS v1x,
+             |             CASE WHEN (CASE WHEN abs(u1y) > abs(u1x) THEN u1y ELSE u1x END) < 0
+             |                  THEN -u1y ELSE u1y END AS v1y,
+             |             CASE WHEN (CASE WHEN abs(u2y) > abs(u2x) THEN u2y ELSE u2x END) < 0
+             |                  THEN -u2x ELSE u2x END AS v2x,
+             |             CASE WHEN (CASE WHEN abs(u2y) > abs(u2x) THEN u2y ELSE u2x END) < 0
+             |                  THEN -u2y ELSE u2y END AS v2y
+             |      FROM u)
+             |SELECT doc_id,
+             |       round(x*v1x + y*v1y - (v1x*mx + v1y*my), 4) AS pc1_r,
+             |       round(x*v2x + y*v2y - (v2x*mx + v2y*my), 4) AS pc2_r
+             |FROM f CROSS JOIN v
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Q146: Z-order data layout — Morton-interleave (functions.ZOrder,
+    // the expression behind every "Z-ORDER BY" clustering command)
+    // events on quantized (value, time), pack the sorted stream into
+    // 256-row "files", and report each file's bounding box on BOTH
+    // dimensions: the min/max envelopes a parquet/manifest reader
+    // prunes against (measured in ScaleToolsSpec: z-sorted envelopes
+    // prune ~an order of magnitude more of a 2-D box scan than a
+    // linear sort). All quantization is INTEGER arithmetic (cents,
+    // epoch-ms, `div`) so both engines bucket identically; the global
+    // order is operators.GlobalRank — a range-partitioned sort +
+    // zipWithIndex, no single-task WindowExec. One scan, one scalar
+    // agg broadcast, one sort shuffle, one group agg.
+    Query(
+      "q146_zorder_layout",
+      (s, dir) => {
+        import s.implicits._
+        val ev = t(s, dir, "events")
+          .select($"event_id", unix_millis($"ts").as("tm"),
+                  round($"value" * 100).cast("long").as("vc"))
+        val b = ev.agg(min($"tm").as("mnt"), max($"tm").as("mxt"),
+                       min($"vc").as("mnv"), max($"vc").as("mxv"))
+        val q = ev.crossJoin(broadcast(b))
+          .withColumn("xq", expr("((vc - mnv) * 255) div (mxv - mnv)"))
+          .withColumn("yq", expr("((tm - mnt) * 255) div (mxt - mnt)"))
+          .withColumn("zkey", graft.functions.ZOrder.zValue($"xq", $"yq", 8))
+          .select($"event_id", $"xq", $"yq", $"zkey")
+        graft.operators.GlobalRank.withRank(q, "rk", $"zkey", $"event_id")
+          .withColumn("file_id", expr("(rk - 1) div 256"))
+          .groupBy($"file_id")
+          .agg(count(lit(1)).as("n"),
+               min($"xq").as("x_lo"), max($"xq").as("x_hi"),
+               min($"yq").as("y_lo"), max($"yq").as("y_hi"))
+          .orderBy($"file_id")
+      },
+      Some {
+        val zterms = (0 until 8).flatMap(i => Seq(
+          s"(((xq >> $i) & 1) << ${2 * i})",
+          s"(((yq >> $i) & 1) << ${2 * i + 1})")).mkString(" | ")
+        s"""WITH ev AS (SELECT event_id, epoch_ms(ts) AS tm,
+           |                   CAST(round(value * 100) AS BIGINT) AS vc
+           |            FROM events),
+           |b AS (SELECT min(tm) AS mnt, max(tm) AS mxt,
+           |             min(vc) AS mnv, max(vc) AS mxv FROM ev),
+           |q AS (SELECT event_id,
+           |             ((vc - mnv) * 255) // (mxv - mnv) AS xq,
+           |             ((tm - mnt) * 255) // (mxt - mnt) AS yq
+           |      FROM ev CROSS JOIN b),
+           |z AS (SELECT event_id, xq, yq, $zterms AS zkey FROM q),
+           |r AS (SELECT event_id, xq, yq,
+           |             row_number() OVER (ORDER BY zkey, event_id) AS rk
+           |      FROM z)
+           |SELECT (rk - 1) // 256 AS file_id, count(*) AS n,
+           |       min(xq) AS x_lo, max(xq) AS x_hi,
+           |       min(yq) AS y_lo, max(yq) AS y_hi
+           |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
+      }),
+
+    // ------------------------------------------------------------------
+    // Q147: label propagation (operators.LabelPropagation) — spread
+    // trusted supplier nation labels across the who-supplies-whom
+    // graph onto unlabeled customer nodes: one round of mode-of-
+    // labeled-neighbors with fixed seeds, min-label tie-break, vote
+    // counts kept as provenance. The bipartite id spaces are kept
+    // disjoint by offsetting customers. Multi-round convergence,
+    // frontier bookkeeping and checkpoint hygiene are spec-covered
+    // (LabelPropagationSpec); one round is the SQL-expressible slice
+    // the oracle checks exactly. Per round: one edge⋈label equi-join,
+    // one anti-join, one count agg, one per-node window — every
+    // shuffle keyed by node id.
+    Query(
+      "q147_label_prop",
+      (s, dir) => {
+        import s.implicits._
+        val edges = t(s, dir, "lineitem").select($"l_orderkey", $"l_suppkey")
+          .join(t(s, dir, "orders").select($"o_orderkey", $"o_custkey"),
+                $"l_orderkey" === $"o_orderkey")
+          .select($"l_suppkey".cast("long").as("src"),
+                  ($"o_custkey" + 1000000L).as("dst"))
+          .distinct()
+        val seeds = t(s, dir, "supplier")
+          .select($"s_suppkey".cast("long").as("node"),
+                  $"s_nationkey".cast("long").as("lbl"))
+        graft.operators.LabelPropagation.propagate(edges, seeds, maxRounds = 1)
+          .filter($"round" === 1)
+          .select(($"node" - 1000000L).as("custkey"), $"lbl".as("label"),
+                  $"votes".as("n_votes"))
+          .orderBy($"custkey")
+      },
+      Some("""WITH e AS (SELECT DISTINCT l_suppkey AS s, o_custkey AS c
+             |           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+             |v AS (SELECT e.c, sup.s_nationkey::BIGINT AS label, count(*) AS n
+             |      FROM e JOIN supplier sup ON e.s = sup.s_suppkey
+             |      GROUP BY 1, 2),
+             |r AS (SELECT c, label, n,
+             |             row_number() OVER (PARTITION BY c ORDER BY n DESC, label) AS rk
+             |      FROM v)
+             |SELECT c AS custkey, label, n AS n_votes
+             |FROM r WHERE rk = 1 ORDER BY custkey""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Q148: naive-Bayes language ID, trained IN-PLAN — the trained
+    // counterpart of q18's fixed n-gram heuristic: word-unigram
+    // likelihoods with Laplace smoothing are learned from the 80%
+    // train split (doc_id % 5 ≠ 0) and score the held-out 20%, with
+    // log-priors from class frequencies. Everything is count
+    // aggregates + one (lang, tok) equi-join; the 5-row class totals
+    // broadcast onto the test tokens, so the only wide shuffles are
+    // keyed by token. Out-of-vocabulary test tokens are dropped
+    // (in-vocab semi-join) — the standard NB contract that also keeps
+    // the oracle exact. Scores are fp-rounded at 4 dp (summation
+    // order differs across engines ~1e-12; q90 precedent).
+    Query(
+      "q148_nb_langid",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents").select($"doc_id", $"lang", $"text")
+        val tr = docs.filter($"doc_id" % 5 =!= 0)
+          .select($"doc_id", $"lang", explode(TF.tokens($"text")).as("tok"))
+        val cnt = tr.groupBy($"lang", $"tok").agg(count(lit(1)).as("n"))
+        val tot = tr.groupBy($"lang").agg(count(lit(1)).as("t"))
+        val vocab = tr.select($"tok").distinct()
+        val vocabSize = vocab.count()
+        val nTrain = docs.filter($"doc_id" % 5 =!= 0).count()
+        val priors = tr.select($"lang", $"doc_id").distinct()
+          .groupBy($"lang").agg(count(lit(1)).as("nd"))
+        val te = docs.filter($"doc_id" % 5 === 0)
+          .select($"doc_id", $"lang".as("true_lang"), explode(TF.tokens($"text")).as("tok"))
+          .groupBy($"doc_id", $"true_lang", $"tok").agg(count(lit(1)).as("c"))
+          .join(vocab, "tok") // in-vocab only
+        val term = $"c" * log((coalesce($"n", lit(0L)) + 1L).cast("double") /
+                              ($"t" + lit(vocabSize)).cast("double"))
+        val sc = te.crossJoin(broadcast(tot.select($"lang", $"t")))
+          .join(cnt, Seq("lang", "tok"), "left")
+          .groupBy($"doc_id", $"true_lang", $"lang")
+          .agg(sum(term).as("s"))
+        val ll = sc.join(broadcast(priors), "lang")
+          .withColumn("llh", log($"nd".cast("double") / lit(nTrain.toDouble)) + $"s")
+        val w = Window.partitionBy($"doc_id").orderBy($"llh".desc, $"lang")
+        ll.withColumn("rk", row_number().over(w)).filter($"rk" === 1)
+          .select($"doc_id", $"true_lang", $"lang".as("pred_lang"),
+                  round($"llh", 4).as("llh_r"),
+                  ($"lang" === $"true_lang").as("correct"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH tr AS (SELECT doc_id, lang,
+             |                   unnest(string_split_regex(trim(text), '\s+')) AS tok
+             |            FROM documents WHERE doc_id % 5 <> 0),
+             |cnt AS (SELECT lang, tok, count(*) AS n FROM tr GROUP BY 1, 2),
+             |tot AS (SELECT lang, count(*) AS t FROM tr GROUP BY 1),
+             |voc AS (SELECT DISTINCT tok FROM tr),
+             |vs AS (SELECT count(*) AS v FROM voc),
+             |pri AS (SELECT lang, count(DISTINCT doc_id) AS nd FROM tr GROUP BY 1),
+             |ntr AS (SELECT count(*)::DOUBLE AS ntd FROM documents WHERE doc_id % 5 <> 0),
+             |te AS (SELECT doc_id, lang AS true_lang, tok, count(*) AS c
+             |       FROM (SELECT doc_id, lang,
+             |                    unnest(string_split_regex(trim(text), '\s+')) AS tok
+             |             FROM documents WHERE doc_id % 5 = 0)
+             |       GROUP BY 1, 2, 3),
+             |ti AS (SELECT te.doc_id, te.true_lang, te.tok, te.c
+             |       FROM te JOIN voc ON te.tok = voc.tok),
+             |sc AS (SELECT ti.doc_id, ti.true_lang, tot.lang,
+             |              sum(ti.c * ln((coalesce(cnt.n, 0) + 1)::DOUBLE
+             |                            / (tot.t + vs.v)::DOUBLE)) AS s
+             |       FROM ti CROSS JOIN vs CROSS JOIN tot
+             |            LEFT JOIN cnt ON cnt.lang = tot.lang AND cnt.tok = ti.tok
+             |       GROUP BY 1, 2, 3),
+             |ll AS (SELECT sc.doc_id, sc.true_lang, sc.lang,
+             |              ln(pri.nd::DOUBLE / ntr.ntd) + sc.s AS llh
+             |       FROM sc JOIN pri ON pri.lang = sc.lang CROSS JOIN ntr),
+             |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+             |                                   ORDER BY llh DESC, lang) AS rk
+             |      FROM ll)
+             |SELECT doc_id, true_lang, lang AS pred_lang, round(llh, 4) AS llh_r,
+             |       (lang = true_lang) AS correct
+             |FROM r WHERE rk = 1 ORDER BY doc_id""".stripMargin))
   )
 
   val byName: Map[String, Query] = all.map(q => q.name -> q).toMap
