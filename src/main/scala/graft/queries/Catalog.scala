@@ -5367,7 +5367,82 @@ object Catalog {
              |      FROM ll)
              |SELECT doc_id, true_lang, lang AS pred_lang, round(llh, 4) AS llh_r,
              |       (lang = true_lang) AS correct
-             |FROM r WHERE rk = 1 ORDER BY doc_id""".stripMargin))
+             |FROM r WHERE rk = 1 ORDER BY doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Q149: winnowed span-level duplicate detection (Schleimer et al.
+    // "Winnowing: Local Algorithms for Document Fingerprinting") — the
+    // sub-chunk granularity q24 (whole-doc fp) and q109 (fixed chunks)
+    // don't cover: token 5-gram hashes, keep a position iff its hash
+    // is the min of the trailing w=4 window (~2/(w+1) of positions
+    // survive), then docs sharing ≥ 3 selected fingerprints pair up.
+    // The winnowing guarantee: any shared token run of ≥ w+k−1 = 8
+    // tokens shares at least one SELECTED fingerprint, so recall on
+    // long copied spans is exact while the join touches ~n/3 keys, not
+    // n. Plan: one posexplode scan, one per-doc trailing window (pos-
+    // ordered, doc-partitioned — the natural key), distinct, a df ≤ 20
+    // hot-gram guard (boilerplate 5-grams would otherwise quadratically
+    // dominate pairs, same prune as q107's df cap), and the candidate
+    // equi-join on the selected 8-byte keys. All-integer hashing
+    // (md5-prefix, q144's spelling) keeps the oracle bit-exact.
+    Query(
+      "q149_winnow_spans",
+      (s, dir) => {
+        import s.implicits._
+        val grams = t(s, dir, "documents")
+          .select($"doc_id", posexplode(TF.shingles($"text", 5)))
+          .toDF("doc_id", "pos", "gram")
+          .withColumn("h", conv(substring(md5($"gram"), 1, 8), 16, 10).cast("long"))
+        val wm = Window.partitionBy($"doc_id").orderBy($"pos")
+          .rowsBetween(-3, Window.currentRow)
+        val sel = grams
+          .withColumn("wmin", min($"h").over(wm))
+          .filter($"h" === $"wmin")
+          .select($"doc_id", $"h")
+          .distinct()
+        val guarded = sel.join(
+          sel.groupBy($"h").agg(count(lit(1)).as("df")).filter($"df" <= 20)
+            .select($"h"), "h")
+        val selN = guarded.groupBy($"doc_id").agg(count(lit(1)).as("sel_n"))
+        val pairs = guarded.select($"doc_id".as("doc_a"), $"h")
+          .join(guarded.select($"doc_id".as("doc_b"), $"h"), "h")
+          .filter($"doc_a" < $"doc_b")
+          .groupBy($"doc_a", $"doc_b")
+          .agg(count(lit(1)).as("n_shared"))
+          .filter($"n_shared" >= 3)
+        pairs
+          .join(selN.select($"doc_id".as("doc_a"), $"sel_n".as("na")), "doc_a")
+          .join(selN.select($"doc_id".as("doc_b"), $"sel_n".as("nb")), "doc_b")
+          .select($"doc_a", $"doc_b", $"n_shared",
+            round($"n_shared".cast("double") / least($"na", $"nb").cast("double"), 4)
+              .as("overlap_r"))
+          .orderBy($"doc_a", $"doc_b")
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+             |              FROM documents),
+             |pos AS (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 4)) AS pos
+             |        FROM toks),
+             |grams AS (SELECT doc_id, pos,
+             |                 ('0x' || substr(md5(array_to_string(tk[pos:pos+4], ' ')), 1, 8))::BIGINT AS h
+             |          FROM pos),
+             |sel AS (SELECT DISTINCT doc_id, h
+             |        FROM (SELECT doc_id, h,
+             |                     min(h) OVER (PARTITION BY doc_id ORDER BY pos
+             |                                  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS wmin
+             |              FROM grams)
+             |        WHERE h = wmin),
+             |guarded AS (SELECT s.doc_id, s.h
+             |            FROM sel s JOIN (SELECT h FROM sel GROUP BY h
+             |                             HAVING count(*) <= 20) ok ON s.h = ok.h),
+             |seln AS (SELECT doc_id, count(*) AS sel_n FROM guarded GROUP BY 1),
+             |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+             |          FROM guarded a JOIN guarded b ON a.h = b.h AND a.doc_id < b.doc_id
+             |          GROUP BY 1, 2 HAVING count(*) >= 3)
+             |SELECT doc_a, doc_b, n_shared,
+             |       round(n_shared::DOUBLE / least(na.sel_n, nb.sel_n)::DOUBLE, 4) AS overlap_r
+             |FROM pairs JOIN seln na ON na.doc_id = doc_a
+             |           JOIN seln nb ON nb.doc_id = doc_b
+             |ORDER BY doc_a, doc_b""".stripMargin))
   )
 
   val byName: Map[String, Query] = all.map(q => q.name -> q).toMap
