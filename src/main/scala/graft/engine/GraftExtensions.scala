@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{
   BitwiseCount, BitwiseXor, Cast, Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.{IntegerType, LongType}
 
-import graft.functions.{CmsEstimate, DotProduct, JaroWinkler, L2Sq, MinHashSignature, SimHash64, WordShingles}
+import graft.functions.{CmsEstimate, DotProduct, JaccardSortedLongs, JaroWinkler, L2Sq, MinHashSignature, SimHash64, SyllableCount, WordShingles}
 
 /** Registers the engine's custom Catalyst expressions as SQL
   * functions, so the full function surface is reachable from
@@ -23,6 +23,8 @@ import graft.functions.{CmsEstimate, DotProduct, JaroWinkler, L2Sq, MinHashSigna
   *  - `graft_cms_estimate(binary, item) -> bigint`
   *  - `graft_jaro_winkler(string, string) -> double`
   *  - `graft_l2sq(array<double>, array<double>) -> double`
+  *  - `graft_syllables(array<string>) -> bigint`
+  *  - `graft_jaccard_sorted(array<bigint>, array<bigint>) -> double`
   *
   * `n`/`k` must be integer literals: they size the generated code of
   * the underlying expression, so a per-row value cannot apply.
@@ -109,6 +111,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.length == 2, "graft_l2sq(a, b)")
         L2Sq(args(0), args(1))
+      }))
+
+    ext.injectFunction((
+      FunctionIdentifier("graft_syllables"),
+      info("graft_syllables",
+        "graft_syllables(tokens) - vowel-group syllable estimate of a token array in one fused char scan"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_syllables(tokens)")
+        SyllableCount(args(0))
+      }))
+
+    ext.injectFunction((
+      FunctionIdentifier("graft_jaccard_sorted"),
+      info("graft_jaccard_sorted",
+        "graft_jaccard_sorted(a, b) - Jaccard similarity of two SORTED distinct bigint arrays (allocation-free merge)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_jaccard_sorted(a, b)")
+        JaccardSortedLongs(args(0), args(1))
       }))
   }
 }

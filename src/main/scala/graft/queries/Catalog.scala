@@ -5442,7 +5442,61 @@ object Catalog {
              |       round(n_shared::DOUBLE / least(na.sel_n, nb.sel_n)::DOUBLE, 4) AS overlap_r
              |FROM pairs JOIN seln na ON na.doc_id = doc_a
              |           JOIN seln nb ON nb.doc_id = doc_b
-             |ORDER BY doc_a, doc_b""".stripMargin))
+             |ORDER BY doc_a, doc_b""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Q150: as-of snapshot diff — what changed in the latest-wins view
+    // between two cutoffs T1 < T2: per key the last value at each
+    // cutoff, classified added / changed / same with the value delta.
+    // The audit/debug companion of the CDC view (q11/q104): "what did
+    // this batch window do to the table". ONE groupBy(user_id) pass
+    // computes BOTH snapshots via conditional max_by (ordering struct
+    // is NULL outside the cutoff, and max_by ignores null-ordered
+    // rows) — a single key shuffle over one scan, where the naive
+    // spelling runs two windowed scans and a join (the oracle's
+    // spelling; values agree exactly). v2 ⊇ v1 window ⇒ v2 IS NULL
+    // only for keys born after T2 — excluded (not yet in either
+    // snapshot). At 100 TB the same aggregate runs per bucket of the
+    // manifest layout; no snapshot materializes.
+    Query(
+      "q150_snapshot_diff",
+      (s, dir) => {
+        import s.implicits._
+        val t1 = lit("2024-01-10").cast("timestamp")
+        val t2 = lit("2024-01-20").cast("timestamp")
+        t(s, dir, "events")
+          .groupBy($"user_id")
+          .agg(
+            max_by($"value", when($"ts" <= t1, struct($"ts", $"event_id"))).as("v1"),
+            max_by($"value", when($"ts" <= t2, struct($"ts", $"event_id"))).as("v2"))
+          .filter($"v2".isNotNull)
+          .select($"user_id",
+            round($"v1", 4).as("v1_r"), round($"v2", 4).as("v2_r"),
+            when($"v1".isNull, lit("added"))
+              .when($"v1" === $"v2", lit("same"))
+              .otherwise(lit("changed")).as("status"),
+            round($"v2" - $"v1", 4).as("delta_r"))
+          .orderBy($"user_id")
+      },
+      Some("""WITH s1 AS (SELECT user_id, value AS v1 FROM (
+             |              SELECT user_id, value,
+             |                     row_number() OVER (PARTITION BY user_id
+             |                                        ORDER BY ts DESC, event_id DESC) AS rn
+             |              FROM events WHERE ts <= TIMESTAMP '2024-01-10')
+             |            WHERE rn = 1),
+             |s2 AS (SELECT user_id, value AS v2 FROM (
+             |              SELECT user_id, value,
+             |                     row_number() OVER (PARTITION BY user_id
+             |                                        ORDER BY ts DESC, event_id DESC) AS rn
+             |              FROM events WHERE ts <= TIMESTAMP '2024-01-20')
+             |            WHERE rn = 1)
+             |SELECT s2.user_id, round(s1.v1, 4) AS v1_r, round(s2.v2, 4) AS v2_r,
+             |       CASE WHEN s1.v1 IS NULL THEN 'added'
+             |            WHEN s1.v1 = s2.v2 THEN 'same'
+             |            ELSE 'changed' END AS status,
+             |       round(s2.v2 - s1.v1, 4) AS delta_r
+             |FROM s2 LEFT JOIN s1 ON s1.user_id = s2.user_id
+             |ORDER BY s2.user_id""".stripMargin))
   )
 
   val byName: Map[String, Query] = all.map(q => q.name -> q).toMap

@@ -99,5 +99,18 @@ class SqlSurfaceSpec extends SparkSpec {
       "SELECT graft_l2sq(array(1.0d, 2.0d, 3.0d), array(4.0d, 5.0d, 6.0d)) AS l")
       .collect().head.getDouble(0)
     assert(l2 == 27.0)
+    // syllables: vowel-group estimate, same as the Column API
+    val syl = spark.sql(
+      "SELECT graft_syllables(split('beautiful day', ' ')) AS s")
+      .collect().head.getLong(0)
+    val sylCol = Seq("beautiful day").toDF("t")
+      .select(graft.functions.SyllableCount(split($"t", " ")))
+      .collect().head.getLong(0)
+    assert(syl == sylCol && syl > 0L)
+    // jaccard over sorted bigint arrays: |{2,3}| / |{1,2,3,4}| = 0.5
+    val jac = spark.sql(
+      "SELECT graft_jaccard_sorted(array(1L, 2L, 3L), array(2L, 3L, 4L)) AS j")
+      .collect().head.getDouble(0)
+    assert(jac == 0.5)
   }
 }
