@@ -232,6 +232,52 @@ object ScaleSmoke {
         .join(e.as("e3"), $"e3.u" === $"e1.u" && $"e3.v" === $"e2.v")
         .count()
     }
+    // winnow shape — q149's plan: gram hashing + trailing-window min
+    // are per-doc map/window work; replication multiplies every
+    // fingerprint's df by `factor`, so this measures the df ≤ 20
+    // hot-key guard holding the pair join bounded under the WORST
+    // case (every doc duplicated `factor` times)
+    time(s"winnow_${factor}x") {
+      import org.apache.spark.sql.expressions.Window
+      val grams = docs
+        .select($"doc_id",
+          posexplode(graft.functions.TextFunctions.shingles($"text", 5)))
+        .toDF("doc_id", "pos", "gram")
+        .withColumn("h", conv(substring(md5($"gram"), 1, 8), 16, 10).cast("long"))
+      val wm = Window.partitionBy($"doc_id").orderBy($"pos")
+        .rowsBetween(-3, Window.currentRow)
+      val sel = grams.withColumn("wmin", min($"h").over(wm))
+        .filter($"h" === $"wmin").select($"doc_id", $"h").distinct()
+      val guarded = sel.join(
+        sel.groupBy($"h").agg(count(lit(1)).as("df")).filter($"df" <= 20)
+          .select($"h"), "h")
+      guarded.select($"doc_id".as("a"), $"h")
+        .join(guarded.select($"doc_id".as("b"), $"h"), "h")
+        .filter($"a" < $"b")
+        .groupBy($"a", $"b").agg(count(lit(1)).as("n")).filter($"n" >= 3)
+        .count()
+    }
+    // label-prop shape — q147's one round with the SAME 10 k suppliers
+    // but `factor`x customers: supplier degree grows with factor, the
+    // hub-skew case the node-keyed shuffles + AQE must absorb
+    time(s"label_prop_${factor}x") {
+      val edges = li.select($"l_orderkey", $"l_suppkey")
+        .join(ord.select($"o_orderkey", $"o_custkey"), $"l_orderkey" === $"o_orderkey")
+        .select($"l_suppkey".cast("long").as("src"),
+                ($"o_custkey" + 1000000000L).as("dst"))
+        .distinct()
+      val seeds = edges.select($"src".as("node")).distinct()
+        .withColumn("lbl", pmod($"node", lit(25)))
+      graft.operators.LabelPropagation.propagate(edges, seeds, maxRounds = 1).count()
+    }
+    // PCA moments shape — q145's fit on the full-width 64-dim
+    // embeddings: the shuffle carries one d + d(d+1)/2 buffer per map
+    // partition however many rows feed it
+    time(s"pca_fit_${factor}x") {
+      import graft.functions.{VectorFunctions => VF}
+      graft.operators.Pca.fit(
+        emb.select(VF.asDouble($"embedding").as("v")), $"v", dim = 64, k = 4).n
+    }
     spark.stop()
   }
 }
