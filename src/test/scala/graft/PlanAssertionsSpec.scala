@@ -207,6 +207,24 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(p.contains("PushedFilters"), "dim filters not pushed to scans")
   }
 
+  test("q150: both snapshots come out of ONE keyed aggregate — single hash exchange, no window") {
+    val p = plan("q150_snapshot_diff")
+    assert(countOf(p, "Exchange hashpartitioning") == 1,
+      s"snapshot diff must shuffle once on user_id:\n${p.take(3000)}")
+    assert(!p.contains("Window "),
+      s"the naive two-window spelling crept back in:\n${p.take(3000)}")
+  }
+
+  test("q145: PCA projection is map-only — no hash exchange, no window") {
+    // the moments pass runs inside Pca.fit (its own job); the RETURNED
+    // plan is the projection, which must stay a pure map stage up to
+    // the final presentation sort (one range exchange, nothing keyed)
+    val p = plan("q145_pca_project")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"PCA projection must not shuffle by key:\n${p.take(3000)}")
+    assert(!p.contains("Window "), p.take(3000))
+  }
+
   test("sweep: no headline query plans a non-broadcast cartesian product") {
     // CartesianProductExec is the plan shape that cannot survive a
     // 100 TB input on either side: both sides fully materialize and
