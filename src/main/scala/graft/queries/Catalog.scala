@@ -5496,7 +5496,118 @@ object Catalog {
              |            ELSE 'changed' END AS status,
              |       round(s2.v2 - s1.v1, 4) AS delta_r
              |FROM s2 LEFT JOIN s1 ON s1.user_id = s2.user_id
-             |ORDER BY s2.user_id""".stripMargin))
+             |ORDER BY s2.user_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Q151: per-source quality calibration — keep each source's top
+    // 60 % by distinct-token ratio instead of one global cutoff (a
+    // global threshold would gut low-register sources and wave through
+    // boilerplate-heavy ones; real pipelines calibrate per domain).
+    // Plan: per-source threshold via one exact-percentile agg,
+    // broadcast the ~|sources|-row threshold table back, filter. No
+    // window over document rows — the per-doc work is map-only either
+    // side of one small-agg shuffle. At 100 TB the only change is
+    // approx_percentile for the threshold (mergeable sketch state vs
+    // percentile's O(n) buffer) — same plan shape, same join. Exact
+    // percentile here keeps the DuckDB oracle (quantile_cont, same
+    // linear-interpolation definition); both sides round scores and
+    // thresholds to 6 dp before the boundary compare so the keep set
+    // is ulp-robust across engines.
+    Query(
+      "q151_quality_calibrate",
+      (s, dir) => {
+        import s.implicits._
+        val scored = t(s, dir, "documents")
+          .select($"doc_id", $"source",
+                  round(TF.distinctTokenRatio($"text"), 6).as("score_r"))
+        val thr = scored.groupBy($"source")
+          .agg(round(expr("percentile(score_r, 0.4)"), 6).as("thr_r"))
+        scored.join(broadcast(thr), "source")
+          .filter($"score_r" >= $"thr_r")
+          .select($"doc_id", $"source", $"score_r", $"thr_r")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH m AS (SELECT doc_id, source,
+             |  round(len(list_distinct(string_split_regex(trim(text), '\s+')))::DOUBLE /
+             |        len(string_split_regex(trim(text), '\s+')), 6) AS score_r
+             |  FROM documents),
+             |t AS (SELECT source, round(quantile_cont(score_r, 0.4), 6) AS thr_r
+             |      FROM m GROUP BY source)
+             |SELECT doc_id, m.source, score_r, thr_r
+             |FROM m JOIN t ON m.source = t.source
+             |WHERE score_r >= thr_r
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Q152: boilerplate-prefix detection — documents opening with the
+    // same first-4-token prefix (shared headers/templates: the
+    // page-furniture signal web-corpus cleaners strip before dedup).
+    // Map-side md5 of a 4-token slice, then hash-aggregates keyed by
+    // the 32-char digest; count(DISTINCT source) expands to a
+    // (digest, source) pre-aggregation before the digest-level agg —
+    // two exchanges, both map-side combined, tiny output. Cross-source
+    // spread (n_src) separates template reuse across crawls from
+    // single-source repetition. No joins, no windows; the digest (not
+    // the raw prefix) is the shuffle key, so key width is constant.
+    Query(
+      "q152_boilerplate_prefix",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "documents")
+          .select($"doc_id", $"source",
+                  md5(concat_ws(" ", slice(TF.tokens($"text"), 1, 4))).as("prefix_h"))
+          .groupBy($"prefix_h")
+          .agg(count(lit(1)).as("n_docs"),
+               countDistinct($"source").as("n_src"),
+               min($"doc_id").as("example_doc"))
+          .filter($"n_docs" >= 2)
+          .orderBy($"n_docs".desc, $"prefix_h")
+      },
+      Some("""SELECT md5(array_to_string(
+             |         list_slice(string_split_regex(trim(text), '\s+'), 1, 4), ' ')) AS prefix_h,
+             |       count(*) AS n_docs,
+             |       count(DISTINCT source) AS n_src,
+             |       min(doc_id) AS example_doc
+             |FROM documents
+             |GROUP BY 1 HAVING count(*) >= 2
+             |ORDER BY n_docs DESC, prefix_h""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Q153: n-gram redundancy accounting — per source, raw 3-gram
+    // occurrences vs distinct 3-grams: the "what would span-level
+    // dedup save" diagnostic (redundancy 1.0 = every 3-gram unique;
+    // 2.0 = half the corpus is repeated spans). Companion to
+    // q149_winnow_spans (which finds the spans) and q114 (per-doc
+    // novelty): this is the corpus-level budget number. Plan: explode
+    // md5'd shingles, two cascaded map-side-combinable aggs keyed
+    // (source, digest) then (source). At 100 TB the digest would be
+    // xxhash64 (8-byte shuffle key); md5 here keeps the oracle
+    // bit-identical, the shape is the same.
+    Query(
+      "q153_ngram_redundancy",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "documents")
+          .select($"source", explode(TF.shingles($"text", 3)).as("g"))
+          .select($"source", md5($"g").as("h"))
+          .groupBy($"source", $"h").agg(count(lit(1)).as("c"))
+          .groupBy($"source")
+          .agg(sum($"c").as("raw_grams"),
+               count(lit(1)).as("uniq_grams"),
+               round(sum($"c").cast("double") / count(lit(1)), 4).as("redundancy_r"))
+          .orderBy($"source")
+      },
+      Some("""WITH toks AS (SELECT source, string_split_regex(trim(text), '\s+') AS tk
+             |              FROM documents),
+             |grams AS (
+             |  SELECT source, md5(CASE WHEN len(tk) < 3 THEN array_to_string(tk, ' ')
+             |                          ELSE array_to_string(list_slice(tk, i, i + 2), ' ')
+             |                     END) AS h
+             |  FROM toks, unnest(range(1, greatest(len(tk) - 1, 2))) AS u(i)),
+             |per AS (SELECT source, h, count(*) AS c FROM grams GROUP BY source, h)
+             |SELECT source, sum(c)::BIGINT AS raw_grams, count(*) AS uniq_grams,
+             |       round(sum(c)::DOUBLE / count(*), 4) AS redundancy_r
+             |FROM per GROUP BY source ORDER BY source""".stripMargin))
   )
 
   val byName: Map[String, Query] = all.map(q => q.name -> q).toMap

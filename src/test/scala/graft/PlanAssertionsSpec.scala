@@ -225,6 +225,30 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(!p.contains("Window "), p.take(3000))
   }
 
+  test("q151: threshold table broadcasts back; no window over document rows") {
+    val p = plan("q151_quality_calibrate")
+    assert(p.contains("BroadcastHashJoin"),
+      s"per-source thresholds must broadcast, not shuffle the docs:\n${p.take(3000)}")
+    assert(!p.contains("Window "),
+      s"calibration must be agg+join, not a per-source rank window:\n${p.take(3000)}")
+  }
+
+  test("q152: boilerplate detection is pure hash-aggregates — distinct-expand shuffles, no join") {
+    // count(DISTINCT source) legitimately plans as (digest, source)
+    // pre-agg then digest agg: two hash exchanges, both partial-agg'd
+    val p = plan("q152_boilerplate_prefix")
+    assert(countOf(p, "Exchange hashpartitioning") == 2,
+      s"expected the two distinct-expand exchanges only:\n${p.take(3000)}")
+    assert(!p.contains("Join"), s"no join belongs in this plan:\n${p.take(3000)}")
+  }
+
+  test("q153: redundancy accounting is two cascaded aggs — two exchanges, no join/window") {
+    val p = plan("q153_ngram_redundancy")
+    assert(countOf(p, "Exchange hashpartitioning") == 2,
+      s"expected (source,digest) then (source) exchanges only:\n${p.take(3000)}")
+    assert(!p.contains("Join") && !p.contains("Window "), p.take(3000))
+  }
+
   test("sweep: no headline query plans a non-broadcast cartesian product") {
     // CartesianProductExec is the plan shape that cannot survive a
     // 100 TB input on either side: both sides fully materialize and
