@@ -1,8 +1,8 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{expr, timestamp_micros}
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-generated parquet tables (TESTDATA.md).
   *
@@ -41,11 +41,20 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "lineitem")
+  /** The driver has shipped `events.ts` under three parquet encodings so
+    * far: TIMESTAMP(NANOS) (read as raw long, ns->µs below), timestamp[us]
+    * with isAdjustedToUTC=false (Spark: TIMESTAMP_NTZ), and timestamp[us]
+    * UTC-adjusted (Spark: TIMESTAMP). Normalize all three to TimestampType
+    * so every downstream query sees one stable schema. The NTZ->TZ cast is
+    * lossless here because the session timezone is pinned to UTC, and it
+    * matches DuckDB, which treats the unadjusted micros as UTC instants. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     val raw = eventsRaw(spark, dir)
-    if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    raw.schema("ts").dataType match {
+      case LongType         => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => raw
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "embeddings")
