@@ -42,7 +42,16 @@ object Bench {
       val sec =
         try math.min(once(), once())
         catch { case e: Throwable =>
-          System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}"); -1.0
+          // In-band failure record: the driver tails stdout only, so a
+          // stderr-only message leaves a bare -1.0 in the artifact with
+          // no cause. One compact JSON line per failure, before the
+          // total line (keeps the total inside the driver's tail
+          // window even with several failures).
+          val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+            .replaceAll("[\"\\\\\n\r\t]", " ").take(160)
+          println(s"""{"bench_error":"${q.name}","msg":"$msg"}""")
+          System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
+          -1.0
         }
       q.name -> sec
     }
@@ -55,8 +64,12 @@ object Bench {
     val qs = results.map { case (k, v) =>
       "\"" + k.takeWhile(_ != '_') + "\":" + f"$v%.2f"
     }.mkString("{", ",", "}")
+    // "executed"/"failed" make a partial run self-describing: a -1.0
+    // entry is a failure, and total covers only the executed queries.
+    val executed = results.count(_._2 >= 0)
+    val failed = results.size - executed
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","executed":$executed,"failed":$failed,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

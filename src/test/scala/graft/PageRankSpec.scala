@@ -25,6 +25,22 @@ class PageRankSpec extends SparkSpec {
     assert(pr("b") > pr("a") && math.abs(pr("a") - pr("c")) < 1e-9, pr)
   }
 
+  test("long fixed points do not accumulate checkpointed blocks") {
+    import spark.implicits._
+    // A 20-node cycle forced through 10 full rounds (tol=0 never
+    // converges early). Each round localCheckpoints a new ranks frame;
+    // without Iterate.unpersistCheckpoint the block manager would hold
+    // one |V|-sized RDD per round (+10 here). Allowed residue: the
+    // permanent e/nodes/outd checkpoints and the returned final ranks.
+    val edges = (1 to 20).map(i => (s"n$i", s"n${i % 20 + 1}", 1.0))
+      .toDF("src", "dst", "w")
+    val before = spark.sparkContext.getPersistentRDDs.size
+    PageRank.run(edges, maxRounds = 10, tol = 0.0)
+    val after = spark.sparkContext.getPersistentRDDs.size
+    assert(after - before <= 4,
+      s"checkpoint leak: $before persistent RDDs before, $after after")
+  }
+
   test("PageRank respects edge weights") {
     import spark.implicits._
     // a splits 3:1 between b and c -> b ends above c
