@@ -9,7 +9,7 @@ import org.apache.spark.sql.DataFrame
   * materialized — otherwise maxRounds frames pile up in block-manager
   * memory over a long fixed point.
   */
-private[operators] object Iterate {
+private[graft] object Iterate {
 
   /** Drop the cached blocks behind a `localCheckpoint`ed frame. The
     * persisted RDD is the one inside the plan's LogicalRDD leaf —

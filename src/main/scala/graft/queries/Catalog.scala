@@ -5389,33 +5389,14 @@ object Catalog {
       "q149_winnow_spans",
       (s, dir) => {
         import s.implicits._
-        val grams = t(s, dir, "documents")
-          .select($"doc_id", posexplode(TF.shingles($"text", 5)))
-          .toDF("doc_id", "pos", "gram")
-          .withColumn("h", conv(substring(md5($"gram"), 1, 8), 16, 10).cast("long"))
-        val wm = Window.partitionBy($"doc_id").orderBy($"pos")
-          .rowsBetween(-3, Window.currentRow)
-        val sel = grams
-          .withColumn("wmin", min($"h").over(wm))
-          .filter($"h" === $"wmin")
-          .select($"doc_id", $"h")
-          .distinct()
-        val guarded = sel.join(
-          sel.groupBy($"h").agg(count(lit(1)).as("df")).filter($"df" <= 20)
-            .select($"h"), "h")
-        val selN = guarded.groupBy($"doc_id").agg(count(lit(1)).as("sel_n"))
-        val pairs = guarded.select($"doc_id".as("doc_a"), $"h")
-          .join(guarded.select($"doc_id".as("doc_b"), $"h"), "h")
-          .filter($"doc_a" < $"doc_b")
-          .groupBy($"doc_a", $"doc_b")
-          .agg(count(lit(1)).as("n_shared"))
-          .filter($"n_shared" >= 3)
-        pairs
-          .join(selN.select($"doc_id".as("doc_a"), $"sel_n".as("na")), "doc_a")
-          .join(selN.select($"doc_id".as("doc_b"), $"sel_n".as("nb")), "doc_b")
-          .select($"doc_a", $"doc_b", $"n_shared",
-            round($"n_shared".cast("double") / least($"na", $"nb").cast("double"), 4)
-              .as("overlap_r"))
+        // Shared operator (operators.Winnow) so the streaming ingest
+        // twin (streaming.WinnowIngest) provably computes the same
+        // span-overlap contract — k=5 grams, w=4 windows, df<=20 hot-
+        // gram guard, >=3 shared selected fingerprints.
+        val sel = graft.operators.Winnow.selectFingerprints(
+          t(s, dir, "documents"), "text", "doc_id", k = 5, w = 4)
+        graft.operators.Winnow.overlapPairs(sel, "doc_id", minShared = 3L,
+            maxDf = Some(20L))
           .orderBy($"doc_a", $"doc_b")
       },
       Some("""WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk

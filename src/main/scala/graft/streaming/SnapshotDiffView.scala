@@ -1,0 +1,130 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Incrementally-maintained snapshot diff — the streaming twin of
+  * `q150_snapshot_diff`: where q150 answers "what changed between two
+  * cutoffs" with one batch aggregate, this maintains the latest-wins
+  * view continuously and emits, per micro-batch, the per-key diff THAT
+  * BATCH produced (added / changed / same with the value delta) — the
+  * audit log of what each batch window did to the table.
+  *
+  * Per micro-batch over events (user_id, ts, event_id, value):
+  *   1. reduce the batch to its per-key winner (one groupBy on the
+  *      batch only — cost follows batch size);
+  *   2. left-join the prior state on the touched keys, decide the
+  *      per-key winner by the same (ts, event_id) total order q150
+  *      uses (late/out-of-order events that lose emit `same`, they
+  *      never regress the view);
+  *   3. append the diff rows to `diffDir`, swap the updated state —
+  *      carryover of untouched keys is an anti-join, exactly the
+  *      [[Scd2View.mergeBatch]] touched-slice discipline, so at 100 TB
+  *      the state is bucketed and a batch rewrites only its buckets.
+  *
+  * Parity contract (spec-asserted): after any prefix of ts-ordered
+  * batches, (a) the state equals the batch latest-wins recompute over
+  * all events so far, and (b) the non-`same` diff rows of batch k
+  * equal q150's classification between the k-1 and k cutoffs (q150
+  * additionally lists every untouched key as `same`; the stream emits
+  * diffs only for touched keys).
+  */
+object SnapshotDiffView {
+
+  /** Merge one events-shaped micro-batch into the view at `stateDir`,
+    * writing the batch's diff rows under `diffDir/batch_seq=<id>` —
+    * overwrite per batch id, so an at-least-once replay of a batch
+    * rewrites its own diff slice instead of double-appending. */
+  def mergeBatch(batch: DataFrame, stateDir: String, diffDir: String,
+                 batchId: Long = 0L): Unit = synchronized {
+    val spark = batch.sparkSession
+    val statePath = Paths.get(stateDir)
+
+    // Replay fence. A diff computed against POST-batch state would
+    // degrade every `changed` row to `same`, so a redelivered batch
+    // must be skipped outright, not re-merged. The applied batch id
+    // travels INSIDE the state dir (underscore files are invisible to
+    // the parquet reader) so the swap below commits state + fence
+    // atomically; the diff slice is written BEFORE the swap, making
+    // every crash window replay-clean: before the swap, state is
+    // unchanged and the recompute overwrites an identical slice;
+    // after it, the fence skips the whole merge.
+    if (Files.exists(statePath) && appliedBatch(statePath) >= batchId) return
+
+    // Per-key batch winner by the (ts, event_id) total order; value
+    // rides in the struct but never decides (the pair is unique).
+    val delta = batch
+      .groupBy(col("user_id"))
+      .agg(max(struct(col("ts"), col("event_id"), col("value"))).as("d"))
+
+    val old =
+      if (Files.exists(statePath)) spark.read.parquet(stateDir)
+      else emptyState(spark)
+
+    val touchedOld = old.join(delta.select(col("user_id")), Seq("user_id"), "left_semi")
+      .select(col("user_id"), struct(col("ts"), col("event_id"), col("value")).as("o"))
+
+    val merged = delta.join(touchedOld, Seq("user_id"), "left")
+      .select(col("user_id"), col("o"),
+        when(col("o").isNull || col("d") > col("o"), col("d")).otherwise(col("o")).as("n"))
+      .localCheckpoint() // read twice: diff emission + state rewrite
+
+    val diff = merged.select(
+      col("user_id"),
+      round(col("o.value"), 4).as("v1_r"),
+      round(col("n.value"), 4).as("v2_r"),
+      when(col("o").isNull, lit("added"))
+        .when(col("o.value") === col("n.value"), lit("same"))
+        .otherwise(lit("changed")).as("status"),
+      round(col("n.value") - col("o.value"), 4).as("delta_r"))
+    diff.write.mode("overwrite").parquet(s"$diffDir/batch_seq=$batchId")
+
+    val carryover = old.join(delta.select(col("user_id")), Seq("user_id"), "left_anti")
+    val nextState = carryover.unionByName(
+      merged.select(col("user_id"), col("n.ts").as("ts"),
+        col("n.event_id").as("event_id"), col("n.value").as("value")))
+    val tmp = stateDir + ".tmp"
+    nextState.write.mode("overwrite").parquet(tmp)
+    Files.write(Paths.get(tmp, AppliedMarker), batchId.toString.getBytes)
+    CdcStream.swapDirs(Paths.get(tmp), statePath)
+    graft.operators.Iterate.unpersistCheckpoint(merged)
+  }
+
+  private val AppliedMarker = "_applied_batch"
+
+  private def appliedBatch(statePath: java.nio.file.Path): Long = {
+    val m = statePath.resolve(AppliedMarker)
+    if (Files.exists(m)) new String(Files.readAllBytes(m)).trim.toLong else -1L
+  }
+
+  private def emptyState(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+      StructType(Seq(
+        StructField("user_id", LongType), StructField("ts", TimestampType),
+        StructField("event_id", LongType), StructField("value", DoubleType))))
+  }
+
+  /** The maintained latest-wins view. */
+  def readView(spark: SparkSession, stateDir: String): DataFrame =
+    if (Files.exists(Paths.get(stateDir))) spark.read.parquet(stateDir)
+    else emptyState(spark)
+
+  /** One batch's diff slice (empty if the batch touched nothing). */
+  def readDiff(spark: SparkSession, diffDir: String, batchId: Long): DataFrame =
+    spark.read.parquet(s"$diffDir/batch_seq=$batchId")
+
+  /** Wire the merge into a streaming events source. */
+  def run(events: DataFrame, checkpointDir: String, stateDir: String,
+          diffDir: String, trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        mergeBatch(batch, stateDir, diffDir, id)
+      }
+      .start()
+}

@@ -1,0 +1,115 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.operators.Winnow
+
+/** Span-level dup detection ON INGEST: the streaming twin of
+  * `q149_winnow_spans`, layered the same way [[IngestDedup]] twins
+  * q12. Where IngestDedup drops EXACT duplicates by whole-document
+  * fingerprint, this flags documents arriving with COPIED SPANS —
+  * shared winnowed fingerprints ([[Winnow]]) against anything already
+  * ingested or earlier in the same batch.
+  *
+  * Per micro-batch:
+  *   1. winnow the incoming docs (per-doc window pass, map-side);
+  *   2. pair-join the batch's selected fingerprints against
+  *      (index ∪ batch) — candidates are batch-vs-history and
+  *      batch-vs-batch; history never self-joins (the same asymmetric
+  *      probe discipline as [[graft.operators.IncrementalDedup]]), so
+  *      per-batch cost follows batch size, not corpus size;
+  *   3. append flagged pairs to `pairsDir` and the batch's
+  *      fingerprints to `indexDir` so the NEXT batch sees them.
+  *
+  * Replay idempotence mirrors IngestDedup: a crash between appends can
+  * double-append fingerprints, so the index is a SET contract
+  * (readers distinct on (doc_id, h)) and re-emitted pairs dedup on
+  * (doc_a, doc_b).
+  *
+  * The hot-gram guard is evaluated at EMISSION time against the
+  * current (index ∪ batch) document frequency: once a fingerprint's
+  * df exceeds `maxDf` (site boilerplate), it stops generating new
+  * candidate pairs from that batch on. Pairs already emitted stand —
+  * the guard bounds future quadratic blowup, it does not rewrite
+  * history. With no hot grams in the corpus the cumulative pair set
+  * is EXACTLY the batch recompute (spec-asserted).
+  */
+object WinnowIngest {
+
+  /** Current fingerprint index as a set (replay double-appends
+    * removed). Empty if nothing ingested yet. */
+  def index(spark: SparkSession, indexDir: String): DataFrame = {
+    import spark.implicits._
+    if (new java.io.File(indexDir).exists())
+      spark.read.parquet(indexDir).select($"doc_id", $"h").distinct()
+    else Seq.empty[(Long, Long)].toDF("doc_id", "h")
+  }
+
+  /** Flagged pairs so far: (doc_a, doc_b, n_shared, overlap_r),
+    * deduped on the pair key (replay contract). */
+  def pairs(spark: SparkSession, pairsDir: String): DataFrame = {
+    import spark.implicits._
+    if (new java.io.File(pairsDir).exists())
+      spark.read.parquet(pairsDir)
+        .dropDuplicates("doc_a", "doc_b")
+    else Seq.empty[(Long, Long, Long, Double)]
+      .toDF("doc_a", "doc_b", "n_shared", "overlap_r")
+  }
+
+  /** Merge one static micro-batch of documents (idCol, textCol). */
+  def mergeBatch(batch: DataFrame, textCol: String, idCol: String,
+                 indexDir: String, pairsDir: String,
+                 k: Int = 5, w: Int = 4, minShared: Long = 3L,
+                 maxDf: Long = 20L): Unit = synchronized {
+    val spark = batch.sparkSession
+    val batchSel = Winnow.selectFingerprints(batch, textCol, idCol, k, w)
+      .withColumnRenamed(idCol, "doc_id")
+      .localCheckpoint() // joined twice below + appended; compute once
+    val hist = index(spark, indexDir)
+
+    // Asymmetric probe: every candidate pair has >=1 side in the batch.
+    // Seen = history ∪ batch; guard df computed over Seen (emission-
+    // time df). The join keeps (batch x seen) then a < b orientation
+    // dedups batch-vs-batch pairs counted twice.
+    val seen = hist.unionByName(batchSel).distinct()
+    val guardOk = seen.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select(col("h"))
+    val gBatch = batchSel.join(guardOk, "h")
+    val gSeen = seen.join(guardOk, "h")
+    val selN = gSeen.groupBy(col("doc_id")).agg(count(lit(1)).as("sel_n"))
+
+    val newPairs = gBatch.select(col("doc_id").as("p"), col("h"))
+      .join(gSeen.select(col("doc_id").as("q"), col("h")), "h")
+      .filter(col("p") =!= col("q"))
+      .select(least(col("p"), col("q")).as("doc_a"),
+              greatest(col("p"), col("q")).as("doc_b"), col("h"))
+      .distinct() // batch-vs-batch pairs appear once per orientation
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .join(selN.select(col("doc_id").as("doc_a"), col("sel_n").as("na")), "doc_a")
+      .join(selN.select(col("doc_id").as("doc_b"), col("sel_n").as("nb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("n_shared"),
+        round(col("n_shared").cast("double") /
+          least(col("na"), col("nb")).cast("double"), 4).as("overlap_r"))
+
+    newPairs.write.mode("append").parquet(pairsDir)
+    batchSel.write.mode("append").parquet(indexDir)
+    graft.operators.Iterate.unpersistCheckpoint(batchSel)
+  }
+
+  /** Wire the merge into a document stream (any streaming DataFrame
+    * with idCol + textCol). */
+  def run(docs: DataFrame, textCol: String, idCol: String,
+          checkpointDir: String, indexDir: String, pairsDir: String,
+          trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        mergeBatch(batch, textCol, idCol, indexDir, pairsDir)
+      }
+      .start()
+}

@@ -1,0 +1,144 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.streaming.SnapshotDiffView
+
+class SnapshotDiffViewSpec extends SparkSpec {
+
+  private def ev(rows: Seq[(Long, String, Long, Double)]): DataFrame = {
+    import spark.implicits._
+    rows.map { case (u, ts, id, v) => (u, Timestamp.valueOf(ts), id, v) }
+      .toDF("user_id", "ts", "event_id", "value")
+  }
+
+  // Three ts-ordered batches over four keys, with an update (key 1),
+  // a no-op late arrival (key 2 in batch 3 carries an OLDER ts than
+  // its state), an equal-value update (key 3), and a late birth (4).
+  private val b1 = Seq(
+    (1L, "2024-01-01 10:00:00", 100L, 10.0),
+    (2L, "2024-01-02 10:00:00", 101L, 20.0),
+    (3L, "2024-01-03 10:00:00", 102L, 30.0))
+  private val b2 = Seq(
+    (1L, "2024-01-11 10:00:00", 200L, 15.5), // changed
+    (3L, "2024-01-12 10:00:00", 201L, 30.0)) // same value, newer event
+  private val b3 = Seq(
+    (2L, "2024-01-01 09:00:00", 300L, 99.0), // late, loses -> same
+    (4L, "2024-01-21 10:00:00", 301L, 40.0)) // added
+
+  /** Naive latest-wins recompute over every event seen so far. */
+  private def naiveView(all: Seq[(Long, String, Long, Double)]): Map[Long, Double] =
+    all.groupBy(_._1).map { case (u, rows) =>
+      u -> rows.maxBy(r => (r._2, r._3))._4
+    }
+
+  test("state tracks the batch recompute; diffs classify added/changed/same") {
+    val root = Files.createTempDirectory("snapdiff").toString
+    val (stateDir, diffDir) = (s"$root/state", s"$root/diff")
+    import spark.implicits._
+
+    val batches = Seq(b1, b2, b3)
+    var seen = Seq.empty[(Long, String, Long, Double)]
+    batches.zipWithIndex.foreach { case (b, i) =>
+      SnapshotDiffView.mergeBatch(ev(b), stateDir, diffDir, i.toLong)
+      seen ++= b
+      val got = SnapshotDiffView.readView(spark, stateDir)
+        .select($"user_id", $"value").as[(Long, Double)].collect().toMap
+      assert(got == naiveView(seen), s"state drifted after batch $i")
+    }
+
+    def diff(i: Long): Map[Long, (Option[Double], Double, String)] =
+      SnapshotDiffView.readDiff(spark, diffDir, i)
+        .select($"user_id", $"v1_r", $"v2_r", $"status")
+        .collect().map(r => r.getLong(0) ->
+          (Option(r.get(1)).map(_.asInstanceOf[Double]), r.getDouble(2), r.getString(3)))
+        .toMap
+
+    assert(diff(0) == Map(
+      1L -> (None, 10.0, "added"),
+      2L -> (None, 20.0, "added"),
+      3L -> (None, 30.0, "added")))
+    assert(diff(1) == Map(
+      1L -> (Some(10.0), 15.5, "changed"),
+      3L -> (Some(30.0), 30.0, "same")))
+    assert(diff(2) == Map(
+      2L -> (Some(20.0), 20.0, "same"), // late arrival never regresses
+      4L -> (None, 40.0, "added")))
+  }
+
+  test("non-same diff rows equal the q150 classification between cutoffs") {
+    val root = Files.createTempDirectory("snapdiff2").toString
+    val (stateDir, diffDir) = (s"$root/state", s"$root/diff")
+    import spark.implicits._
+
+    SnapshotDiffView.mergeBatch(ev(b1), stateDir, diffDir, 0L)
+    SnapshotDiffView.mergeBatch(ev(b2), stateDir, diffDir, 1L)
+
+    // q150's spelling between cutoff T1 = end of batch 1 and T2 = end
+    // of batch 2: one conditional max_by aggregate over ALL events.
+    val t1 = lit("2024-01-04").cast("timestamp")
+    val t2 = lit("2024-01-14").cast("timestamp")
+    val batchStyle = ev(b1 ++ b2)
+      .groupBy($"user_id")
+      .agg(
+        max_by($"value", when($"ts" <= t1, struct($"ts", $"event_id"))).as("v1"),
+        max_by($"value", when($"ts" <= t2, struct($"ts", $"event_id"))).as("v2"))
+      .filter($"v2".isNotNull)
+      .select($"user_id", round($"v1", 4).as("v1_r"), round($"v2", 4).as("v2_r"),
+        when($"v1".isNull, lit("added"))
+          .when($"v1" === $"v2", lit("same"))
+          .otherwise(lit("changed")).as("status"))
+      .filter($"status" =!= "same")
+      .collect().toSet
+
+    val streaming = SnapshotDiffView.readDiff(spark, diffDir, 1L)
+      .filter($"status" =!= "same")
+      .select($"user_id", $"v1_r", $"v2_r", $"status")
+      .collect().toSet
+    assert(streaming == batchStyle)
+  }
+
+  test("replaying a batch is idempotent (state and diff slice unchanged)") {
+    val root = Files.createTempDirectory("snapdiff3").toString
+    val (stateDir, diffDir) = (s"$root/state", s"$root/diff")
+    import spark.implicits._
+
+    SnapshotDiffView.mergeBatch(ev(b1), stateDir, diffDir, 0L)
+    SnapshotDiffView.mergeBatch(ev(b2), stateDir, diffDir, 1L)
+    val view = SnapshotDiffView.readView(spark, stateDir)
+      .as[(Long, Timestamp, Long, Double)].collect().toSet
+    val slice = SnapshotDiffView.readDiff(spark, diffDir, 1L).collect().toSet
+
+    SnapshotDiffView.mergeBatch(ev(b2), stateDir, diffDir, 1L) // replay
+    assert(SnapshotDiffView.readView(spark, stateDir)
+      .as[(Long, Timestamp, Long, Double)].collect().toSet == view)
+    assert(SnapshotDiffView.readDiff(spark, diffDir, 1L).collect().toSet == slice)
+  }
+
+  test("streaming run over a file source produces the same final view") {
+    val root = Files.createTempDirectory("snapdiff4").toString
+    val (stateDir, diffDir) = (s"$root/state", s"$root/diff")
+    val inDir = s"$root/in"
+    import spark.implicits._
+
+    // One parquet file per batch; maxFilesPerTrigger=1 makes each its
+    // own micro-batch under AvailableNow.
+    Seq(b1, b2, b3).zipWithIndex.foreach { case (b, i) =>
+      ev(b).coalesce(1).write.parquet(s"$inDir/f$i")
+    }
+    val src = spark.readStream
+      .schema(ev(b1).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$inDir/f*")
+    SnapshotDiffView.run(src, s"$root/ckpt", stateDir, diffDir)
+      .awaitTermination(60000)
+
+    val got = SnapshotDiffView.readView(spark, stateDir)
+      .select($"user_id", $"value").as[(Long, Double)].collect().toMap
+    assert(got == naiveView(b1 ++ b2 ++ b3))
+  }
+}
