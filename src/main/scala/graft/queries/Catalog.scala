@@ -5588,7 +5588,161 @@ object Catalog {
              |per AS (SELECT source, h, count(*) AS c FROM grams GROUP BY source, h)
              |SELECT source, sum(c)::BIGINT AS raw_grams, count(*) AS uniq_grams,
              |       round(sum(c)::DOUBLE / count(*), 4) AS redundancy_r
-             |FROM per GROUP BY source ORDER BY source""".stripMargin))
+             |FROM per GROUP BY source ORDER BY source""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Q154: exponential time-decay engagement score — per user,
+    // Σ value·2^(-age/half_life) against the corpus's newest event
+    // (7-day half-life), the freshness-weighted ranking every crawl
+    // scheduler / source-mix re-weighter runs. Plan: the reference
+    // instant is a one-row aggregate broadcast into a map-side
+    // per-event weight; then ONE map-side-combinable groupBy(user).
+    // No window, no second scan — at 100 TB this is a single
+    // fact-scan shuffle keyed by user. Both engines spell the rate as
+    // ln(2)/7 so the weight doubles are bit-identical.
+    Query(
+      "q154_decay_score",
+      (s, dir) => {
+        import s.implicits._
+        val ev = t(s, dir, "events").select($"user_id", $"ts", $"value")
+        val ref = ev.agg(max($"ts").as("t_ref"))
+        ev.crossJoin(broadcast(ref))
+          .withColumn("age_days",
+            (unix_millis($"t_ref") - unix_millis($"ts")).cast("double") / 86400000.0)
+          .groupBy($"user_id")
+          .agg(round(sum($"value" * exp(lit(-1.0) * log(lit(2.0)) / 7.0 * $"age_days")), 4)
+                 .as("decay_score"),
+               count(lit(1)).as("n_events"))
+          .orderBy($"decay_score".desc, $"user_id")
+          .limit(50)
+      },
+      Some("""WITH ref AS (SELECT max(ts) AS t_ref FROM events)
+             |SELECT user_id,
+             |       round(sum(value * exp(-ln(2) / 7 *
+             |             (epoch_ms(t_ref) - epoch_ms(ts)) / 86400000.0)), 4) AS decay_score,
+             |       count(*) AS n_events
+             |FROM events CROSS JOIN ref
+             |GROUP BY user_id
+             |ORDER BY decay_score DESC, user_id LIMIT 50""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Q155: late-interaction retrieval (ColBERT-style MaxSim) — treat
+    // each 64-d embedding as 8 token-level sub-vectors of 8 dims;
+    // score(doc) = Σ_q max_j ⟨q_i, d_j⟩ against vec_id 1's
+    // sub-vectors. The interaction matrix is per-doc local: the 8
+    // query sub-vectors broadcast, each doc row expands to 64 dot
+    // products computed map-side, and the two cascaded aggs (max per
+    // (doc, query-sub), then sum per doc) are both partial-agg
+    // shapes. This full-corpus spelling is the EXACT rescorer; the
+    // 100 TB composition runs it over an ANN shortlist (q44's IVF
+    // probe) instead of the full scan — same operator, pruned input.
+    Query(
+      "q155_maxsim",
+      (s, dir) => {
+        import s.implicits._
+        val emb = t(s, dir, "embeddings")
+          .select($"vec_id", VF.asDouble($"embedding").as("e"))
+        def subs = array((0 until 8).map(i => slice($"e", i * 8 + 1, 8)): _*)
+        val docSubs = emb.filter($"vec_id" =!= 1)
+          .select($"vec_id", posexplode(subs))
+          .toDF("vec_id", "dj", "dsub")
+        val qSubs = emb.filter($"vec_id" === 1)
+          .select(posexplode(subs))
+          .toDF("qi", "qsub")
+        docSubs.crossJoin(broadcast(qSubs))
+          .select($"vec_id", $"qi", VF.dot($"dsub", $"qsub").as("d"))
+          .groupBy($"vec_id", $"qi").agg(max($"d").as("m"))
+          .groupBy($"vec_id").agg(round(sum($"m"), 4).as("maxsim_r"))
+          .orderBy($"maxsim_r".desc, $"vec_id")
+          .limit(10)
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+             |q AS (SELECT e AS qe FROM e WHERE vec_id = 1),
+             |m AS (SELECT d.vec_id, qi.i AS qi,
+             |             max(list_inner_product(
+             |               list_slice(d.e, dj.i * 8 + 1, dj.i * 8 + 8),
+             |               list_slice(q.qe, qi.i * 8 + 1, qi.i * 8 + 8))) AS m
+             |      FROM e d CROSS JOIN q,
+             |           generate_series(0, 7) AS qi(i),
+             |           generate_series(0, 7) AS dj(i)
+             |      WHERE d.vec_id <> 1
+             |      GROUP BY d.vec_id, qi.i)
+             |SELECT vec_id, round(sum(m), 4) AS maxsim_r
+             |FROM m GROUP BY vec_id
+             |ORDER BY maxsim_r DESC, vec_id LIMIT 10""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Q156: per-label Mahalanobis outliers (diagonal covariance) — the
+    // embedding-space anomaly gate: score each vector by its distance
+    // from its label's per-dimension (μ, σ²), normalized so dimensions
+    // with natural spread don't dominate. Plan: one posexplode pass,
+    // a |labels|×64-row moments aggregate broadcast back onto the
+    // exploded frame, one groupBy(vec) re-reduction. Both aggregates
+    // are map-side-combinable; nothing is quadratic and the join's
+    // build side is statistics, not data — the same
+    // moments-then-broadcast discipline as q112/q129.
+    Query(
+      "q156_mahalanobis_outliers",
+      (s, dir) => {
+        import s.implicits._
+        val x = t(s, dir, "embeddings")
+          .select($"vec_id", $"label", posexplode(VF.asDouble($"embedding")))
+          .toDF("vec_id", "label", "dim", "x")
+        val st = x.groupBy($"label", $"dim")
+          .agg(avg($"x").as("mu"), var_samp($"x").as("v"))
+        x.join(broadcast(st), Seq("label", "dim"))
+          .groupBy($"vec_id", $"label")
+          .agg(round(sqrt(sum(pow($"x" - $"mu", 2) / $"v")), 4).as("md_r"))
+          .orderBy($"md_r".desc, $"vec_id")
+          .limit(20)
+      },
+      Some("""WITH x AS (SELECT vec_id, label, g.i AS dim, e[g.i] AS x
+             |           FROM (SELECT vec_id, label, embedding::DOUBLE[] AS e
+             |                 FROM embeddings),
+             |                generate_series(1, 64) AS g(i)),
+             |st AS (SELECT label, dim, avg(x) AS mu, var_samp(x) AS v
+             |       FROM x GROUP BY 1, 2)
+             |SELECT vec_id, x.label AS label,
+             |       round(sqrt(sum(pow(x.x - mu, 2) / v)), 4) AS md_r
+             |FROM x JOIN st USING (label, dim)
+             |GROUP BY vec_id, x.label
+             |ORDER BY md_r DESC, vec_id LIMIT 20""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Q157: per-source CDF normalization — map each document's
+    // distinct-token-ratio quality score to its percentile WITHIN its
+    // source (cume_dist over the source partition), then report the
+    // per-source decile profile. The normalization that makes quality
+    // cutoffs comparable across domains (q151 picks one threshold;
+    // this exposes the whole calibrated distribution). Plan: the
+    // window partitions by source — no global sort, each source's
+    // partition ranks independently — and the decile re-aggregation
+    // is map-side-combinable on a ~|sources|×10 key space.
+    Query(
+      "q157_cdf_normalize",
+      (s, dir) => {
+        import s.implicits._
+        val toks = TF.tokens($"text")
+        val sc = t(s, dir, "documents")
+          .select($"doc_id", $"source",
+            (size(array_distinct(toks)).cast("double") / size(toks)).as("score"))
+        sc.withColumn("pct",
+            cume_dist().over(Window.partitionBy($"source").orderBy($"score")))
+          .withColumn("decile", least(floor($"pct" * 10), lit(9L)).cast("long"))
+          .groupBy($"source", $"decile")
+          .agg(count(lit(1)).as("n_docs"), round(avg($"score"), 4).as("mean_score_r"))
+          .orderBy($"source", $"decile")
+      },
+      Some("""WITH sc AS (SELECT doc_id, source,
+             |              len(list_distinct(string_split_regex(trim(text), '\s+')))::DOUBLE /
+             |              len(string_split_regex(trim(text), '\s+')) AS score
+             |            FROM documents),
+             |p AS (SELECT source, score,
+             |             cume_dist() OVER (PARTITION BY source ORDER BY score) AS pct
+             |      FROM sc)
+             |SELECT source, least(floor(pct * 10)::BIGINT, 9) AS decile,
+             |       count(*) AS n_docs, round(avg(score), 4) AS mean_score_r
+             |FROM p GROUP BY 1, 2 ORDER BY source, decile""".stripMargin))
   )
 
   val byName: Map[String, Query] = all.map(q => q.name -> q).toMap
