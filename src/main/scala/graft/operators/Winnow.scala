@@ -28,13 +28,16 @@ object Winnow {
   def gramHash(gram: Column): Column =
     conv(substring(md5(gram), 1, 8), 16, 10).cast("long")
 
-  /** Distinct selected fingerprints per document: (idCol, h).
+  /** Selected fingerprints WITH their token positions: (idCol, pos, h)
+    * — every position whose gram hash is its trailing-w-window minimum.
+    * The position column is what turns a flagged pair into actionable
+    * span offsets (which tokens to cut), see `q158_winnow_offsets`.
     *
     * @param k shingle size (grams of k tokens)
     * @param w winnow window (w consecutive gram hashes per window)
     */
-  def selectFingerprints(docs: DataFrame, textCol: String, idCol: String,
-                         k: Int = 5, w: Int = 4): DataFrame = {
+  def selectedPositions(docs: DataFrame, textCol: String, idCol: String,
+                        k: Int = 5, w: Int = 4): DataFrame = {
     val grams = docs
       .select(col(idCol), posexplode(TF.shingles(col(textCol), k)))
       .toDF(idCol, "pos", "gram")
@@ -44,9 +47,15 @@ object Winnow {
     grams
       .withColumn("wmin", min(col("h")).over(wm))
       .filter(col("h") === col("wmin"))
+      .select(col(idCol), col("pos"), col("h"))
+  }
+
+  /** Distinct selected fingerprints per document: (idCol, h). */
+  def selectFingerprints(docs: DataFrame, textCol: String, idCol: String,
+                         k: Int = 5, w: Int = 4): DataFrame =
+    selectedPositions(docs, textCol, idCol, k, w)
       .select(col(idCol), col("h"))
       .distinct()
-  }
 
   /** Span-overlap pairs among `sel` (a selected-fingerprint table with
     * columns (idCol, h)): pairs sharing ≥ `minShared` fingerprints,

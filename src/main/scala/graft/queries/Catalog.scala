@@ -5742,7 +5742,108 @@ object Catalog {
              |      FROM sc)
              |SELECT source, least(floor(pct * 10)::BIGINT, 9) AS decile,
              |       count(*) AS n_docs, round(avg(score), 4) AS mean_score_r
-             |FROM p GROUP BY 1, 2 ORDER BY source, decile""".stripMargin))
+             |FROM p GROUP BY 1, 2 ORDER BY source, decile""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Q158: winnow span OFFSETS — q149 flags which pairs share spans;
+    // this emits the evidence a surgical span-removal pass needs: for
+    // every flagged pair, each shared (guarded) fingerprint with its
+    // token position in BOTH documents. Positions ride through the
+    // same per-doc window pass (operators.Winnow.selectedPositions);
+    // the extra joins attach positions only for the ~|pairs| flagged
+    // docs, never corpus-wide. Token positions are 1-based in the
+    // output (both engines).
+    Query(
+      "q158_winnow_offsets",
+      (s, dir) => {
+        import s.implicits._
+        val W = graft.operators.Winnow
+        val selP = W.selectedPositions(t(s, dir, "documents"), "text", "doc_id")
+        val sel = selP.select($"doc_id", $"h").distinct()
+        val ok = sel.groupBy($"h").agg(count(lit(1)).as("df"))
+          .filter($"df" <= 20).select($"h")
+        val pairs = W.overlapPairs(sel, "doc_id", minShared = 3L, maxDf = Some(20L))
+          .select($"doc_a", $"doc_b")
+        pairs
+          .join(selP.join(ok, "h")
+            .select($"doc_id".as("doc_a"), $"pos".as("pa"), $"h"), Seq("doc_a"))
+          .join(selP
+            .select($"doc_id".as("doc_b"), $"pos".as("pb"), $"h"), Seq("doc_b", "h"))
+          .select($"doc_a", $"doc_b", $"h",
+            ($"pa" + 1).cast("long").as("pos_a"),
+            ($"pb" + 1).cast("long").as("pos_b"))
+          .orderBy($"doc_a", $"doc_b", $"h", $"pos_a", $"pos_b")
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+             |              FROM documents),
+             |pos AS (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 4)) AS pos
+             |        FROM toks),
+             |grams AS (SELECT doc_id, pos,
+             |                 ('0x' || substr(md5(array_to_string(tk[pos:pos+4], ' ')), 1, 8))::BIGINT AS h
+             |          FROM pos),
+             |selp AS (SELECT doc_id, pos, h
+             |         FROM (SELECT doc_id, pos, h,
+             |                      min(h) OVER (PARTITION BY doc_id ORDER BY pos
+             |                                   ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS wmin
+             |               FROM grams)
+             |         WHERE h = wmin),
+             |sel AS (SELECT DISTINCT doc_id, h FROM selp),
+             |ok AS (SELECT h FROM sel GROUP BY h HAVING count(*) <= 20),
+             |guarded AS (SELECT s.doc_id, s.h FROM sel s JOIN ok USING (h)),
+             |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+             |          FROM guarded a JOIN guarded b ON a.h = b.h AND a.doc_id < b.doc_id
+             |          GROUP BY 1, 2 HAVING count(*) >= 3)
+             |SELECT p.doc_a, p.doc_b, pa.h,
+             |       pa.pos::BIGINT AS pos_a, pb.pos::BIGINT AS pos_b
+             |FROM pairs p
+             |JOIN selp pa ON pa.doc_id = p.doc_a
+             |JOIN ok ON ok.h = pa.h
+             |JOIN selp pb ON pb.doc_id = p.doc_b AND pb.h = pa.h
+             |ORDER BY 1, 2, 3, 4, 5""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Q159: gaps-and-islands — per user, maximal runs of the SAME
+    // event_type in (ts, event_id) order (state-change detection: how
+    // sticky is behavior, how often does it switch). The lag flag and
+    // the running sum share one (user)-partitioned window pass — a
+    // single user-keyed shuffle — and the island/stat aggregates are
+    // hash aggs. The classic spelling every warehouse interview asks
+    // for, done without a self-join.
+    Query(
+      "q159_gap_islands",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        t(s, dir, "events")
+          .select($"user_id", $"ts", $"event_id", $"event_type")
+          .withColumn("chg",
+            when(lag($"event_type", 1).over(w).isNull ||
+                 lag($"event_type", 1).over(w) =!= $"event_type", 1L).otherwise(0L))
+          .withColumn("island",
+            sum($"chg").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy($"user_id", $"island", $"event_type")
+          .agg(count(lit(1)).as("run_len"))
+          .groupBy($"user_id")
+          .agg(count(lit(1)).as("n_islands"),
+               max($"run_len").as("longest_run"),
+               round(avg($"run_len"), 4).as("avg_run_r"))
+          .orderBy($"user_id")
+      },
+      Some("""WITH e AS (SELECT user_id, ts, event_id, event_type,
+             |                  CASE WHEN lag(event_type) OVER w IS NULL
+             |                         OR lag(event_type) OVER w <> event_type
+             |                       THEN 1 ELSE 0 END AS chg
+             |           FROM events
+             |           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |i AS (SELECT user_id, event_type,
+             |             sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+             |      FROM e),
+             |r AS (SELECT user_id, island, event_type, count(*) AS run_len
+             |      FROM i GROUP BY 1, 2, 3)
+             |SELECT user_id, count(*) AS n_islands, max(run_len) AS longest_run,
+             |       round(avg(run_len), 4) AS avg_run_r
+             |FROM r GROUP BY 1 ORDER BY user_id""".stripMargin))
   )
 
   val byName: Map[String, Query] = all.map(q => q.name -> q).toMap
