@@ -37,6 +37,14 @@ object ScaleSmoke {
       println(f"SCALE $tag rows=$n ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
 
+    // Single-shot timer for stateful merges: a second identical run
+    // would hit the replay fence (SnapshotDiffView) or re-append
+    // (WinnowIngest), so warm-run-then-measure does not apply.
+    def timeOnce(tag: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime(); val n = f
+      println(f"SCALE $tag rows=$n ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+
     time(s"agg_${factor}x") {
       li.groupBy($"l_returnflag", $"l_linestatus")
         .agg(sum($"l_quantity"), sum($"l_extendedprice" * (lit(1.0) - $"l_discount")))
@@ -238,23 +246,10 @@ object ScaleSmoke {
     // hot-key guard holding the pair join bounded under the WORST
     // case (every doc duplicated `factor` times)
     time(s"winnow_${factor}x") {
-      import org.apache.spark.sql.expressions.Window
-      val grams = docs
-        .select($"doc_id",
-          posexplode(graft.functions.TextFunctions.shingles($"text", 5)))
-        .toDF("doc_id", "pos", "gram")
-        .withColumn("h", conv(substring(md5($"gram"), 1, 8), 16, 10).cast("long"))
-      val wm = Window.partitionBy($"doc_id").orderBy($"pos")
-        .rowsBetween(-3, Window.currentRow)
-      val sel = grams.withColumn("wmin", min($"h").over(wm))
-        .filter($"h" === $"wmin").select($"doc_id", $"h").distinct()
-      val guarded = sel.join(
-        sel.groupBy($"h").agg(count(lit(1)).as("df")).filter($"df" <= 20)
-          .select($"h"), "h")
-      guarded.select($"doc_id".as("a"), $"h")
-        .join(guarded.select($"doc_id".as("b"), $"h"), "h")
-        .filter($"a" < $"b")
-        .groupBy($"a", $"b").agg(count(lit(1)).as("n")).filter($"n" >= 3)
+      val sel = graft.operators.Winnow
+        .selectFingerprints(docs, "text", "doc_id")
+      graft.operators.Winnow
+        .overlapPairs(sel, "doc_id", minShared = 3L, maxDf = Some(20L))
         .count()
     }
     // label-prop shape — q147's one round with the SAME 10 k suppliers
@@ -277,6 +272,60 @@ object ScaleSmoke {
       import graft.functions.{VectorFunctions => VF}
       graft.operators.Pca.fit(
         emb.select(VF.asDouble($"embedding").as("v")), $"v", dim = 64, k = 4).n
+    }
+    // MaxSim shape — q155's late-interaction rescorer on the factor-x
+    // corpus: the 8 query sub-vectors broadcast, the 64-dot
+    // interaction matrix is map-side, both aggs partial-combine —
+    // cost is one linear corpus pass however many vectors
+    time(s"maxsim_${factor}x") {
+      import graft.functions.{VectorFunctions => VF}
+      val e = emb.select($"vec_id", VF.asDouble($"embedding").as("e"))
+      def subs = array((0 until 8).map(i => slice($"e", i * 8 + 1, 8)): _*)
+      val docSubs = e.filter($"vec_id" =!= 1)
+        .select($"vec_id", posexplode(subs)).toDF("vec_id", "dj", "dsub")
+      val qSubs = e.filter($"vec_id" === 1)
+        .select(posexplode(subs)).toDF("qi", "qsub")
+      docSubs.crossJoin(broadcast(qSubs))
+        .select($"vec_id", $"qi", graft.functions.VectorFunctions.dot($"dsub", $"qsub").as("d"))
+        .groupBy($"vec_id", $"qi").agg(max($"d").as("m"))
+        .groupBy($"vec_id").agg(sum($"m").as("s"))
+        .orderBy($"s".desc).limit(10).count()
+    }
+    // Incremental streaming merges against a factor-x state. The
+    // snapshot-diff merge's COMPUTE is touched-slice-sized, but this
+    // plain-parquet spelling still rewrites O(state) at the end —
+    // exactly IncrementalMergeBench's plain-vs-bucketed trade; the
+    // bucketed layout is the 100 TB path. The winnow ingest probe IS
+    // batch-proportional: history never self-joins.
+    val smokeRoot: String =
+      java.nio.file.Files.createTempDirectory("scalesmoke").toString
+    locally {
+      val st = s"$smokeRoot/sd_state"
+      val df0 = s"$smokeRoot/sd_diff"
+      val evAll = replicate(graft.sources.Tables.events(spark, dir), Seq("event_id", "user_id"))
+      graft.streaming.SnapshotDiffView.mergeBatch(evAll, st, df0, 0L)
+      val delta = graft.sources.Tables.events(spark, dir)
+        .limit(1000).withColumn("user_id", $"user_id" + 50000000L)
+      timeOnce(s"snapshot_diff_delta_vs_${factor}x_state") {
+        graft.streaming.SnapshotDiffView.mergeBatch(delta, st, df0, 1L)
+        spark.read.parquet(s"$df0/batch_seq=1").count()
+      }
+    }
+    locally {
+      val idx = s"$smokeRoot/wi_index"
+      val prs = s"$smokeRoot/wi_pairs"
+      // history = the factor-x corpus's fingerprints (written once);
+      // the timed merge ingests a 500-doc batch against it
+      graft.operators.Winnow.selectedPositions(docs, "text", "doc_id")
+        .select($"doc_id", $"h").distinct()
+        .write.mode("overwrite").parquet(idx)
+      val batch = graft.sources.Tables.documents(spark, dir)
+        .limit(500).withColumn("doc_id", $"doc_id" + 900000000L)
+      timeOnce(s"winnow_ingest_500_vs_${factor}x_index") {
+        graft.streaming.WinnowIngest.mergeBatch(
+          batch, "text", "doc_id", idx, prs, minShared = 3L, maxDf = 20L * factor)
+        spark.read.parquet(prs).count()
+      }
     }
     spark.stop()
   }
