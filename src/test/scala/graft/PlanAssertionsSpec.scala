@@ -249,6 +249,53 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(!p.contains("Join") && !p.contains("Window "), p.take(3000))
   }
 
+  test("q154: decay scoring is one fact shuffle — reference agg broadcasts, top-k rewrite kept") {
+    val p = plan("q154_decay_score")
+    // the 1-row reference instant joins via BroadcastNestedLoopJoin
+    // (legitimate: one row), the per-user agg is the only fact shuffle
+    assert(countOf(p, "Exchange hashpartitioning") == 1,
+      s"decay scoring must shuffle once on user_id:\n${p.take(3000)}")
+    assert(p.contains("TakeOrderedAndProject"), "top-50 lost its TakeOrdered rewrite")
+    assert(!p.contains("Window "), "no window belongs in this plan")
+  }
+
+  test("q155: MaxSim is two cascaded aggs over a broadcast interaction — no SMJ") {
+    val p = plan("q155_maxsim")
+    assert(countOf(p, "Exchange hashpartitioning") == 2,
+      s"expected (vec,qi) then (vec) agg exchanges only:\n${p.take(3000)}")
+    assert(!p.contains("SortMergeJoin"),
+      s"query sub-vectors must broadcast:\n${p.take(3000)}")
+    assert(p.contains("TakeOrderedAndProject"), "top-10 lost its TakeOrdered rewrite")
+  }
+
+  test("q156: Mahalanobis stats broadcast back onto the exploded frame") {
+    val p = plan("q156_mahalanobis_outliers")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the |labels|x64 moments table must broadcast:\n${p.take(3000)}")
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+    assert(countOf(p, "Exchange hashpartitioning") == 2,
+      s"moments agg + per-vector agg are the only exchanges:\n${p.take(3000)}")
+  }
+
+  test("q157: CDF normalization partitions by source — one exchange serves window AND aggs") {
+    val p = plan("q157_cdf_normalize")
+    assert(countOf(p, "Window ") == 1, p.take(3000))
+    // hashpartitioning(source) satisfies the (source, decile) agg's
+    // clustered distribution, so the whole plan runs on ONE exchange
+    assert(countOf(p, "Exchange hashpartitioning") == 1,
+      s"decile agg must reuse the source partitioning:\n${p.take(3000)}")
+  }
+
+  test("q159: gap islands — lag, running sum and BOTH aggs share one user shuffle") {
+    val p = plan("q159_gap_islands")
+    // chg feeds island (dependent window exprs -> two Window nodes),
+    // but partition/order are identical and hashpartitioning(user_id)
+    // satisfies both downstream aggs' distributions: one exchange total
+    assert(countOf(p, "Window ") == 2, p.take(3000))
+    assert(countOf(p, "Exchange hashpartitioning") == 1,
+      s"islands must not re-shuffle after the window pass:\n${p.take(3000)}")
+  }
+
   test("sweep: no headline query plans a non-broadcast cartesian product") {
     // CartesianProductExec is the plan shape that cannot survive a
     // 100 TB input on either side: both sides fully materialize and
