@@ -5843,7 +5843,137 @@ object Catalog {
              |      FROM i GROUP BY 1, 2, 3)
              |SELECT user_id, count(*) AS n_islands, max(run_len) AS longest_run,
              |       round(avg(run_len), 4) AS avg_run_r
-             |FROM r GROUP BY 1 ORDER BY user_id""".stripMargin))
+             |FROM r GROUP BY 1 ORDER BY user_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Q160: weighted median — the price at which half the QUANTITY
+    // (not half the rows) sits below, per return flag: the
+    // importance-weighted center every mixture-reweighting decision
+    // needs (plain median treats a 1-unit and a 50-unit line the
+    // same). Built-ins have no weighted quantile, so both engines run
+    // the same cumulative spelling: one (flag)-partitioned window in
+    // (price, tie) total order accumulates weight, the first row at
+    // cumw ≥ totw/2 is the answer — one partition shuffle, no
+    // per-group sort beyond the window's.
+    Query(
+      "q160_weighted_median",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"l_returnflag")
+          .orderBy($"l_extendedprice", $"l_orderkey", $"l_linenumber")
+        t(s, dir, "lineitem")
+          .select($"l_returnflag", $"l_extendedprice", $"l_quantity",
+            $"l_orderkey", $"l_linenumber")
+          .withColumn("cumw",
+            sum($"l_quantity").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("totw", sum($"l_quantity").over(Window.partitionBy($"l_returnflag")))
+          .filter($"cumw" >= $"totw" / 2)
+          .groupBy($"l_returnflag")
+          .agg(round(min($"l_extendedprice"), 2).as("w_median"))
+          .orderBy($"l_returnflag")
+      },
+      Some("""WITH c AS (SELECT l_returnflag, l_extendedprice, l_quantity,
+             |                  sum(l_quantity) OVER (PARTITION BY l_returnflag
+             |                        ORDER BY l_extendedprice, l_orderkey, l_linenumber
+             |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw,
+             |                  sum(l_quantity) OVER (PARTITION BY l_returnflag) AS totw
+             |           FROM lineitem)
+             |SELECT l_returnflag, round(min(l_extendedprice), 2) AS w_median
+             |FROM c WHERE cumw >= totw / 2
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Q161: dedup savings report — what exact dedup would actually
+    // buy, per source: duplicate docs (same content fingerprint,
+    // min-doc_id survivor) and the bytes they hold. The
+    // capacity-planning readout in front of q12's dedup itself. Plan:
+    // one fingerprint-partitioned row_number (the q12 survivor rule),
+    // then a map-side-combinable per-source agg; the 32-byte digest is
+    // the only wide shuffle key.
+    Query(
+      "q161_dedup_savings",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy(TF.fingerprint($"text")).orderBy($"doc_id")
+        t(s, dir, "documents")
+          .withColumn("rn", row_number().over(w))
+          .groupBy($"source")
+          .agg(count(lit(1)).as("n_docs"),
+               sum(when($"rn" > 1, 1L).otherwise(0L)).as("n_dup_docs"),
+               sum(when($"rn" > 1, $"n_chars").otherwise(0L)).as("bytes_saved"),
+               round(sum(when($"rn" > 1, $"n_chars").otherwise(0L)).cast("double") /
+                     sum($"n_chars"), 4).as("save_ratio_r"))
+          .orderBy($"source")
+      },
+      Some("""WITH r AS (SELECT source, n_chars,
+             |                  row_number() OVER (
+             |                    PARTITION BY md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))
+             |                    ORDER BY doc_id) AS rn
+             |           FROM documents)
+             |SELECT source, count(*) AS n_docs,
+             |       sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup_docs,
+             |       sum(CASE WHEN rn > 1 THEN n_chars ELSE 0 END)::BIGINT AS bytes_saved,
+             |       round(sum(CASE WHEN rn > 1 THEN n_chars ELSE 0 END)::DOUBLE /
+             |             sum(n_chars), 4) AS save_ratio_r
+             |FROM r GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Q162: rolling regression slope — per user, the trailing-30-day
+    // OLS slope of value over time at each event: the drift detector
+    // that distinguishes "high but stable" from "rising". All five
+    // sufficient statistics (n, Σx, Σy, Σxy, Σx²) come out of ONE
+    // (user)-partitioned RANGE window over event-time seconds — the
+    // closed-form slope needs no second pass and no join; a range
+    // frame over a time column is exactly what Spark's rangeBetween
+    // compiles to a running frame scan.
+    Query(
+      "q162_rolling_slope",
+      (s, dir) => {
+        import s.implicits._
+        // x = days since 2024-01-01: CENTERED so n·Σx² − (Σx)² does not
+        // cancel ~10 significant digits (raw epoch-days are ~19 700 —
+        // centering keeps both engines' rounded slopes identical).
+        val x = (unix_millis($"ts") - lit(1704067200000L)).cast("double") / 86400000.0
+        // micro-precision frame so boundary membership matches the
+        // oracle's INTERVAL arithmetic exactly
+        val horizon = 30L * 86400L * 1000000L
+        val w = Window.partitionBy($"user_id")
+          .orderBy(unix_micros($"ts"))
+          .rangeBetween(-horizon, 0L)
+        t(s, dir, "events")
+          .select($"user_id", $"ts", $"event_id", $"value", x.as("x"))
+          // one select so all five stats land in ONE Window node (a
+          // withColumn chain leaves 5 Window passes — the interleaved
+          // Projects block CollapseWindow); plan-asserted below
+          .select($"user_id", $"event_id",
+            count(lit(1)).over(w).as("n"),
+            sum($"x").over(w).as("sx"),
+            sum($"value").over(w).as("sy"),
+            sum($"x" * $"value").over(w).as("sxy"),
+            sum($"x" * $"x").over(w).as("sxx"))
+          .filter($"n" >= 2 && ($"n" * $"sxx" - $"sx" * $"sx") > 1e-12)
+          .select($"user_id", $"event_id",
+            round(($"n" * $"sxy" - $"sx" * $"sy") /
+                  ($"n" * $"sxx" - $"sx" * $"sx"), 4).as("slope_r"))
+          .orderBy($"user_id", $"event_id")
+      },
+      Some("""WITH b AS (SELECT user_id, event_id, ts, value,
+             |                  (epoch_ms(ts) - 1704067200000) / 86400000.0 AS x
+             |           FROM events),
+             |s AS (SELECT user_id, event_id,
+             |             count(*) OVER w AS n,
+             |             sum(x) OVER w AS sx,
+             |             sum(value) OVER w AS sy,
+             |             sum(x * value) OVER w AS sxy,
+             |             sum(x * x) OVER w AS sxx
+             |      FROM b
+             |      WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             |                   RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW))
+             |SELECT user_id, event_id,
+             |       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) AS slope_r
+             |FROM s
+             |WHERE n >= 2 AND (n * sxx - sx * sx) > 1e-12
+             |ORDER BY user_id, event_id""".stripMargin))
   )
 
   val byName: Map[String, Query] = all.map(q => q.name -> q).toMap

@@ -296,6 +296,34 @@ class PlanAssertionsSpec extends SparkSpec {
       s"islands must not re-shuffle after the window pass:\n${p.take(3000)}")
   }
 
+  test("q160: weighted median runs on one flag-keyed exchange") {
+    val p = plan("q160_weighted_median")
+    // cumw (ordered rows frame) + totw (whole partition) are two
+    // Window nodes over the SAME partitioning: one exchange feeds both
+    assert(countOf(p, "Exchange hashpartitioning") == 1,
+      s"weighted median must shuffle once on l_returnflag:\n${p.take(3000)}")
+    assert(!p.contains("Join"), "no join belongs in this plan")
+  }
+
+  test("q161: dedup savings is survivor-window + one source agg, no join") {
+    val p = plan("q161_dedup_savings")
+    assert(countOf(p, "Window ") == 1, p.take(3000))
+    assert(countOf(p, "Exchange hashpartitioning") == 2,
+      s"fingerprint window + source agg are the only exchanges:\n${p.take(3000)}")
+    assert(!p.contains("Join"), "no join belongs in this plan")
+  }
+
+  test("q162: all five regression stats share ONE Window pass") {
+    val p = plan("q162_rolling_slope")
+    // a withColumn chain left 5 Window nodes here (interleaved
+    // Projects block CollapseWindow); the single-select spelling is
+    // one node, one exchange — this pin keeps it that way
+    assert(countOf(p, "Window ") == 1,
+      s"n/sx/sy/sxy/sxx must share one Window node:\n${p.take(3000)}")
+    assert(countOf(p, "Exchange hashpartitioning") == 1,
+      s"rolling slope must shuffle once on user_id:\n${p.take(3000)}")
+  }
+
   test("sweep: no headline query plans a non-broadcast cartesian product") {
     // CartesianProductExec is the plan shape that cannot survive a
     // 100 TB input on either side: both sides fully materialize and
