@@ -291,6 +291,15 @@ object ScaleSmoke {
         .groupBy($"vec_id").agg(sum($"m").as("s"))
         .orderBy($"s".desc).limit(10).count()
     }
+    // BPE training shape — operators.BpeTrain: the corpus-scale work
+    // is ONE token-count pass; replication multiplies corpus rows but
+    // the VOCABULARY (distinct words) is unchanged, so the 3 training
+    // rounds run over an identical symbol table and the probe should
+    // scale only with the initial count — the fastBPE claim
+    time(s"bpe_train_${factor}x") {
+      val (merges, vocab) = graft.operators.BpeTrain.train(docs, "text", k = 3)
+      merges.size.toLong + vocab.count()
+    }
     // Incremental streaming merges against a factor-x state. The
     // snapshot-diff merge's COMPUTE is touched-slice-sized, but this
     // plain-parquet spelling still rewrites O(state) at the end —

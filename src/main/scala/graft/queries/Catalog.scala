@@ -5973,7 +5973,55 @@ object Catalog {
              |       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) AS slope_r
              |FROM s
              |WHERE n >= 2 AND (n * sxx - sx * sx) > 1e-12
-             |ORDER BY user_id, event_id""".stripMargin))
+             |ORDER BY user_id, event_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Q163: int8 quantization error audit — the observability
+    // companion of q102's quantized ANN: per label, what the
+    // per-vector-scale int8 round-trip actually costs (mean/max
+    // absolute reconstruction error, mean scale). The go/no-go
+    // report before switching a 100 TB vector store to a 4x-denser
+    // representation. Plan: scale is a per-row array_max (map-side),
+    // the dim explode carries (vec, scale) alongside each component,
+    // and the two cascaded aggs ((vec), then (label)) both partial-
+    // combine — same moments discipline as q156, nothing quadratic.
+    Query(
+      "q163_quant_error",
+      (s, dir) => {
+        import s.implicits._
+        val e = t(s, dir, "embeddings")
+          .select($"vec_id", $"label", VF.asDouble($"embedding").as("v"))
+          .withColumn("scale", array_max(transform($"v", x => abs(x))) / 127.0)
+          .filter($"scale" > 0)
+        e.select($"vec_id", $"label", $"scale", posexplode($"v"))
+          .toDF("vec_id", "label", "scale", "dim", "x")
+          .withColumn("err", abs($"x" - round($"x" / $"scale") * $"scale"))
+          .groupBy($"vec_id", $"label")
+          .agg(first($"scale").as("scale"), avg($"err").as("mae"), max($"err").as("maxe"))
+          .groupBy($"label")
+          .agg(count(lit(1)).as("n_vecs"),
+               round(avg($"scale"), 6).as("avg_scale_r"),
+               round(avg($"mae"), 6).as("mean_abs_err_r"),
+               round(max($"maxe"), 6).as("max_abs_err_r"))
+          .orderBy($"label")
+      },
+      Some("""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+             |s AS (SELECT vec_id, label, v,
+             |             list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+             |      FROM e),
+             |x AS (SELECT vec_id, label, scale, unnest(v) AS x
+             |      FROM s WHERE scale > 0),
+             |p AS (SELECT vec_id, label, scale,
+             |             abs(x - round(x / scale) * scale) AS err
+             |      FROM x),
+             |v2 AS (SELECT vec_id, label, any_value(scale) AS scale,
+             |              avg(err) AS mae, max(err) AS maxe
+             |       FROM p GROUP BY 1, 2)
+             |SELECT label, count(*) AS n_vecs,
+             |       round(avg(scale), 6) AS avg_scale_r,
+             |       round(avg(mae), 6) AS mean_abs_err_r,
+             |       round(max(maxe), 6) AS max_abs_err_r
+             |FROM v2 GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 
   val byName: Map[String, Query] = all.map(q => q.name -> q).toMap
