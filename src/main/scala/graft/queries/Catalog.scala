@@ -6021,7 +6021,65 @@ object Catalog {
              |       round(avg(scale), 6) AS avg_scale_r,
              |       round(avg(mae), 6) AS mean_abs_err_r,
              |       round(max(maxe), 6) AS max_abs_err_r
-             |FROM v2 GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM v2 GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Q164: perceptual-hash near-dup over MEDIA PAYLOADS — the
+    // multimodal dedup path end-to-end: documents wrapped as opaque
+    // binary payloads (multimodal.Multimodal.fromDocuments, the test
+    // stand-in for image blobs), a 64-bit average-hash per payload
+    // (avgHash64 — the honest stand-in for a DCT pHash with the same
+    // dedup contract), then exactly q17's machinery: 16-bit block
+    // bucketing for candidates (pigeonhole: Hamming ≤ 3 guarantees an
+    // untouched block; the ≤ 6 verify keeps the grayer near-dups the
+    // buckets happen to surface) and a bit_count verify. The oracle
+    // runs the IDENTICAL candidate rule + verify, so candidate
+    // generation, hash, and threshold are all checked, not assumed.
+    // Hash parity is bit-for-bit: the ASCII corpus makes UTF-8 byte k
+    // equal char k+1, and bit 63 is spelled −2⁶³ so the signed
+    // two's-complement value matches Scala's Long exactly.
+    Query(
+      "q164_phash_neardup",
+      (s, dir) => {
+        import s.implicits._
+        val media = graft.multimodal.Multimodal.fromDocuments(
+          t(s, dir, "documents").select($"doc_id", $"text"))
+        val hashed = graft.multimodal.Multimodal.avgHash64(media)
+        val blocks = hashed.select($"doc_id", $"phash",
+          explode(array((0 until 4).map(b => struct(lit(b).as("blk"),
+            shiftright($"phash", b * 16).bitwiseAND(lit(65535L)).as("key"))): _*)).as("bk"))
+          .select($"doc_id", $"phash", $"bk.blk", $"bk.key")
+        val left = blocks.select($"blk", $"key", $"doc_id".as("doc_a"), $"phash".as("pa"))
+        val right = blocks.select($"blk".as("blk2"), $"key".as("key2"),
+          $"doc_id".as("doc_b"), $"phash".as("pb"))
+        left.join(right,
+            $"blk" === $"blk2" && $"key" === $"key2" && $"doc_a" < $"doc_b")
+          .select($"doc_a", $"doc_b", $"pa", $"pb").distinct()
+          .withColumn("ham", expr("CAST(bit_count(pa ^ pb) AS BIGINT)"))
+          .filter($"ham" <= 6)
+          .select($"doc_a", $"doc_b", $"ham")
+          .orderBy($"doc_a", $"doc_b")
+      },
+      Some("""WITH s AS (SELECT doc_id, i,
+             |                  ord(substr(text, (i * length(text)) // 64 + 1, 1)) AS smp
+             |           FROM documents, generate_series(0, 63) g(i)),
+             |m AS (SELECT doc_id, sum(smp) / 64.0 AS mean FROM s GROUP BY 1),
+             |h AS (SELECT s.doc_id,
+             |             sum(CASE WHEN smp > mean THEN
+             |                   CASE WHEN i = 63 THEN -9223372036854775807 - 1
+             |                        ELSE 1::BIGINT << i END
+             |                 ELSE 0 END)::BIGINT AS phash
+             |      FROM s JOIN m USING (doc_id) GROUP BY 1),
+             |b AS (SELECT doc_id, phash, g.i AS blk,
+             |             (phash >> (g.i * 16)) & 65535 AS key
+             |      FROM h, generate_series(0, 3) g(i)),
+             |p AS (SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b,
+             |                      a.phash AS pa, c.phash AS pb
+             |      FROM b a JOIN b c ON a.blk = c.blk AND a.key = c.key
+             |                        AND a.doc_id < c.doc_id)
+             |SELECT doc_a, doc_b, bit_count(xor(pa, pb))::BIGINT AS ham
+             |FROM p WHERE bit_count(xor(pa, pb)) <= 6
+             |ORDER BY doc_a, doc_b""".stripMargin))
   )
 
   val byName: Map[String, Query] = all.map(q => q.name -> q).toMap

@@ -101,6 +101,29 @@ class MultimodalSpec extends SparkSpec {
     assert(near((1L, 4L)) > 8, s"distinct content too close: ${near((1L, 4L))}")
   }
 
+  test("avgHash64 is bit-exact against an independent reference on the corpus") {
+    import spark.implicits._
+    // q164's oracle recomputes this hash in SQL (byte sampling, mean
+    // threshold, bit 63 as -2^63); this pins the Scala side to an
+    // independently-spelled reference for EVERY sf0.001 document, so
+    // a bit-layout drift cannot hide behind a sparse pair set.
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select($"doc_id", $"text")
+    val got = Multimodal.avgHash64(Multimodal.fromDocuments(docs))
+      .as[(Long, Long)].collect().toMap
+    val want = docs.as[(Long, String)].collect().map { case (id, text) =>
+      val b = text.getBytes("UTF-8")
+      val n = b.length
+      val smp = Array.tabulate(64)(i => if (n == 0) 0 else b(((i.toLong * n) / 64).toInt) & 0xFF)
+      val mean = smp.sum.toDouble / 64
+      var h = 0L
+      var i = 0
+      while (i < 64) { if (smp(i) > mean) h |= (1L << i); i += 1 }
+      id -> h
+    }.toMap
+    assert(got == want)
+  }
+
   test("binaryFile source ingests blobs with glob pruning and a size guard") {
     import java.nio.file.{Files, Paths}
     val dir = Files.createTempDirectory("blobs").toString
