@@ -39,7 +39,10 @@ object SnapshotDiffView {
     * overwrite per batch id, so an at-least-once replay of a batch
     * rewrites its own diff slice instead of double-appending. */
   def mergeBatch(batch: DataFrame, stateDir: String, diffDir: String,
-                 batchId: Long = 0L): Unit = synchronized {
+                 batchId: Long): Unit = synchronized {
+    // batchId is deliberately non-defaultable: with a default of 0,
+    // two bare calls would silently no-op the second one at the
+    // replay fence (0 <= 0). Ids must strictly increase per state dir.
     val spark = batch.sparkSession
     val statePath = Paths.get(stateDir)
 
