@@ -31,18 +31,17 @@ object ScaleSmoke {
     val ord = replicate(graft.sources.Tables.orders(spark, dir), Seq("o_orderkey", "o_custkey")).cache()
     println(s"SCALE inputs lineitem=${li.count()} orders=${ord.count()}")
 
-    def time(tag: String)(f: => Long): Unit = {
-      f // warm (janino)
+    // Single-shot timer — used directly for stateful merges, where a
+    // second identical run would hit the replay fence
+    // (SnapshotDiffView) or re-append (WinnowIngest).
+    def timeOnce(tag: String)(f: => Long): Unit = {
       val t0 = System.nanoTime(); val n = f
       println(f"SCALE $tag rows=$n ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
 
-    // Single-shot timer for stateful merges: a second identical run
-    // would hit the replay fence (SnapshotDiffView) or re-append
-    // (WinnowIngest), so warm-run-then-measure does not apply.
-    def timeOnce(tag: String)(f: => Long): Unit = {
-      val t0 = System.nanoTime(); val n = f
-      println(f"SCALE $tag rows=$n ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    def time(tag: String)(f: => Long): Unit = {
+      f // warm (janino)
+      timeOnce(tag)(f)
     }
 
     time(s"agg_${factor}x") {
@@ -325,8 +324,7 @@ object ScaleSmoke {
       val prs = s"$smokeRoot/wi_pairs"
       // history = the factor-x corpus's fingerprints (written once);
       // the timed merge ingests a 500-doc batch against it
-      graft.operators.Winnow.selectedPositions(docs, "text", "doc_id")
-        .select($"doc_id", $"h").distinct()
+      graft.operators.Winnow.selectFingerprints(docs, "text", "doc_id")
         .write.mode("overwrite").parquet(idx)
       val batch = graft.sources.Tables.documents(spark, dir)
         .limit(500).withColumn("doc_id", $"doc_id" + 900000000L)

@@ -5619,7 +5619,7 @@ object Catalog {
       Some("""WITH ref AS (SELECT max(ts) AS t_ref FROM events)
              |SELECT user_id,
              |       round(sum(value * exp(-ln(2) / 7 *
-             |             (epoch_ms(t_ref) - epoch_ms(ts)) / 86400000.0)), 4) AS decay_score,
+             |             ((epoch_ms(t_ref) - epoch_ms(ts)) / 86400000.0))), 4) AS decay_score,
              |       count(*) AS n_events
              |FROM events CROSS JOIN ref
              |GROUP BY user_id

@@ -66,7 +66,7 @@ object AggView {
     val agg = batchDeltas.groupBy(col("username"))
       .agg(sum(col("dc")).as("n"), sum(col("dv")).as("total_chars"))
     val merged =
-      if (Files.exists(statePath))
+      if (CdcStream.statePresent(statePath))
         spark.read.parquet(stateDir).unionByName(agg)
           .groupBy(col("username"))
           .agg(sum(col("n")).as("n"), sum(col("total_chars")).as("total_chars"))
@@ -100,7 +100,7 @@ object AggView {
     * compensation groups (n < 0, delete seen before its insert) are
     * state, not results. */
   def readView(spark: SparkSession, stateDir: String): DataFrame =
-    if (Files.exists(Paths.get(stateDir)))
+    if (CdcStream.statePresent(Paths.get(stateDir)))
       spark.read.parquet(stateDir).filter(col("n") > 0)
     else spark.emptyDataFrame
 }

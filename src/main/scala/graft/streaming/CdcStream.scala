@@ -322,7 +322,7 @@ object CdcStream {
     val statePath = Paths.get(stateDir)
     val changes = batch.filter(col("event_type") =!= Malformed)
     val unioned =
-      if (Files.exists(statePath))
+      if (statePresent(statePath))
         spark.read.parquet(stateDir).unionByName(changes)
       else changes
     // Latest change per id — tombstones retained in state.
@@ -356,7 +356,7 @@ object CdcStream {
       val affected = delta.select("b").distinct().collect().map(_.getInt(0)).sorted
       if (affected.nonEmpty) {
         val existingPaths = affected.map(b => s"$stateDir/b=$b")
-          .filter(p => Files.exists(Paths.get(p)))
+          .filter(p => statePresent(Paths.get(p)))
         val unioned =
           if (existingPaths.nonEmpty)
             spark.read.option("basePath", stateDir).parquet(existingPaths: _*)
@@ -404,7 +404,7 @@ object CdcStream {
     * that's an empty view, not an error. */
   def readView(spark: SparkSession, stateDir: String): DataFrame = {
     val state =
-      if (Files.exists(Paths.get(stateDir))) spark.read.parquet(stateDir)
+      if (statePresent(Paths.get(stateDir))) spark.read.parquet(stateDir)
       else spark.createDataFrame(
         new java.util.ArrayList[org.apache.spark.sql.Row](),
         StructType(StructField("event_type", StringType) +: rowSchema.fields.toSeq))
@@ -416,8 +416,36 @@ object CdcStream {
               col("message"), col("username"))
   }
 
-  /** Atomic-ish directory swap shared by the snapshot-state writers. */
+  /** Crash-safe directory swap shared by the snapshot-state writers.
+    *
+    * The naive delete-then-move loses the ENTIRE state if the process
+    * dies between the two calls (the reader then sees "no state" and
+    * a replayed merge rebuilds from empty — silent data loss). This
+    * spelling never has a moment with zero complete copies on disk:
+    * back the live dir up by ATOMIC rename, move the new dir in by
+    * ATOMIC rename, then drop the backup. A crash between the two
+    * renames leaves `dst.old` complete; [[statePresent]]/[[healDir]]
+    * restore it at the next read or swap. Readers must go through
+    * [[statePresent]] instead of a bare `Files.exists`.
+    */
   private[streaming] def swapDirs(src: Path, dst: Path): Unit = replace(src, dst)
+
+  /** Heal `p` from a crash between replace()'s two renames: if the
+    * live dir is missing but its `.old` backup exists, restore it. */
+  private[streaming] def healDir(p: Path): Unit = {
+    val old = backupOf(p)
+    if (!Files.exists(p) && Files.exists(old))
+      Files.move(old, p, StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** The state-read gate: heal first, then report existence. */
+  private[streaming] def statePresent(p: Path): Boolean = {
+    healDir(p)
+    Files.exists(p)
+  }
+
+  private def backupOf(p: Path): Path =
+    p.resolveSibling(p.getFileName.toString + ".old")
 
   private[streaming] def deleteRecursively(p: Path): Unit = if (Files.exists(p)) {
     if (Files.isDirectory(p))
@@ -426,7 +454,11 @@ object CdcStream {
   }
 
   private def replace(src: Path, dst: Path): Unit = {
-    deleteRecursively(dst)
+    val old = backupOf(dst)
+    healDir(dst)            // recover a prior crash before touching anything
+    deleteRecursively(old)  // stale backup from a completed earlier swap
+    if (Files.exists(dst)) Files.move(dst, old, StandardCopyOption.ATOMIC_MOVE)
     Files.move(src, dst, StandardCopyOption.ATOMIC_MOVE)
+    deleteRecursively(old)
   }
 }

@@ -50,7 +50,7 @@ object JoinView {
     Seq(col("lsn").desc_nulls_last, col("ts_ms").desc_nulls_last)
 
   private def stateOf(spark: SparkSession, dir: String, schema: DataFrame): DataFrame =
-    if (Files.exists(Paths.get(dir))) spark.read.parquet(dir)
+    if (CdcStream.statePresent(Paths.get(dir))) spark.read.parquet(dir)
     else schema.limit(0)
 
   private def live(state: DataFrame): DataFrame =

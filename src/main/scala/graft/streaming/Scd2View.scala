@@ -45,7 +45,7 @@ object Scd2View {
       .select(eventCols: _*)
 
     val (carryover, sliceEvents) =
-      if (Files.exists(statePath)) {
+      if (CdcStream.statePresent(statePath)) {
         val state = spark.read.parquet(stateDir)
         val touched = delta.select("id").distinct()
         (state.join(touched, Seq("id"), "left_anti"),
@@ -98,7 +98,7 @@ object Scd2View {
     * validity interval. Point-in-time reads filter
     * `valid_from <= t AND (valid_to IS NULL OR t < valid_to)`. */
   def readDim(spark: SparkSession, stateDir: String): DataFrame =
-    if (Files.exists(Paths.get(stateDir)))
+    if (CdcStream.statePresent(Paths.get(stateDir)))
       spark.read.parquet(stateDir)
         .filter(!col("is_delete"))
         .select("id", "message", "username", "valid_from", "valid_to",

@@ -51,11 +51,24 @@ object SnapshotDiffView {
     // must be skipped outright, not re-merged. The applied batch id
     // travels INSIDE the state dir (underscore files are invisible to
     // the parquet reader) so the swap below commits state + fence
-    // atomically; the diff slice is written BEFORE the swap, making
+    // together; the diff slice is written BEFORE the swap, making
     // every crash window replay-clean: before the swap, state is
     // unchanged and the recompute overwrites an identical slice;
-    // after it, the fence skips the whole merge.
-    if (Files.exists(statePath) && appliedBatch(statePath) >= batchId) return
+    // after it, the fence skips the whole merge. Spark replays at
+    // most the LAST uncommitted batch, so the only legitimate ids are
+    // `applied` (exact replay → skip) and anything above; an id BELOW
+    // `applied` means the streaming checkpoint was wiped while the
+    // state dir survived — silently skipping would drop every batch
+    // until ids catch up, so that desync is an error, not a no-op.
+    val applied =
+      if (CdcStream.statePresent(statePath)) appliedBatch(statePath) else -1L
+    if (applied == batchId) return
+    if (applied > batchId)
+      throw new IllegalStateException(
+        s"state at $stateDir has applied batch $applied but received batch " +
+        s"$batchId: the streaming checkpoint and the state dir are out of " +
+        "sync (checkpoint dir wiped while state was kept?); refusing to " +
+        "silently drop batches")
 
     // Per-key batch winner by the (ts, event_id) total order; value
     // rides in the struct but never decides (the pair is unique).
@@ -64,7 +77,7 @@ object SnapshotDiffView {
       .agg(max(struct(col("ts"), col("event_id"), col("value"))).as("d"))
 
     val old =
-      if (Files.exists(statePath)) spark.read.parquet(stateDir)
+      if (Files.exists(statePath)) spark.read.parquet(stateDir) // healed by the fence check above
       else emptyState(spark)
 
     val touchedOld = old.join(delta.select(col("user_id")), Seq("user_id"), "left_semi")
@@ -113,7 +126,7 @@ object SnapshotDiffView {
 
   /** The maintained latest-wins view. */
   def readView(spark: SparkSession, stateDir: String): DataFrame =
-    if (Files.exists(Paths.get(stateDir))) spark.read.parquet(stateDir)
+    if (CdcStream.statePresent(Paths.get(stateDir))) spark.read.parquet(stateDir)
     else emptyState(spark)
 
   /** One batch's diff slice (empty if the batch touched nothing). */

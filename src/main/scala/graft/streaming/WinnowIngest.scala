@@ -101,15 +101,19 @@ object WinnowIngest {
   }
 
   /** Wire the merge into a document stream (any streaming DataFrame
-    * with idCol + textCol). */
+    * with idCol + textCol); the winnowing/guard knobs forward to
+    * every batch so stream and batch-test configurations agree. */
   def run(docs: DataFrame, textCol: String, idCol: String,
           checkpointDir: String, indexDir: String, pairsDir: String,
-          trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+          trigger: Trigger = Trigger.AvailableNow(),
+          k: Int = 5, w: Int = 4, minShared: Long = 3L,
+          maxDf: Long = 20L): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        mergeBatch(batch, textCol, idCol, indexDir, pairsDir)
+        mergeBatch(batch, textCol, idCol, indexDir, pairsDir,
+          k, w, minShared, maxDf)
       }
       .start()
 }

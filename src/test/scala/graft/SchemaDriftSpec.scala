@@ -45,9 +45,17 @@ class SchemaDriftSpec extends SparkSpec {
   }
 
   // Encoding 2: parquet timestamp[us] UTC-adjusted -> Spark TIMESTAMP.
+  // (Save/restore the session conf — the shared test session must not
+  // leak a non-default output type into later suites.)
   private lazy val utcDir = fixtureDir("utc") { (ev, out) =>
-    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
-    ev.coalesce(1).write.mode("overwrite").parquet(out)
+    val key = "spark.sql.parquet.outputTimestampType"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "TIMESTAMP_MICROS")
+    try ev.coalesce(1).write.mode("overwrite").parquet(out)
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
   }
 
   // Encoding 3 (rounds 1-5): parquet TIMESTAMP(NANOS). Spark cannot

@@ -119,6 +119,41 @@ class SnapshotDiffViewSpec extends SparkSpec {
     assert(SnapshotDiffView.readDiff(spark, diffDir, 1L).collect().toSet == slice)
   }
 
+  test("a crash between the swap's renames heals: state restores from its backup") {
+    import java.nio.file.{Files => JFiles, Paths, StandardCopyOption}
+    val root = Files.createTempDirectory("snapdiff5").toString
+    val (stateDir, diffDir) = (s"$root/state", s"$root/diff")
+    import spark.implicits._
+
+    SnapshotDiffView.mergeBatch(ev(b1), stateDir, diffDir, 0L)
+    val view = SnapshotDiffView.readView(spark, stateDir)
+      .select($"user_id", $"value").as[(Long, Double)].collect().toMap
+    // simulate dying between swapDirs' two renames: live dir gone,
+    // backup present
+    JFiles.move(Paths.get(stateDir), Paths.get(stateDir + ".old"),
+      StandardCopyOption.ATOMIC_MOVE)
+    val healed = SnapshotDiffView.readView(spark, stateDir)
+      .select($"user_id", $"value").as[(Long, Double)].collect().toMap
+    assert(healed == view, "backup was not restored on read")
+    // and the next merge proceeds from the healed state, fence intact
+    SnapshotDiffView.mergeBatch(ev(b2), stateDir, diffDir, 1L)
+    assert(SnapshotDiffView.readView(spark, stateDir)
+      .select($"user_id", $"value").as[(Long, Double)].collect().toMap
+      == naiveView(b1 ++ b2))
+  }
+
+  test("a batch id below the applied fence is an error, not a silent skip") {
+    val root = Files.createTempDirectory("snapdiff6").toString
+    val (stateDir, diffDir) = (s"$root/state", s"$root/diff")
+    SnapshotDiffView.mergeBatch(ev(b1), stateDir, diffDir, 0L)
+    SnapshotDiffView.mergeBatch(ev(b2), stateDir, diffDir, 1L)
+    // checkpoint wiped while state survived -> ids restart at 0: the
+    // merge must refuse (silently skipping would drop real batches)
+    intercept[IllegalStateException] {
+      SnapshotDiffView.mergeBatch(ev(b3), stateDir, diffDir, 0L)
+    }
+  }
+
   test("streaming run over a file source produces the same final view") {
     val root = Files.createTempDirectory("snapdiff4").toString
     val (stateDir, diffDir) = (s"$root/state", s"$root/diff")
