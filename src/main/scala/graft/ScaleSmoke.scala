@@ -318,6 +318,16 @@ object ScaleSmoke {
         graft.streaming.SnapshotDiffView.mergeBatch(delta, st, df0, 1L)
         spark.read.parquet(s"$df0/batch_seq=1").count()
       }
+      // the bucketed layout: same delta, but only its touched buckets
+      // rewrite — this is the number that must stay flat in state size
+      val stB = s"$smokeRoot/sdb_state"
+      graft.streaming.SnapshotDiffView.mergeBatchBucketed(
+        evAll, stB, s"$smokeRoot/sdb_diff", 0L, nBuckets = 256)
+      timeOnce(s"snapshot_diff_bucketed_delta_vs_${factor}x_state") {
+        graft.streaming.SnapshotDiffView.mergeBatchBucketed(
+          delta, stB, s"$smokeRoot/sdb_diff", 1L, nBuckets = 256)
+        spark.read.parquet(s"$smokeRoot/sdb_diff/batch_seq=1").count()
+      }
     }
     locally {
       val idx = s"$smokeRoot/wi_index"

@@ -109,6 +109,105 @@ object SnapshotDiffView {
     graft.operators.Iterate.unpersistCheckpoint(merged)
   }
 
+  /** Bucketed merge — the 100 TB layout the plain [[mergeBatch]]'s
+    * O(state) carryover rewrite approximates: state lives as
+    * `stateDir/b=<n>` partitions keyed by hash(user_id) % nBuckets,
+    * and a micro-batch reads and rewrites ONLY its touched buckets
+    * (the [[CdcStream.mergeBatchBucketed]] discipline, with per-bucket
+    * crash-safe swaps).
+    *
+    * Replay protocol differs from the plain merge BY CONSTRUCTION
+    * rather than by fence: the bucket merge is idempotent (a re-merged
+    * delta loses to the state it already produced under the
+    * (ts, event_id) order — and an id-regressed delta simply loses to
+    * newer state), so only the DIFF needs protection: a slice that
+    * already committed (its `_SUCCESS` marker exists) is never
+    * rewritten, because a replay after a partial bucket swap would
+    * recompute it against half-updated state and degrade `changed`
+    * rows to `same`. Diff first, bucket swaps after — every crash
+    * window replays clean.
+    */
+  def mergeBatchBucketed(batch: DataFrame, stateDir: String, diffDir: String,
+                         batchId: Long, nBuckets: Int): Unit = synchronized {
+    require(nBuckets > 0)
+    val spark = batch.sparkSession
+    val delta = batch
+      .groupBy(col("user_id"))
+      .agg(max(struct(col("ts"), col("event_id"), col("value"))).as("d"))
+      .withColumn("b", pmod(xxhash64(col("user_id")), lit(nBuckets)).cast("int"))
+      .localCheckpoint() // affected-bucket list + two joins below
+    try {
+      val affected = delta.select("b").distinct().collect().map(_.getInt(0)).sorted
+      if (affected.isEmpty) {
+        if (!diffCommitted(diffDir, batchId))
+          emptyDiff(spark).write.mode("overwrite")
+            .parquet(s"$diffDir/batch_seq=$batchId")
+        return
+      }
+      val existing = affected.map(b => s"$stateDir/b=$b")
+        .filter(p => CdcStream.statePresent(Paths.get(p)))
+      val old =
+        if (existing.nonEmpty)
+          spark.read.option("basePath", stateDir).parquet(existing: _*)
+        else emptyState(spark).withColumn("b", lit(0).cast("int"))
+
+      val touchedOld = old.join(delta.select(col("user_id")), Seq("user_id"), "left_semi")
+        .select(col("user_id"), struct(col("ts"), col("event_id"), col("value")).as("o"))
+      val merged = delta.join(touchedOld, Seq("user_id"), "left")
+        .select(col("user_id"), col("b"), col("o"),
+          when(col("o").isNull || col("d") > col("o"), col("d")).otherwise(col("o")).as("n"))
+        .localCheckpoint() // diff emission + bucket rewrite
+
+      try {
+        if (!diffCommitted(diffDir, batchId))
+          merged.select(
+            col("user_id"),
+            round(col("o.value"), 4).as("v1_r"),
+            round(col("n.value"), 4).as("v2_r"),
+            when(col("o").isNull, lit("added"))
+              .when(col("o.value") === col("n.value"), lit("same"))
+              .otherwise(lit("changed")).as("status"),
+            round(col("n.value") - col("o.value"), 4).as("delta_r"))
+            .write.mode("overwrite").parquet(s"$diffDir/batch_seq=$batchId")
+
+        // Touched buckets rewrite: their untouched keys carry over,
+        // merged winners replace the touched keys. One writer and one
+        // file per bucket (repartition before partitionBy).
+        val rewritten = old
+          .join(delta.select(col("user_id")), Seq("user_id"), "left_anti")
+          .unionByName(merged.select(col("user_id"), col("n.ts").as("ts"),
+            col("n.event_id").as("event_id"), col("n.value").as("value"), col("b")))
+        val tmp = stateDir + ".tmpb"
+        rewritten.repartition(col("b"))
+          .write.mode("overwrite").partitionBy("b").parquet(tmp)
+        Files.createDirectories(Paths.get(stateDir))
+        affected.foreach { b =>
+          val src = Paths.get(s"$tmp/b=$b")
+          if (Files.exists(src)) CdcStream.swapDirs(src, Paths.get(s"$stateDir/b=$b"))
+        }
+        CdcStream.deleteRecursively(Paths.get(tmp))
+      } finally graft.operators.Iterate.unpersistCheckpoint(merged)
+    } finally graft.operators.Iterate.unpersistCheckpoint(delta)
+  }
+
+  private def diffCommitted(diffDir: String, batchId: Long): Boolean =
+    Files.exists(Paths.get(s"$diffDir/batch_seq=$batchId", "_SUCCESS"))
+
+  private def emptyDiff(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+      StructType(Seq(
+        StructField("user_id", LongType), StructField("v1_r", DoubleType),
+        StructField("v2_r", DoubleType), StructField("status", StringType),
+        StructField("delta_r", DoubleType))))
+  }
+
+  /** The bucketed view (partition column dropped). */
+  def readViewBucketed(spark: SparkSession, stateDir: String): DataFrame =
+    if (Files.exists(Paths.get(stateDir)))
+      spark.read.parquet(stateDir).drop("b")
+    else emptyState(spark)
+
   private val AppliedMarker = "_applied_batch"
 
   private def appliedBatch(statePath: java.nio.file.Path): Long = {

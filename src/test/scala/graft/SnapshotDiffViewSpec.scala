@@ -154,6 +154,63 @@ class SnapshotDiffViewSpec extends SparkSpec {
     }
   }
 
+  test("bucketed merge equals the plain merge: view and every diff slice") {
+    val root = Files.createTempDirectory("snapdiffb").toString
+    import spark.implicits._
+    Seq(b1, b2, b3).zipWithIndex.foreach { case (b, i) =>
+      SnapshotDiffView.mergeBatch(ev(b), s"$root/plain_state", s"$root/plain_diff", i.toLong)
+      SnapshotDiffView.mergeBatchBucketed(ev(b), s"$root/bkt_state", s"$root/bkt_diff",
+        i.toLong, nBuckets = 8)
+    }
+    val plainView = SnapshotDiffView.readView(spark, s"$root/plain_state")
+      .select($"user_id", $"value").as[(Long, Double)].collect().toSet
+    val bktView = SnapshotDiffView.readViewBucketed(spark, s"$root/bkt_state")
+      .select($"user_id", $"value").as[(Long, Double)].collect().toSet
+    assert(bktView == plainView)
+    (0 to 2).foreach { i =>
+      val p = SnapshotDiffView.readDiff(spark, s"$root/plain_diff", i.toLong).collect().toSet
+      val b = SnapshotDiffView.readDiff(spark, s"$root/bkt_diff", i.toLong).collect().toSet
+      assert(b == p, s"diff slice $i diverged")
+    }
+  }
+
+  test("bucketed merge rewrites only touched buckets and replays idempotently") {
+    import java.io.File
+    val root = Files.createTempDirectory("snapdiffb2").toString
+    val (st, df) = (s"$root/state", s"$root/diff")
+    import spark.implicits._
+
+    SnapshotDiffView.mergeBatchBucketed(ev(b1), st, df, 0L, nBuckets = 8)
+    def bucketFiles(): Map[String, Set[String]] =
+      new File(st).listFiles().filter(_.getName.startsWith("b="))
+        .map(d => d.getName -> d.listFiles().map(_.getName).toSet).toMap
+    val before = bucketFiles()
+
+    // a single-user batch touches exactly one bucket; parquet part
+    // file names are fresh UUIDs per write, so unchanged file names
+    // prove untouched buckets were never rewritten
+    val one = Seq((1L, "2024-01-15 10:00:00", 500L, 77.0))
+    SnapshotDiffView.mergeBatchBucketed(ev(one), st, df, 1L, nBuckets = 8)
+    val after = bucketFiles()
+    val changed = after.keySet.filter(k => before.get(k) != after.get(k))
+    assert(changed.size <= 1, s"more than one bucket rewritten: $changed")
+    assert(SnapshotDiffView.readViewBucketed(spark, st)
+      .select($"user_id", $"value").as[(Long, Double)].collect().toMap
+      == naiveView(b1 ++ one))
+
+    // replay: view unchanged AND the committed diff slice survives
+    // (a recompute against post-merge state would say "same", not
+    // "changed" — the _SUCCESS guard must prevent that)
+    val slice = SnapshotDiffView.readDiff(spark, df, 1L).collect().toSet
+    SnapshotDiffView.mergeBatchBucketed(ev(one), st, df, 1L, nBuckets = 8)
+    assert(SnapshotDiffView.readDiff(spark, df, 1L).collect().toSet == slice)
+    assert(SnapshotDiffView.readViewBucketed(spark, st)
+      .select($"user_id", $"value").as[(Long, Double)].collect().toMap
+      == naiveView(b1 ++ one))
+    assert(slice.exists(_.getString(3) == "changed"),
+      "fixture must exercise the changed->same degradation hazard")
+  }
+
   test("streaming run over a file source produces the same final view") {
     val root = Files.createTempDirectory("snapdiff4").toString
     val (stateDir, diffDir) = (s"$root/state", s"$root/diff")
