@@ -6079,7 +6079,63 @@ object Catalog {
              |                        AND a.doc_id < c.doc_id)
              |SELECT doc_a, doc_b, bit_count(xor(pa, pb))::BIGINT AS ham
              |FROM p WHERE bit_count(xor(pa, pb)) <= 6
-             |ORDER BY doc_a, doc_b""".stripMargin))
+             |ORDER BY doc_a, doc_b""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Q165: session bounce rate — per entry event type (the session's
+    // first event), how many 30-minute-gap sessions consist of that
+    // single event. The engagement metric product teams run daily,
+    // spelled with q40's sessionization discipline: the gap flag and
+    // the running session id share ONE (user, ts-ordered) window pass;
+    // the per-session reduction (min_by entry event + size) and the
+    // per-entry-type rollup are both partial-agg hash aggs on keys the
+    // window's partitioning already clusters.
+    Query(
+      "q165_bounce_rate",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        val gapMs = 30L * 60 * 1000
+        t(s, dir, "events")
+          .select($"user_id", $"ts", $"event_id", $"event_type")
+          .select($"user_id", $"ts", $"event_id", $"event_type",
+            when(lag(unix_millis($"ts"), 1).over(w).isNull ||
+                 unix_millis($"ts") - lag(unix_millis($"ts"), 1).over(w) > gapMs,
+              1L).otherwise(0L).as("brk"))
+          .withColumn("sess",
+            sum($"brk").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          // each session has exactly ONE opening row (brk=1), so its
+          // entry type is the lone non-null of this conditional max —
+          // no ordered reduction needed
+          .groupBy($"user_id", $"sess")
+          .agg(max(when($"brk" === 1, $"event_type")).as("entry_type"),
+               count(lit(1)).as("n_events"))
+          .groupBy($"entry_type")
+          .agg(count(lit(1)).as("n_sessions"),
+               sum(when($"n_events" === 1, 1L).otherwise(0L)).as("n_bounces"),
+               round(sum(when($"n_events" === 1, 1.0).otherwise(0.0)) / count(lit(1)), 4)
+                 .as("bounce_rate_r"))
+          .orderBy($"entry_type")
+      },
+      Some("""WITH e AS (SELECT user_id, ts, event_id, event_type,
+             |                  CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
+             |                         OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 1800000
+             |                       THEN 1 ELSE 0 END AS brk
+             |           FROM events
+             |           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |si AS (SELECT user_id, ts, event_id, event_type, brk,
+             |              sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+             |       FROM e),
+             |sess AS (SELECT user_id, sess,
+             |                max(CASE WHEN brk = 1 THEN event_type END) AS entry_type,
+             |                count(*) AS n_events
+             |         FROM si GROUP BY 1, 2)
+             |SELECT entry_type, count(*) AS n_sessions,
+             |       sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)::BIGINT AS n_bounces,
+             |       round(sum(CASE WHEN n_events = 1 THEN 1.0 ELSE 0.0 END) / count(*), 4)
+             |         AS bounce_rate_r
+             |FROM sess GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 
   val byName: Map[String, Query] = all.map(q => q.name -> q).toMap
