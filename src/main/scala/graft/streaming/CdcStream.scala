@@ -424,28 +424,66 @@ object CdcStream {
     * spelling never has a moment with zero complete copies on disk:
     * back the live dir up by ATOMIC rename, move the new dir in by
     * ATOMIC rename, then drop the backup. A crash between the two
-    * renames leaves `dst.old` complete; [[statePresent]]/[[healDir]]
+    * renames leaves `.dst.old` complete; [[statePresent]]/[[healDir]]
     * restore it at the next read or swap. Readers must go through
     * [[statePresent]] instead of a bare `Files.exists`.
+    *
+    * Concurrency contract: ONE writer process, many readers. The
+    * merge entry points are `synchronized`, which serializes writers
+    * within this JVM; nothing fences a second process, so two JVMs
+    * merging into the same state root is unsupported. Readers are
+    * safe concurrently with the single writer: [[healDir]] only ever
+    * restores a backup when the live dir is missing, and [[replace]]
+    * retries if a racing reader heals between its two renames.
     */
   private[streaming] def swapDirs(src: Path, dst: Path): Unit = replace(src, dst)
 
   /** Heal `p` from a crash between replace()'s two renames: if the
-    * live dir is missing but its `.old` backup exists, restore it. */
+    * live dir is missing but its `.*.old` backup exists, restore it.
+    * When the live dir exists the backup is left alone — the next
+    * [[replace]] of `p` clears it, and its underscore prefix keeps
+    * every Spark reader from ever seeing it (deleting it here would
+    * race the writer's backup→install window and could drop the only
+    * complete copy). */
   private[streaming] def healDir(p: Path): Unit = {
     val old = backupOf(p)
     if (!Files.exists(p) && Files.exists(old))
       Files.move(old, p, StandardCopyOption.ATOMIC_MOVE)
   }
 
-  /** The state-read gate: heal first, then report existence. */
+  /** The state-read gate: heal first, then report existence. For a
+    * bucketed root this also restores any bucket whose swap crashed
+    * mid-rename (live `b=N` gone, `.b=N.old` stranded) — without it a
+    * full-view `spark.read.parquet(root)` would silently miss that
+    * bucket's rows until the next merge touched it. */
   private[streaming] def statePresent(p: Path): Boolean = {
     healDir(p)
+    healBuckets(p)
     Files.exists(p)
   }
 
-  private def backupOf(p: Path): Path =
-    p.resolveSibling(p.getFileName.toString + ".old")
+  /** Restore every `.<name>.old` child of `root` whose live sibling is
+    * missing. A no-op on plain (non-bucketed) state dirs: parquet part
+    * files never match the backup naming. */
+  private[streaming] def healBuckets(root: Path): Unit =
+    if (Files.isDirectory(root))
+      Files.list(root).forEach { c =>
+        val n = c.getFileName.toString
+        if (n.startsWith(".") && n.endsWith(".old"))
+          healDir(c.resolveSibling(n.stripPrefix(".").stripSuffix(".old")))
+      }
+
+  /** Backup path for `p`. The leading dot is load-bearing: bucketed
+    * state roots are read with partition discovery
+    * (`spark.read.parquet(stateDir)`), and a sibling named `b=5.old`
+    * would be indexed as partition `b='5.old'` — serving the stale
+    * backup rows as live data. Spark's file index
+    * (`HadoopFSUtils.shouldFilterOutPathName`) skips dot-prefixed
+    * paths unconditionally — but NOT underscore-prefixed ones whose
+    * name contains `=` — so `.b=5.old` is invisible to every reader no
+    * matter when a crash strands it. */
+  private[streaming] def backupOf(p: Path): Path =
+    p.resolveSibling("." + p.getFileName.toString + ".old")
 
   private[streaming] def deleteRecursively(p: Path): Unit = if (Files.exists(p)) {
     if (Files.isDirectory(p))
@@ -455,10 +493,24 @@ object CdcStream {
 
   private def replace(src: Path, dst: Path): Unit = {
     val old = backupOf(dst)
-    healDir(dst)            // recover a prior crash before touching anything
-    deleteRecursively(old)  // stale backup from a completed earlier swap
-    if (Files.exists(dst)) Files.move(dst, old, StandardCopyOption.ATOMIC_MOVE)
-    Files.move(src, dst, StandardCopyOption.ATOMIC_MOVE)
-    deleteRecursively(old)
+    var attempts = 0
+    while (true) {
+      healDir(dst)            // recover a prior crash before touching anything
+      deleteRecursively(old)  // stale backup from a completed earlier swap
+      if (Files.exists(dst)) Files.move(dst, old, StandardCopyOption.ATOMIC_MOVE)
+      try {
+        Files.move(src, dst, StandardCopyOption.ATOMIC_MOVE)
+        deleteRecursively(old)
+        return
+      } catch {
+        // A racing reader's healDir restored the backup between our
+        // two renames (dst re-exists, backup gone). Re-run the swap:
+        // the restored dir is re-backed-up and the install retried.
+        case e @ (_: java.nio.file.FileAlreadyExistsException |
+                  _: java.nio.file.DirectoryNotEmptyException) =>
+          attempts += 1
+          if (attempts > 5) throw e
+      }
+    }
   }
 }

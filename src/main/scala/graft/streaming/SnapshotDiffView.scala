@@ -202,9 +202,10 @@ object SnapshotDiffView {
         StructField("delta_r", DoubleType))))
   }
 
-  /** The bucketed view (partition column dropped). */
+  /** The bucketed view (partition column dropped). Goes through the
+    * state-read gate so a bucket stranded mid-swap is healed first. */
   def readViewBucketed(spark: SparkSession, stateDir: String): DataFrame =
-    if (Files.exists(Paths.get(stateDir)))
+    if (CdcStream.statePresent(Paths.get(stateDir)))
       spark.read.parquet(stateDir).drop("b")
     else emptyState(spark)
 

@@ -48,12 +48,21 @@ object WinnowIngest {
   }
 
   /** Flagged pairs so far: (doc_a, doc_b, n_shared, overlap_r),
-    * deduped on the pair key (replay contract). */
+    * deduped on the pair key (replay contract). The same pair can be
+    * re-emitted by later batches with different stats (n_shared and
+    * overlap_r are computed against the emission-time index), so the
+    * survivor must be deterministic: the strongest evidence wins —
+    * max n_shared, with overlap_r taken from that same emission
+    * (max_by). A bare dropDuplicates would keep an arbitrary row and
+    * make repeated reads disagree. */
   def pairs(spark: SparkSession, pairsDir: String): DataFrame = {
     import spark.implicits._
     if (new java.io.File(pairsDir).exists())
       spark.read.parquet(pairsDir)
-        .dropDuplicates("doc_a", "doc_b")
+        .groupBy($"doc_a", $"doc_b")
+        .agg(max(struct($"n_shared", $"overlap_r")).as("s"))
+        .select($"doc_a", $"doc_b",
+                $"s.n_shared".as("n_shared"), $"s.overlap_r".as("overlap_r"))
     else Seq.empty[(Long, Long, Long, Double)]
       .toDF("doc_a", "doc_b", "n_shared", "overlap_r")
   }

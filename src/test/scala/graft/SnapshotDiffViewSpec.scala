@@ -129,8 +129,8 @@ class SnapshotDiffViewSpec extends SparkSpec {
     val view = SnapshotDiffView.readView(spark, stateDir)
       .select($"user_id", $"value").as[(Long, Double)].collect().toMap
     // simulate dying between swapDirs' two renames: live dir gone,
-    // backup present
-    JFiles.move(Paths.get(stateDir), Paths.get(stateDir + ".old"),
+    // backup present (dot-prefixed so Spark readers skip it)
+    JFiles.move(Paths.get(stateDir), Paths.get(s"$root/.state.old"),
       StandardCopyOption.ATOMIC_MOVE)
     val healed = SnapshotDiffView.readView(spark, stateDir)
       .select($"user_id", $"value").as[(Long, Double)].collect().toMap
@@ -140,6 +140,60 @@ class SnapshotDiffViewSpec extends SparkSpec {
     assert(SnapshotDiffView.readView(spark, stateDir)
       .select($"user_id", $"value").as[(Long, Double)].collect().toMap
       == naiveView(b1 ++ b2))
+  }
+
+  test("a stranded bucket backup is invisible to readers (crash after install, before cleanup)") {
+    import java.nio.file.{Paths => JPaths}
+    val root = Files.createTempDirectory("snapdiffb3").toString
+    val (st, df) = (s"$root/state", s"$root/diff")
+    import spark.implicits._
+
+    SnapshotDiffView.mergeBatchBucketed(ev(b1), st, df, 0L, nBuckets = 8)
+    val live = new java.io.File(st).listFiles()
+      .filter(_.getName.startsWith("b=")).head
+    // Simulate a crash between replace()'s install rename and its
+    // backup cleanup: a complete stale copy of the bucket sits beside
+    // the live dir under the backup name, carrying rows that
+    // contradict live state. Partition discovery must skip it — a
+    // visible sibling like `b=5.old` would be read as partition
+    // b='5.old' and serve the stale rows (duplicate keys, b column
+    // degraded to string).
+    val stale = JPaths.get(st, "." + live.getName + ".old")
+    Seq((1L, Timestamp.valueOf("1999-01-01 00:00:00"), 1L, -999.0),
+        (2L, Timestamp.valueOf("1999-01-01 00:00:00"), 2L, -999.0),
+        (3L, Timestamp.valueOf("1999-01-01 00:00:00"), 3L, -999.0))
+      .toDF("user_id", "ts", "event_id", "value")
+      .write.parquet(stale.toString)
+
+    val view = SnapshotDiffView.readViewBucketed(spark, st)
+      .select($"user_id", $"value").as[(Long, Double)].collect()
+    assert(view.length == view.toMap.size, "duplicate keys served from the backup")
+    assert(view.toMap == naiveView(b1), "stale backup rows leaked into the view")
+
+    // merging onward stays correct with the leftover in place
+    SnapshotDiffView.mergeBatchBucketed(ev(b2), st, df, 1L, nBuckets = 8)
+    assert(SnapshotDiffView.readViewBucketed(spark, st)
+      .select($"user_id", $"value").as[(Long, Double)].collect().toMap
+      == naiveView(b1 ++ b2))
+  }
+
+  test("a bucket stranded mid-swap (live gone, backup left) heals on full-view read") {
+    import java.nio.file.{Files => JFiles, Paths => JPaths, StandardCopyOption}
+    val root = Files.createTempDirectory("snapdiffb4").toString
+    val (st, df) = (s"$root/state", s"$root/diff")
+    import spark.implicits._
+
+    SnapshotDiffView.mergeBatchBucketed(ev(b1), st, df, 0L, nBuckets = 8)
+    val live = new java.io.File(st).listFiles()
+      .filter(f => f.getName.startsWith("b=") && f.listFiles().exists(_.getName.endsWith(".parquet")))
+      .head
+    // crash between the swap's two renames: this bucket exists only
+    // as its backup; a full-view read must restore it, not skip it
+    JFiles.move(live.toPath, JPaths.get(st, "." + live.getName + ".old"),
+      StandardCopyOption.ATOMIC_MOVE)
+    assert(SnapshotDiffView.readViewBucketed(spark, st)
+      .select($"user_id", $"value").as[(Long, Double)].collect().toMap
+      == naiveView(b1), "stranded bucket was not healed on read")
   }
 
   test("a batch id below the applied fence is an error, not a silent skip") {

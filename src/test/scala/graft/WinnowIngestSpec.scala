@@ -70,6 +70,28 @@ class WinnowIngestSpec extends SparkSpec {
     assert(WinnowIngest.pairs(spark, prs).collect().toSet == before)
   }
 
+  test("pairs() resolves re-emitted pairs deterministically: strongest evidence wins") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("winnowdet").toString
+    val prs = s"$root/pairs"
+    // Two emissions of the same pair with different stats — possible
+    // when a later redelivery recomputes against an index where the
+    // hot-gram guard has since swallowed one of the shared spans. The
+    // read must surface the strongest evidence, not an arbitrary
+    // survivor that varies between invocations.
+    Seq((1L, 2L, 5L, 0.5)).toDF("doc_a", "doc_b", "n_shared", "overlap_r")
+      .write.mode("append").parquet(prs)
+    Seq((1L, 2L, 2L, 0.2), (3L, 4L, 1L, 1.0))
+      .toDF("doc_a", "doc_b", "n_shared", "overlap_r")
+      .write.mode("append").parquet(prs)
+    def read(): Set[(Long, Long, Long, Double)] =
+      WinnowIngest.pairs(spark, prs).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val got = read()
+    assert(got == Set((1L, 2L, 5L, 0.5), (3L, 4L, 1L, 1.0)), got)
+    assert(read() == got, "repeated reads disagreed")
+  }
+
   test("hot-gram guard stops pair emission once df exceeds maxDf") {
     val root = Files.createTempDirectory("winnowguard").toString
     val (idx, prs) = (s"$root/index", s"$root/pairs")
