@@ -5850,26 +5850,23 @@ object Catalog {
     // (not half the rows) sits below, per return flag: the
     // importance-weighted center every mixture-reweighting decision
     // needs (plain median treats a 1-unit and a 50-unit line the
-    // same). Built-ins have no weighted quantile, so both engines run
-    // the same cumulative spelling: one (flag)-partitioned window in
-    // (price, tie) total order accumulates weight, the first row at
-    // cumw ≥ totw/2 is the answer — one partition shuffle, no
-    // per-group sort beyond the window's.
+    // same). Built-ins have no weighted quantile; the oracle runs the
+    // row-level cumulative spelling, the engine runs
+    // WeightedQuantile.exact — value-grain collapse FIRST (hash-agg on
+    // well-distributed (flag, price) keys), then the cumulative window
+    // over the collapsed grain, so the 3-key window partitions hold
+    // |distinct prices per flag| rows instead of a third of the fact
+    // table each. Provably the same answer (see the operator's
+    // scaladoc); at near-continuous 100 TB values the sketch-CDF
+    // WeightedQuantile.approx is the documented path.
     Query(
       "q160_weighted_median",
       (s, dir) => {
         import s.implicits._
-        val w = Window.partitionBy($"l_returnflag")
-          .orderBy($"l_extendedprice", $"l_orderkey", $"l_linenumber")
-        t(s, dir, "lineitem")
-          .select($"l_returnflag", $"l_extendedprice", $"l_quantity",
-            $"l_orderkey", $"l_linenumber")
-          .withColumn("cumw",
-            sum($"l_quantity").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-          .withColumn("totw", sum($"l_quantity").over(Window.partitionBy($"l_returnflag")))
-          .filter($"cumw" >= $"totw" / 2)
-          .groupBy($"l_returnflag")
-          .agg(round(min($"l_extendedprice"), 2).as("w_median"))
+        graft.operators.WeightedQuantile.exact(
+            t(s, dir, "lineitem"), Seq("l_returnflag"),
+            $"l_extendedprice", $"l_quantity", q = 0.5)
+          .select($"l_returnflag", round($"wq", 2).as("w_median"))
           .orderBy($"l_returnflag")
       },
       Some("""WITH c AS (SELECT l_returnflag, l_extendedprice, l_quantity,

@@ -296,12 +296,24 @@ class PlanAssertionsSpec extends SparkSpec {
       s"islands must not re-shuffle after the window pass:\n${p.take(3000)}")
   }
 
-  test("q160: weighted median runs on one flag-keyed exchange") {
+  test("q160: weighted median windows over the collapsed grain, not the fact table") {
     val p = plan("q160_weighted_median")
-    // cumw (ordered rows frame) + totw (whole partition) are two
-    // Window nodes over the SAME partitioning: one exchange feeds both
-    assert(countOf(p, "Exchange hashpartitioning") == 1,
-      s"weighted median must shuffle once on l_returnflag:\n${p.take(3000)}")
+    // the (flag, price) grain hash-agg must exchange BEFORE the
+    // window: without the collapse the 3-key window funnels a third of
+    // the fact table through one task each
+    assert("hashpartitioning\\(l_returnflag#\\d+, l_extendedprice#\\d+".r
+      .findFirstIn(p).isDefined,
+      s"no (flag, price) grain exchange feeding the window:\n${p.take(3000)}")
+    // exactly two hash exchanges: the grain agg + the flag-keyed
+    // window; cumw (ordered rows frame) and totw (whole partition)
+    // share the latter
+    assert(countOf(p, "Exchange hashpartitioning") == 2,
+      s"expected grain + window exchanges only:\n${p.take(3000)}")
+    // the old row-level spelling sorted the window by (price,
+    // orderkey, linenumber); the grain form never reads the tiebreak
+    // columns at all
+    assert(!p.contains("l_orderkey"),
+      "fact-table tiebreak columns reached the plan — window is row-level again")
     assert(!p.contains("Join"), "no join belongs in this plan")
   }
 
