@@ -93,6 +93,15 @@ object ScaleSmoke {
         .agg(topk($"o_totalprice", $"o_orderkey").as("top"))
         .select(posexplode($"top")).count()
     }
+    // skyline shape — the SAME operator as q105 on 10x orders: local
+    // prefix max parallel across range partitions, the only global
+    // ordered pass is the P-row partition-maxima merge — time follows
+    // the grain agg, not a single-task window over distinct prices
+    time(s"skyline_${factor}x") {
+      graft.operators.Skyline.frontier(
+        ord.select($"o_orderkey", $"o_totalprice", $"o_orderdate"),
+        cost = $"o_totalprice", gain = $"o_orderdate").count()
+    }
     // fuzzy-join shape — the SAME operator as q61 on a 10x supplier
     // dimension: candidate volume follows signature collisions, not n^2
     val sup = replicate(

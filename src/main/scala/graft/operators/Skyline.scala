@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Pareto frontier (skyline) on (minimize `cost`, maximize `gain`):
+  * the rows for which no other row is both at-most-as-costly and
+  * at-least-as-gainful with one strict inequality — q105's contract,
+  * the quality-vs-cost data-selection shape.
+  *
+  * A row is dominated iff a strictly cheaper row reaches a gain ≥
+  * its own (the running prefix max over the cost order), or a
+  * same-cost row strictly beats its gain. The dominance test therefore
+  * needs exactly one aggregate per distinct cost (its gain max) and
+  * one prefix max over the cost order — never the O(n²) NOT-EXISTS
+  * join the oracle runs.
+  *
+  * The naive spelling of the prefix max is one globally-ordered window
+  * over the cost grain — a single-partition WindowExec: fine at
+  * verification scale, a scale-killer once |distinct costs| is large
+  * (near-continuous costs at 100 TB). This operator implements the
+  * docs/SCALE.md plan instead, the classic two-level scan
+  * decomposition:
+  *
+  *   1. collapse to cost grain (hash agg, map-side partials);
+  *   2. range-partition the grain by cost into P partitions;
+  *   3. LOCAL prefix max inside each partition — P parallel window
+  *      tasks of |grain|/P rows each, keyed by the range partition id;
+  *   4. prefix-max MERGE of the P partition maxima — the only global
+  *      ordered pass in the plan, over exactly P rows;
+  *   5. prefix(row) = max(local prefix, carry-in of all earlier
+  *      partitions), then broadcast the annotated grain back to the
+  *      fact rows.
+  *
+  * No stage orders more than |grain|/P rows; equality with the
+  * single-window form is spec-asserted (SkylineSpec), and the range
+  * partitioner keeps equal costs in one partition so the strictness
+  * of "strictly cheaper" survives the decomposition.
+  */
+object Skyline {
+
+  /** Rows of `df` on the (min `cost`, max `gain`) frontier, original
+    * columns untouched. `rangePartitions` is P above — the grain
+    * parallelism; P ≤ 1 degenerates to the single-window spelling.
+    * `broadcastBack = false` swaps the annotate-back join to a shuffle
+    * join for grains past the broadcast budget (near-continuous costs
+    * at full scale). */
+  def frontier(df: DataFrame, cost: Column, gain: Column,
+               rangePartitions: Int = 32,
+               broadcastBack: Boolean = true): DataFrame = {
+    val p = math.max(1, rangePartitions)
+    val grain = df.groupBy(cost.as("sk_c")).agg(max(gain).as("sk_gmax"))
+
+    val annotated =
+      if (p == 1) {
+        val w = Window.orderBy(col("sk_c"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        grain.withColumn("sk_prev", max(col("sk_gmax")).over(w))
+      } else {
+        val parts = grain
+          .repartitionByRange(p, col("sk_c"))
+          .withColumn("sk_pid", spark_partition_id())
+        // 3. local prefix max — parallel across the P range partitions
+        val wLocal = Window.partitionBy(col("sk_pid")).orderBy(col("sk_c"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val local = parts.withColumn("sk_lprev", max(col("sk_gmax")).over(wLocal))
+        // 4. carry-in per partition: prefix max of the partition maxima
+        //    (P rows — the only globally ordered frame in the plan)
+        val wCarry = Window.orderBy(col("sk_pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val carry = parts.groupBy(col("sk_pid")).agg(max(col("sk_gmax")).as("sk_pmax"))
+          .withColumn("sk_carry", max(col("sk_pmax")).over(wCarry))
+          .select(col("sk_pid"), col("sk_carry"))
+        // 5. greatest() skips nulls: first partition has no carry-in,
+        //    first row of a partition has no local prefix
+        local.join(broadcast(carry), "sk_pid")
+          .withColumn("sk_prev", greatest(col("sk_lprev"), col("sk_carry")))
+      }
+
+    val ann = annotated.select(col("sk_c"), col("sk_gmax"), col("sk_prev"))
+    df.join(if (broadcastBack) broadcast(ann) else ann, cost === col("sk_c"))
+      .filter(!(coalesce(col("sk_prev") >= gain, lit(false)) ||
+                col("sk_gmax") > gain))
+      .drop("sk_c", "sk_gmax", "sk_prev")
+  }
+}

@@ -3393,31 +3393,21 @@ object Catalog {
     // Q105: skyline / Pareto frontier — orders not dominated on
     // (minimize o_totalprice, maximize o_orderdate): the "no other
     // order is both cheaper and at least as recent" frontier, the
-    // shape used for quality-vs-cost data selection. Plan: collapse
-    // to one representative per price (groupBy price, max date), one
-    // ordered window over the collapsed frame computes the strictly-
-    // cheaper running date max, join back — O(n log n) and exact
-    // under ties, vs the O(n²) NOT-EXISTS dominance join the oracle
-    // runs. The collapsed window is a single ordered task over
-    // |distinct prices| rows; at 100 TB, range-partition by price,
-    // take per-partition local skylines, and prefix-max merge the
-    // partition maxima — same operators, no single-task stage.
+    // shape used for quality-vs-cost data selection. operators.Skyline:
+    // collapse to price grain, range-partition the grain, LOCAL prefix
+    // date-max per partition (parallel windows), prefix-max merge of
+    // the P partition maxima (the only global ordered pass — P rows),
+    // broadcast the annotated grain back. O(n log n), exact under
+    // ties, no single-task stage — vs the O(n²) NOT-EXISTS dominance
+    // join the oracle runs.
     Query(
       "q105_skyline",
       (s, dir) => {
         import s.implicits._
-        val o = t(s, dir, "orders")
-          .select($"o_orderkey", $"o_totalprice", $"o_orderdate")
-        val g = o.groupBy($"o_totalprice").agg(max($"o_orderdate").as("dmax"))
-        val wg = Window.orderBy($"o_totalprice")
-          .rowsBetween(Window.unboundedPreceding, -1)
-        val gg = g.withColumn("prevmax", max($"dmax").over(wg))
-        o.join(broadcast(gg), "o_totalprice")
-          // dominated: a strictly cheaper order at >= this date, or a
-          // same-price order strictly later
-          .filter(!(coalesce($"prevmax" >= $"o_orderdate", lit(false)) ||
-                    $"dmax" > $"o_orderdate"))
-          .select($"o_orderkey", $"o_totalprice", $"o_orderdate")
+        graft.operators.Skyline.frontier(
+            t(s, dir, "orders")
+              .select($"o_orderkey", $"o_totalprice", $"o_orderdate"),
+            cost = $"o_totalprice", gain = $"o_orderdate")
           .orderBy($"o_totalprice", $"o_orderkey")
       },
       Some("""SELECT o_orderkey, o_totalprice, o_orderdate

@@ -296,6 +296,23 @@ class PlanAssertionsSpec extends SparkSpec {
       s"islands must not re-shuffle after the window pass:\n${p.take(3000)}")
   }
 
+  test("q105: skyline prefix max is partition-parallel; only the P-row merge is global") {
+    val p = plan("q105_skyline")
+    // the big ordered window must be keyed by the range-partition id —
+    // a bare Window.orderBy(price) here is a single-task WindowExec
+    // over every distinct price
+    assert("windowspecdefinition\\(sk_pid#\\d+, sk_c#\\d+ ASC".r.findFirstIn(p).isDefined,
+      s"grain prefix max is not partition-parallel:\n${p.take(3000)}")
+    assert(p.contains("Exchange rangepartitioning(sk_c"),
+      "grain is not range-partitioned by cost")
+    // exactly one SinglePartition exchange: the prefix-max merge of
+    // the P partition maxima (P rows), nothing else
+    assert(countOf(p, "Exchange SinglePartition") == 1,
+      s"expected only the P-row carry merge to be global:\n${p.take(3000)}")
+    assert(p.contains("BroadcastHashJoin"), "annotate-back join must broadcast")
+    assert(!p.contains("SortMergeJoin"), "annotate-back join fell back to SMJ")
+  }
+
   test("q160: weighted median windows over the collapsed grain, not the fact table") {
     val p = plan("q160_weighted_median")
     // the (flag, price) grain hash-agg must exchange BEFORE the
