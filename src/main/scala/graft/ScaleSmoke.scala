@@ -93,6 +93,17 @@ object ScaleSmoke {
         .agg(topk($"o_totalprice", $"o_orderkey").as("top"))
         .select(posexplode($"top")).count()
     }
+    // clustered semantic-dedup shape — CosinePairs.clustered (the
+    // SemDeDup ≥10⁹-vector route) on the replicated embeddings:
+    // k-means blocks cut the pair arithmetic ~k-fold vs the exact
+    // kernel, so 10x rows stay far from 100x pair time
+    time(s"semdedup_clustered_${factor}x") {
+      import graft.functions.{VectorFunctions => VF}
+      graft.operators.CosinePairs.clustered(
+        emb.select($"vec_id", VF.asDouble($"embedding").as("v"))
+          .as[(Long, Array[Double])],
+        threshold = 0.4, k = 64, iters = 2).count()
+    }
     // skyline shape — the SAME operator as q105 on 10x orders: local
     // prefix max parallel across range partitions, the only global
     // ordered pass is the P-row partition-maxima merge — time follows

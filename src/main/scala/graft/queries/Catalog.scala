@@ -3315,6 +3315,11 @@ object Catalog {
     // candidates at this threshold. The narrow metadata (lang, source,
     // fingerprint) broadcasts onto the few surviving pairs AFTER the
     // similarity filter instead of riding through the pair join.
+    // Beyond ~10⁹ vectors, where the O(n²·d) arithmetic itself is the
+    // wall, CosinePairs.clustered (SemDeDup k-means blocks + the same
+    // exact kernel within blocks, recall measured in its scaladoc) is
+    // the documented production route; the headline stays exact
+    // because exactness is the oracle contract.
     Query(
       "q103_semantic_dedup",
       (s, dir) => {
