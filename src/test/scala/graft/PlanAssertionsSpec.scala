@@ -296,6 +296,42 @@ class PlanAssertionsSpec extends SparkSpec {
       s"islands must not re-shuffle after the window pass:\n${p.take(3000)}")
   }
 
+  test("catalog-wide: every unpartitioned window runs over an aggregated frame") {
+    // The aggregate-then-window discipline, asserted as an invariant
+    // over EVERY catalog query: an ordered window with no partition
+    // keys is a single-task stage, so it may only ever see a frame an
+    // aggregate has already collapsed to bounded grain (vocab, days,
+    // partition maxima...) — never scan/join output, whose width grows
+    // with the corpus. This is the class of regression that made q105
+    // and q160 round-7 weak-list items.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    // q84's exact global ntile IS its oracle contract (the production
+    // spelling is EquiDepth.approxHistogram, spec-covered) — the one
+    // documented exception.
+    val allowed = Set("q84_equidepth_hist")
+    // a ReusedExchange is a leaf pointing at the original exchange —
+    // look through it or the aggregate behind a reused shuffle hides
+    def hasAgg(p: SparkPlan): Boolean = p.exists {
+      case _: BaseAggregateExec => true
+      case r: ReusedExchangeExec => hasAgg(r.child)
+      case _ => false
+    }
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try Catalog.all.filterNot(q => allowed(q.name)).foreach { q =>
+      val p = q.run(spark, dir).queryExecution.executedPlan
+      p.foreach {
+        case w: WindowExec if w.partitionSpec.isEmpty =>
+          assert(hasAgg(w.child),
+            s"${q.name}: unpartitioned window over a non-aggregated frame:\n" +
+              w.treeString.take(2000))
+        case _ =>
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("q105: skyline prefix max is partition-parallel; only the P-row merge is global") {
     val p = plan("q105_skyline")
     // the big ordered window must be keyed by the range-partition id —
