@@ -314,6 +314,42 @@ object CdcStream {
         lit(fenceLsn).as("lsn"), lit(fenceLsn).as("ts_ms")),
       stateDir)
 
+  /** Live-database snapshot bootstrap: ONE `spark.read.jdbc` of the
+    * base table into [[bootstrapFromTable]]'s lsn fence — the
+    * R1 initial snapshot against the actual database, where the
+    * reference seeds `messages` via Flyway (`V1__init.sql`) before the
+    * Debezium connector streams (`prototype/setup-debezium.sh:1-32`).
+    * SQL `timestamp` columns convert to the envelope's epoch-millis
+    * convention here, so the fenced merge sees exactly what decoded
+    * changes carry.
+    *
+    * `predicates` (non-overlapping WHERE clauses, e.g. id ranges)
+    * split the snapshot into parallel JDBC partitions — the scan
+    * scales without requiring a numeric split column. Left empty the
+    * snapshot is a single reader, which is also what Debezium's own
+    * initial snapshot does.
+    *
+    * Spec-covered against an embedded Derby database
+    * (CdcJdbcBootstrapSpec): live CREATE/INSERT → jdbc bootstrap →
+    * change stream on top, fence keeping stale replays out. Postgres
+    * differs only in the JDBC url/driver.
+    */
+  def bootstrapFromJdbc(spark: SparkSession, url: String, table: String,
+                        stateDir: String, fenceLsn: Long = 0L,
+                        props: java.util.Properties = new java.util.Properties,
+                        predicates: Array[String] = Array.empty): Unit = {
+    val raw =
+      if (predicates.isEmpty) spark.read.jdbc(url, table, props)
+      else spark.read.jdbc(url, table, predicates, props)
+    bootstrapFromTable(
+      raw.select(
+        col("id").cast("string").as("id"),
+        unix_millis(col("create_time").cast("timestamp")).as("create_time"),
+        unix_millis(col("update_time").cast("timestamp")).as("update_time"),
+        col("message"), col("username")),
+      stateDir, fenceLsn)
+  }
+
   /** Union-and-rewrite merge of one micro-batch into the parquet state
     * snapshot. Test/local sink; a production deployment swaps this for
     * MERGE INTO on a transactional table — same latest-wins plan. */
