@@ -48,6 +48,37 @@ object Bench {
       if (sinceGc >= 24) { sinceGc = 0; System.gc() }
     }
 
+    // Steady-state canary: the round-6 artifact silently inflated later
+    // queries 3-5x because block-manager state accumulated across the
+    // run (root cause fixed by reclaim(), BASELINE.md:46-52). Guard
+    // against any recurrence of that failure CLASS: re-run q01 every
+    // ~30 queries and compare to its first time. A ratio > 3x prints a
+    // loud in-band error row instead of letting the degradation hide
+    // inside unrelated queries' numbers.
+    val canaryQ = Catalog.headline.find(_.name == "q01_filter_project")
+    def canaryOnce(): Double = canaryQ match {
+      case Some(q) =>
+        val t0 = System.nanoTime()
+        q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
+        val s = (System.nanoTime() - t0) / 1e9; reclaim(); s
+      case None => -1.0
+    }
+    val canaryBase = if (subset.isEmpty) canaryOnce() else -1.0
+    var canaryMaxRatio = 0.0
+    var sinceCanary = 0
+    def canaryCheck(): Unit = if (canaryBase > 0) {
+      sinceCanary += 1
+      if (sinceCanary >= 30) {
+        sinceCanary = 0
+        val s = canaryOnce()
+        val r = s / math.max(canaryBase, 1e-3)
+        canaryMaxRatio = math.max(canaryMaxRatio, r)
+        println(f"""{"canary":"q01","sec":$s%.2f,"ratio":$r%.2f}""")
+        if (r > 3.0)
+          println(f"""{"bench_error":"canary","msg":"steady-state degradation: q01 $s%.2f s vs base $canaryBase%.2f s (${r}%.1fx)"}""")
+      }
+    }
+
     val results = Catalog.headline
       .filter(q => subset.isEmpty || subset(q.name))
       .map { q =>
@@ -77,23 +108,35 @@ object Bench {
           reclaim()
           -1.0
         }
+      canaryCheck()
       q.name -> sec
     }
     // The driver parses the JSON line out of the LAST ~2000 chars of
-    // output; with 60+ queries the full names + nanosecond precision
-    // overflowed that window in round 4 (parsed:null). Emit the short
-    // query id ("q60_bloom_join" -> "q60") at centisecond precision:
-    // at ~12.5 chars/query the window fits ~145 queries (117 now).
-    // BASELINE.md maps ids back to full names.
+    // output; round 4 (full names) and round 7 (160 queries x
+    // "q103":0.55 = ~2090 chars) both overflowed it -> parsed:null.
+    // Short ids ("q60_bloom_join" -> "q60") + integer milliseconds
+    // ("q103":550) keep 160+ queries at ~10 chars each (~1750-char
+    // line, fits with margin); the trailing "qunit":"ms" makes the
+    // unit self-describing, and sitting at the END of the line it
+    // survives any front-truncation of the tail window. BASELINE.md
+    // maps ids back to full names and documents the unit.
     val qs = results.map { case (k, v) =>
-      "\"" + k.takeWhile(_ != '_') + "\":" + f"$v%.2f"
+      "\"" + k.takeWhile(_ != '_') + "\":" +
+        (if (v < 0) "-1" else math.round(v * 1000).toString)
     }.mkString("{", ",", "}")
     // "executed"/"failed" make a partial run self-describing: a -1.0
     // entry is a failure, and total covers only the executed queries.
     val executed = results.count(_._2 >= 0)
     val failed = results.size - executed
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","executed":$executed,"failed":$failed,"queries":$qs,"sf":"$sfDir"}""")
+    val sfTag = sfDir.split('/').last
+    val canaryTail =
+      if (canaryBase > 0) f""","canary_base":$canaryBase%.2f,"canary_max_r":$canaryMaxRatio%.2f"""
+      else ""
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","executed":$executed,"failed":$failed,"queries":$qs,"sf":"$sfTag","qunit":"ms"$canaryTail}"""
+    if (line.length > 1950)
+      System.err.println(s"[bench] WARNING: summary line ${line.length} chars may overflow the driver tail window")
+    println(line)
     spark.stop()
   }
 }

@@ -310,6 +310,65 @@ object ScaleSmoke {
         .groupBy($"vec_id").agg(sum($"m").as("s"))
         .orderBy($"s".desc).limit(10).count()
     }
+    // winnow-offsets shape — q158's full plan: the span-pair flagging
+    // (same guarded overlap join as the winnow probe above) PLUS the
+    // two position-attach joins. Replication is the worst case for the
+    // df ≤ 20 guard (every fingerprint's df multiplies by `factor`),
+    // and the position joins must stay proportional to |flagged pairs|,
+    // never corpus-wide — that proportionality is what this times.
+    time(s"winnow_offsets_${factor}x") {
+      val W = graft.operators.Winnow
+      val selP = W.selectedPositions(docs, "text", "doc_id")
+      val sel = selP.select($"doc_id", $"h").distinct()
+      val ok = sel.groupBy($"h").agg(count(lit(1)).as("df"))
+        .filter($"df" <= 20).select($"h")
+      val pairs = W.overlapPairs(sel, "doc_id", minShared = 3L, maxDf = Some(20L))
+        .select($"doc_a", $"doc_b")
+      pairs
+        .join(selP.join(ok, "h")
+          .select($"doc_id".as("doc_a"), $"pos".as("pa"), $"h"), Seq("doc_a"))
+        .join(selP
+          .select($"doc_id".as("doc_b"), $"pos".as("pb"), $"h"), Seq("doc_b", "h"))
+        .count()
+    }
+    // weighted-median shape — q160's production spelling
+    // (WeightedQuantile.exact): value-grain collapse FIRST, then the
+    // cumulative window over (flag, price) grain. Replication adds NO
+    // new prices, so the window's partitions hold the same ~|distinct
+    // prices per flag| rows at any factor — only the collapsing scan
+    // grows. Sub-linear scaling here is the point of the round-8 fix
+    // (the old spelling funneled a third of the fact table per task).
+    time(s"weighted_median_${factor}x") {
+      graft.operators.WeightedQuantile.exact(
+          li, Seq("l_returnflag"), $"l_extendedprice", $"l_quantity", q = 0.5)
+        .count()
+    }
+    // phash near-dup shape — q164's plan on a corpus where every
+    // replica's payload is PERTURBED (a per-replica suffix shifts the
+    // aHash sample grid), so growth means new distinct hashes — the
+    // realistic corpus-growth case for the 16-bit-block bucketing, as
+    // opposed to byte-identical copies, which would measure the
+    // degenerate all-replicas-collide bucket instead of the join.
+    time(s"phash_${factor}x") {
+      val docsP = docs.withColumn("text",
+        concat($"text", lit(" x"), floor($"doc_id" / 100000000L).cast("string")))
+      val media = graft.multimodal.Multimodal.fromDocuments(
+        docsP.select($"doc_id", $"text"))
+      val hashed = graft.multimodal.Multimodal.avgHash64(media)
+      val blocks = hashed.select($"doc_id", $"phash",
+        explode(array((0 until 4).map(b => struct(lit(b).as("blk"),
+          shiftright($"phash", b * 16).bitwiseAND(lit(65535L)).as("key"))): _*)).as("bk"))
+        .select($"doc_id", $"phash", $"bk.blk", $"bk.key")
+      val left = blocks.select($"blk", $"key", $"doc_id".as("doc_a"), $"phash".as("pa"))
+      val right = blocks.select($"blk".as("blk2"), $"key".as("key2"),
+        $"doc_id".as("doc_b"), $"phash".as("pb"))
+      left.join(right,
+          $"blk" === $"blk2" && $"key" === $"key2" && $"doc_a" < $"doc_b")
+        .select($"doc_a", $"doc_b", $"pa", $"pb").distinct()
+        .withColumn("ham", expr("CAST(bit_count(pa ^ pb) AS BIGINT)"))
+        .filter($"ham" <= 6)
+        .count()
+    }
     // BPE training shape — operators.BpeTrain: the corpus-scale work
     // is ONE token-count pass; replication multiplies corpus rows but
     // the VOCABULARY (distinct words) is unchanged, so the 3 training
