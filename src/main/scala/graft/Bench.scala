@@ -51,11 +51,16 @@ object Bench {
     // Steady-state canary: the round-6 artifact silently inflated later
     // queries 3-5x because block-manager state accumulated across the
     // run (root cause fixed by reclaim(), BASELINE.md:46-52). Guard
-    // against any recurrence of that failure CLASS: re-run q01 every
-    // ~30 queries and compare to its first time. A ratio > 3x prints a
-    // loud in-band error row instead of letting the degradation hide
-    // inside unrelated queries' numbers.
-    val canaryQ = Catalog.headline.find(_.name == "q01_filter_project")
+    // against any recurrence of that failure CLASS: re-run the canary
+    // query every ~30 queries and compare to its best time. A tripped
+    // ratio prints a loud in-band error row instead of letting the
+    // degradation hide inside unrelated queries' numbers.
+    // q02 (scan + hash agg + exchange), not q01 (pure scan): the
+    // degradation modes worth catching (block-manager pressure,
+    // shuffle-file accumulation, external contention) hit exchanges
+    // far harder than scans — a measured 25x late-run inflation of
+    // shuffle-heavy queries left q01 canary readings completely flat.
+    val canaryQ = Catalog.headline.find(_.name == "q02_group_agg")
     def canaryOnce(): Double = canaryQ match {
       case Some(q) =>
         val t0 = System.nanoTime()
@@ -63,19 +68,31 @@ object Bench {
         val s = (System.nanoTime() - t0) / 1e9; reclaim(); s
       case None => -1.0
     }
+    // Ratio is against the BEST canary time seen so far, not the first
+    // run: the first canary execution pays codegen (~4x steady state),
+    // and an r6-class 5-8x steady-state inflation would hide inside
+    // that slack. Tripping needs two CONSECUTIVE >4x readings so a
+    // single host-contention spike (this box shows ~1.2% CPU steal)
+    // doesn't false-alarm.
     val canaryBase = if (subset.isEmpty) canaryOnce() else -1.0
+    var canaryMin = canaryBase
     var canaryMaxRatio = 0.0
+    var canaryHot = false
     var sinceCanary = 0
     def canaryCheck(): Unit = if (canaryBase > 0) {
       sinceCanary += 1
       if (sinceCanary >= 30) {
         sinceCanary = 0
         val s = canaryOnce()
-        val r = s / math.max(canaryBase, 1e-3)
+        val r = s / math.max(canaryMin, 1e-3)
         canaryMaxRatio = math.max(canaryMaxRatio, r)
-        println(f"""{"canary":"q01","sec":$s%.2f,"ratio":$r%.2f}""")
-        if (r > 3.0)
-          println(f"""{"bench_error":"canary","msg":"steady-state degradation: q01 $s%.2f s vs base $canaryBase%.2f s (${r}%.1fx)"}""")
+        println(f"""{"canary":"q02","sec":$s%.2f,"ratio":$r%.2f}""")
+        if (r > 4.0) {
+          if (canaryHot)
+            println(f"""{"bench_error":"canary","msg":"steady-state degradation: q02 $s%.2f s vs best $canaryMin%.2f s (${r}%.1fx, 2nd consecutive)"}""")
+          canaryHot = true
+        } else canaryHot = false
+        canaryMin = math.min(canaryMin, s)
       }
     }
 
