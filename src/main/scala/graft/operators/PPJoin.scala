@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact-recall set-similarity self-join (PPJoin): all pairs of
+  * documents whose shingle-set Jaccard reaches a threshold, WITHOUT
+  * the O(n²) all-pairs join — candidates come from an equi-join on
+  * rare "prefix" shingles, pruned by the PPJoin size and positional
+  * filters (both sound for J ≥ t, proofs in the PPJoin paper), then
+  * verified with an allocation-free sorted-merge Jaccard
+  * ([[graft.functions.JaccardSortedLongs]]) over xxhash64'd elements.
+  *
+  * This is the candidate generator behind `q98_prefix_filter_neardup`
+  * (hash-verified against the all-pairs DuckDB oracle — the filters
+  * lose nothing) and the near-dup stage of
+  * [[graft.pipelines.PretrainPipeline]]. Cross-corpus variants (batch
+  * vs history) live in [[IncrementalDedup]].
+  *
+  * Scale shape: one df-ordered prefix selection per doc (doc-keyed
+  * window), one shingle-keyed candidate equi-join whose volume is
+  * O(colliding prefixes) — the rarest shingles of each doc — and a
+  * verify join proportional to surviving candidates. No stage touches
+  * the n² pair space.
+  */
+object PPJoin {
+
+  /** @param docs  one row per document
+    * @param idCol numeric/string id column
+    * @param shCol `array<string>` of DISTINCT shingles (caller
+    *              guarantees distinctness, e.g. `array_distinct`)
+    * @param thr   Jaccard threshold in (0, 1]
+    * @return (doc_a, doc_b, jaccard) with doc_a < doc_b, exact recall
+    */
+  def similarPairs(docs: DataFrame, idCol: String, shCol: String,
+                   thr: Double): DataFrame = {
+    val d = docs.select(col(idCol).as("doc_id"), col(shCol).as("sh"))
+    val ex = d.select(col("doc_id"), size(col("sh")).as("n"),
+      explode(col("sh")).as("shingle"))
+    val dfreq = ex.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    // Prefix: the (n - ceil(n*t) + 1) globally-rarest shingles of each
+    // doc. Two docs with J >= t MUST share a prefix shingle.
+    val prefix = ex.join(dfreq, "shingle")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("shingle"))))
+      .filter(col("rn") <= col("n") - ceil(col("n") * thr) + 1)
+      .select(col("doc_id"), col("n"), col("rn"), col("shingle"))
+    // Size filter (t·|B| ≤ |A| ≤ |B|/t) + positional filter: the first
+    // shared token at ranks (i, j) caps the overlap at
+    // 1 + min(|A|−i, |B|−j), which must reach ⌈t/(1+t)·(|A|+|B|)⌉.
+    val cand = prefix.as("a").join(prefix.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id") &&
+        col("a.n") >= col("b.n") * thr && col("b.n") >= col("a.n") * thr &&
+        least(col("a.n") - col("a.rn"), col("b.n") - col("b.rn")) + 1 >=
+          ceil((col("a.n") + col("b.n")) * (thr / (1 + thr))))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    // Verify over sorted xxhash64'd shingles: 8-byte elements through
+    // the join and a single merge pass per pair (collision probability
+    // |shingles|²/2⁶⁵ — far below the 1e-4 rounding callers report).
+    val docsH = d.select(col("doc_id"),
+      array_sort(transform(col("sh"), x => xxhash64(x))).as("hh"))
+    val sa = docsH.select(col("doc_id").as("doc_a"), col("hh").as("sha"))
+    val sb = docsH.select(col("doc_id").as("doc_b"), col("hh").as("shb"))
+    cand.join(sa, "doc_a").join(sb, "doc_b")
+      .withColumn("jaccard",
+        graft.functions.JaccardSortedLongs(col("sha"), col("shb")))
+      .filter(col("jaccard") >= thr)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+}

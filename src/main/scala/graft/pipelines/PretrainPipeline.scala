@@ -1,0 +1,201 @@
+package graft.pipelines
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextFunctions => TF}
+
+/** End-to-end pretraining-data curation funnel — the composition a
+  * training-data team actually runs, built entirely from the engine's
+  * per-stage operators (each independently oracle-verified on its own
+  * catalog query):
+  *
+  *   0 eval_holdout   hold out the benchmark/eval docs (q74's split)
+  *   1 langid         marker-regex language id, keep target lang (q18)
+  *   2 quality        length / word-shape / repetition / stopword
+  *                    gates (q142's rules)
+  *   3 exact_dedup    content-fingerprint survivor, min-id wins (q12)
+  *   4 near_dup       5-gram Jaccard ≥ thr via the exact-recall PPJoin
+  *                    ([[graft.operators.PPJoin]], q98's machinery;
+  *                    the MinHash-LSH spelling (q15/q33) is the
+  *                    approximate alternative at extreme scale),
+  *                    smaller doc_id survives a flagged pair
+  *   5 decontaminate  drop docs sharing ≥ minShared distinct 5-grams
+  *                    with the held-out eval set (q74)
+  *   6 split          deterministic content-hash train/val split (q43)
+  *   7 pack           greedy sequence packing into fixed token blocks
+  *                    per split (q77)
+  *
+  * Scale shape — the funnel is computed as FLAGS, not as materialized
+  * intermediates: row-local stages (1, 2, 6) are columns; set stages
+  * (3, 4, 5) run on the already-filtered survivor frame (each
+  * successive join input only shrinks) and come back as drop-id
+  * frames; the manifest is ONE hash-aggregate over the flagged corpus
+  * (groupBy first-drop-stage) plus a ≤8-row bounded-grain cumulative
+  * window — no per-stage recount passes over the corpus. The eval
+  * shingle set (1/evalMod of the corpus) broadcasts. At 100 TB each
+  * stage boundary is where production would checkpoint; the funnel
+  * semantics are unchanged because later stages only consume survivor
+  * frames.
+  */
+object PretrainPipeline {
+
+  /** Curated corpus + per-stage manifest.
+    *
+    * @param curated  surviving docs: (doc_id, lang, source, split,
+    *                 ntok, start_block, end_block)
+    * @param manifest (stage_no, stage, n_in, n_out) — 8 rows; for the
+    *                 pack stage n_out is the number of emitted blocks
+    */
+  final case class Result(curated: DataFrame, manifest: DataFrame)
+
+  /** @param materialize checkpoint the two hub frames every later
+    *                     stage re-reads (the flagged corpus and the
+    *                     exact-dedup survivors — the PPJoin alone
+    *                     consumes its input five times). Measured 4x
+    *                     on the sf0.1 funnel; OFF recomputes lineage,
+    *                     which is what a plan-shape inspection wants.
+    */
+  def run(docs: DataFrame,
+          targetLang: String = "en",
+          jaccardThr: Double = 0.5,
+          contamMinShared: Long = 3L,
+          seqLen: Long = 2048L,
+          evalMod: Long = 97L,
+          materialize: Boolean = true): Result = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    def pin(df: DataFrame): DataFrame =
+      if (materialize) df.localCheckpoint(eager = false) else df
+
+    // --- row-local flags (one scan; q18 + q142 semantics) -----------
+    def score(markers: Seq[String]) =
+      size(regexp_extract_all(lower($"text"),
+        lit("\\b(" + markers.mkString("|") + ")\\b"), lit(0))).cast("long")
+    val en = Seq("the", "a", "of", "and", "to")
+    val de = Seq("der", "die", "das", "und", "ist")
+    val fr = Seq("le", "la", "et", "les", "est")
+    val stop = array(Seq("the", "of", "and", "to", "in").map(lit): _*)
+
+    val flagged = pin(docs
+      .select($"doc_id", $"lang", $"source", $"text")
+      .withColumn("is_eval", pmod($"doc_id", lit(evalMod)) === 0)
+      .withColumn("en_s", score(en)).withColumn("de_s", score(de))
+      .withColumn("fr_s", score(fr))
+      .withColumn("lang_ok", targetLang match {
+        case "en" => $"en_s" >= $"de_s" && $"en_s" >= $"fr_s" && $"en_s" > 0
+        case "de" => $"de_s" > $"en_s" && $"de_s" >= $"fr_s" && $"de_s" > 0
+        case other => throw new IllegalArgumentException(
+          s"unsupported targetLang $other (marker lists cover en/de)")
+      })
+      .withColumn("ws", TF.tokenCount($"text"))
+      .withColumn("q_ok",
+        $"ws" >= 20 && $"ws" <= 1000 &&
+        TF.avgTokenLen($"text").between(4.0, 6.5) &&
+        TF.distinctTokenRatio($"text") >= 0.45 &&
+        arrays_overlap(TF.tokens($"text"), stop)))
+
+    // --- set stages on progressively smaller survivor frames --------
+    val s2 = flagged.filter(!$"is_eval" && $"lang_ok" && $"q_ok")
+      .select($"doc_id", $"text")
+    val exRanked = s2.withColumn("rn", row_number().over(
+      Window.partitionBy(TF.fingerprint($"text")).orderBy($"doc_id")))
+    val exactDrop = exRanked.filter($"rn" > 1).select($"doc_id")
+    val s3 = pin(exRanked.filter($"rn" === 1).select($"doc_id", $"text"))
+
+    // pinned: a tiny id frame whose lineage is the whole PPJoin — it
+    // is consumed twice (survivor anti-join + manifest flag join)
+    val nearDrop = pin(graft.operators.PPJoin.similarPairs(
+        s3.select($"doc_id", array_distinct(TF.shingles($"text", 5)).as("sh")),
+        "doc_id", "sh", jaccardThr)
+      .select($"doc_b".as("doc_id")).distinct())
+    val s4 = s3.join(nearDrop, Seq("doc_id"), "left_anti")
+
+    // Eval reference: the distinct 5-gram set of the held-out docs
+    // (1/evalMod of the corpus — broadcast-sized by construction).
+    val evalGrams = flagged.filter($"is_eval")
+      .select(explode(array_distinct(TF.shingles($"text", 5))).as("g"))
+      .distinct()
+    val contamDrop = pin(s4
+      .select($"doc_id", explode(array_distinct(TF.shingles($"text", 5))).as("g"))
+      .join(broadcast(evalGrams), Seq("g"))
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_shared"))
+      .filter($"n_shared" >= contamMinShared)
+      .select($"doc_id"))
+    val s5 = s4.join(contamDrop, Seq("doc_id"), "left_anti")
+
+    // --- split + pack (q43 + q77 semantics) --------------------------
+    val packW = Window.partitionBy($"split").orderBy($"doc_id")
+    val curated = s5.select($"doc_id")
+      .join(flagged.select($"doc_id", $"lang", $"source", $"ws", $"text"), "doc_id")
+      .withColumn("split",
+        when(TF.stableBucket($"text", 10) === 0, "val").otherwise("train"))
+      .select($"doc_id", $"lang", $"source", $"split", $"ws".as("ntok"))
+      .withColumn("cum", sum($"ntok").over(packW))
+      .select($"doc_id", $"lang", $"source", $"split", $"ntok",
+        (($"cum" - $"ntok") / seqLen).cast("long").as("start_block"),
+        (($"cum" - 1) / seqLen).cast("long").as("end_block"))
+
+    // --- manifest: one agg over first-drop-stage + bounded window ---
+    val stageNo = when($"is_eval", 0L)
+      .when(!$"lang_ok", 1L)
+      .when(!$"q_ok", 2L)
+      .when($"x_d", 3L)
+      .when($"n_d", 4L)
+      .when($"c_d", 5L)
+      .otherwise(Survived)
+    val dropCounts = flagged
+      .join(exactDrop.withColumn("x_d", lit(true)), Seq("doc_id"), "left")
+      .join(nearDrop.withColumn("n_d", lit(true)), Seq("doc_id"), "left")
+      .join(contamDrop.withColumn("c_d", lit(true)), Seq("doc_id"), "left")
+      .select(coalesce($"x_d", lit(false)).as("x_d"),
+        coalesce($"n_d", lit(false)).as("n_d"),
+        coalesce($"c_d", lit(false)).as("c_d"),
+        $"is_eval", $"lang_ok", $"q_ok")
+      .groupBy(stageNo.as("stage_no")).agg(count(lit(1)).as("n_dropped"))
+
+    // Blocks actually emitted: contiguous per split, so the count is
+    // ceil(Σ ntok / seqLen) per split — no window needed for the tally.
+    val nBlocks = curated.groupBy($"split").agg(sum($"ntok").as("s"))
+      .agg(coalesce(sum(floor(($"s" + seqLen - 1) / seqLen).cast("long")),
+        lit(0L)).as("nb"))
+
+    val spine = Seq(
+      0L -> "eval_holdout", 1L -> "langid", 2L -> "quality",
+      3L -> "exact_dedup", 4L -> "near_dup", 5L -> "decontaminate")
+      .toDF("stage_no", "stage")
+    val wAll = Window.orderBy($"stage_no")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wBefore = Window.orderBy($"stage_no")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val funnel = spine
+      .join(dropCounts, Seq("stage_no"), "left")
+      .withColumn("n_dropped", coalesce($"n_dropped", lit(0L)))
+      // total corpus size = drops across all stages + survivors; the
+      // survivor row (stage_no = Survived) is carried into the window
+      // frame by the union below, then filtered back out
+      .unionByName(dropCounts.filter($"stage_no" === Survived)
+        .withColumn("stage", lit("__survived")))
+      .withColumn("total", sum($"n_dropped").over(wAll))
+      .withColumn("n_in", $"total" - coalesce(sum(
+        when($"stage_no" =!= Survived, $"n_dropped")).over(wBefore), lit(0L)))
+      .filter($"stage_no" =!= Survived)
+      .select($"stage_no", $"stage", $"n_in",
+        ($"n_in" - $"n_dropped").as("n_out"))
+
+    val survivors = funnel.filter($"stage_no" === 5L)
+      .select($"n_out".as("n_surv"))
+    val tail = survivors.crossJoin(nBlocks).select(
+      lit(6L).as("stage_no"), lit("split").as("stage"),
+      $"n_surv".as("n_in"), $"n_surv".as("n_out"))
+      .unionByName(survivors.crossJoin(nBlocks).select(
+        lit(7L).as("stage_no"), lit("pack").as("stage"),
+        $"n_surv".as("n_in"), $"nb".as("n_out")))
+
+    Result(curated, funnel.unionByName(tail))
+  }
+
+  /** Sentinel stage_no for docs that survive every drop stage. */
+  private val Survived = 99L
+}

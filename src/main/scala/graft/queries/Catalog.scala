@@ -3063,53 +3063,19 @@ object Catalog {
     // join.
     Query(
       "q98_prefix_filter_neardup",
+      // Round 8: the PPJoin machinery is factored into
+      // operators.PPJoin.similarPairs (unchanged logic, hash-verified)
+      // so PretrainPipeline's near-dup stage reuses it. Measured at
+      // sf0.1: 409k → 125k candidates before the exact-verify join.
+      // (localCheckpoint of the diamond-reused frames was tried and
+      // rejected: the materialization + lost stats cost more than the
+      // recomputed lineage here.)
       (s, dir) => {
         import s.implicits._
-        val thr = 0.5
-        val docs = t(s, dir, "documents")
-          .select($"doc_id", array_distinct(TF.shingles($"text", 3)).as("sh"))
-        val ex = docs.select($"doc_id", size($"sh").as("n"), explode($"sh").as("shingle"))
-        val dfreq = ex.groupBy($"shingle").agg(count(lit(1)).as("df"))
-        val prefix = ex.join(dfreq, "shingle")
-          .withColumn("rn", row_number().over(
-            Window.partitionBy($"doc_id").orderBy($"df", $"shingle")))
-          .filter($"rn" <= $"n" - ceil($"n" * thr) + 1)
-          .select($"doc_id", $"n", $"rn", $"shingle")
-        // PPJoin pruning on top of the prefix match (both sound for
-        // J ≥ t, proofs in the PPJoin paper): the size filter
-        // (t·|B| ≤ |A| ≤ |B|/t) and the positional filter — the first
-        // shared token at ranks (i, j) caps the overlap at
-        // 1 + min(|A|−i, |B|−j), which must reach ⌈t/(1+t)·(|A|+|B|)⌉.
-        // Measured at sf0.1: 409k → 125k candidates before the
-        // exact-verify join, whose set ops dominate the query.
-        // (localCheckpoint of the diamond-reused frames was tried and
-        // rejected: the materialization + lost stats cost more than
-        // the recomputed lineage here.)
-        val cand = prefix.as("a").join(prefix.as("b"),
-            $"a.shingle" === $"b.shingle" && $"a.doc_id" < $"b.doc_id" &&
-            $"a.n" >= $"b.n" * thr && $"b.n" >= $"a.n" * thr &&
-            least($"a.n" - $"a.rn", $"b.n" - $"b.rn") + 1 >=
-              ceil(($"a.n" + $"b.n") * (thr / (1 + thr))))
-          .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
-          .dropDuplicates("doc_a", "doc_b")
-        // Verify set ops run over xxhash64'd shingles: long compares
-        // instead of ~20-char string compares, and 8-byte elements
-        // through the join. Set sizes are unchanged unless two
-        // distinct shingles of one corpus collide in 64 bits
-        // (P ≈ |shingles|²/2⁶⁵ ≈ 5e-8 here — far below the 1e-4
-        // rounding of the reported jaccard). Each doc's hashes are
-        // sorted ONCE (doc grain) so the per-PAIR verify is a single
-        // allocation-free sorted-merge pass (JaccardSortedLongs)
-        // instead of array_intersect+array_union's two hash sets and
-        // two materialized arrays per candidate.
-        val docsH = docs.select($"doc_id",
-          array_sort(transform($"sh", x => xxhash64(x))).as("hh"))
-        val sa = docsH.select($"doc_id".as("doc_a"), $"hh".as("sha"))
-        val sb = docsH.select($"doc_id".as("doc_b"), $"hh".as("shb"))
-        cand.join(sa, "doc_a").join(sb, "doc_b")
-          .withColumn("jaccard",
-            graft.functions.JaccardSortedLongs($"sha", $"shb"))
-          .filter($"jaccard" >= thr)
+        graft.operators.PPJoin.similarPairs(
+            t(s, dir, "documents")
+              .select($"doc_id", array_distinct(TF.shingles($"text", 3)).as("sh")),
+            "doc_id", "sh", thr = 0.5)
           .select($"doc_a", $"doc_b", round($"jaccard", 4).as("jaccard_r"))
           .orderBy($"doc_a", $"doc_b")
       },
@@ -6127,7 +6093,97 @@ object Catalog {
              |       sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)::BIGINT AS n_bounces,
              |       round(sum(CASE WHEN n_events = 1 THEN 1.0 ELSE 0.0 END) / count(*), 4)
              |         AS bounce_rate_r
-             |FROM sess GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM sess GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Q166: the full pretraining-data curation funnel END-TO-END
+    // (pipelines.PretrainPipeline): eval holdout → langid → quality →
+    // exact dedup → PPJoin near-dup → decontamination → split → pack,
+    // every stage the SAME oracle-verified machinery as its standalone
+    // query (q74/q18/q142/q12/q98/q43/q77). Output is the per-stage
+    // manifest (n_in/n_out funnel), computed as ONE hash-aggregate
+    // over first-drop-stage flags — no per-stage recount passes. The
+    // oracle chains the per-stage SQL verbatim, so this hash-checks
+    // the COMPOSITION, not just the stages.
+    Query(
+      "q166_pretrain_funnel",
+      (s, dir) => {
+        import s.implicits._
+        graft.pipelines.PretrainPipeline.run(t(s, dir, "documents"))
+          .manifest.orderBy($"stage_no")
+      },
+      Some("""WITH tk AS (SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS tk
+             |            FROM documents),
+             |f AS (SELECT doc_id, text, tk,
+             |        doc_id % 97 = 0 AS is_eval,
+             |        (len(regexp_extract_all(lower(text), '\b(the|a|of|and|to)\b')) >=
+             |           len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist)\b'))
+             |         AND len(regexp_extract_all(lower(text), '\b(the|a|of|and|to)\b')) >=
+             |           len(regexp_extract_all(lower(text), '\b(le|la|et|les|est)\b'))
+             |         AND len(regexp_extract_all(lower(text), '\b(the|a|of|and|to)\b')) > 0)
+             |          AS lang_ok,
+             |        (len(tk) BETWEEN 20 AND 1000
+             |         AND length(regexp_replace(text, '\s', '', 'g'))::DOUBLE / len(tk)
+             |               BETWEEN 4.0 AND 6.5
+             |         AND len(list_distinct(tk))::DOUBLE / len(tk) >= 0.45
+             |         AND len(list_intersect(tk, ['the','of','and','to','in'])) >= 1) AS q_ok
+             |      FROM tk),
+             |s2 AS (SELECT doc_id, text, tk FROM f WHERE NOT is_eval AND lang_ok AND q_ok),
+             |ex AS (SELECT doc_id, text, tk, row_number() OVER (
+             |         PARTITION BY md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))
+             |         ORDER BY doc_id) AS rn FROM s2),
+             |s3 AS (SELECT doc_id, text, tk FROM ex WHERE rn = 1),
+             |g3 AS (SELECT doc_id, unnest(list_distinct(list_transform(
+             |         generate_series(1, len(tk) - 4),
+             |         i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' ||
+             |              tk[i+3] || ' ' || tk[i+4]))) AS g FROM s3),
+             |sz AS (SELECT doc_id, count(*) AS n FROM g3 GROUP BY 1),
+             |pr AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+             |       FROM g3 a JOIN g3 b ON a.g = b.g AND a.doc_id < b.doc_id
+             |       GROUP BY 1, 2),
+             |nd AS (SELECT DISTINCT db AS doc_id
+             |       FROM pr JOIN sz sa ON sa.doc_id = pr.da
+             |               JOIN sz sb ON sb.doc_id = pr.db
+             |       WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.5),
+             |s4 AS (SELECT * FROM s3 WHERE doc_id NOT IN (SELECT doc_id FROM nd)),
+             |eg AS (SELECT DISTINCT unnest(list_distinct(list_transform(
+             |         generate_series(1, len(tk) - 4),
+             |         i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' ||
+             |              tk[i+3] || ' ' || tk[i+4]))) AS g
+             |       FROM f WHERE is_eval),
+             |g4 AS (SELECT doc_id, unnest(list_distinct(list_transform(
+             |         generate_series(1, len(tk) - 4),
+             |         i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' ||
+             |              tk[i+3] || ' ' || tk[i+4]))) AS g FROM s4),
+             |cd AS (SELECT g4.doc_id FROM g4 JOIN eg USING (g)
+             |       GROUP BY 1 HAVING count(*) >= 3),
+             |s5 AS (SELECT doc_id, text, len(tk)::BIGINT AS ntok FROM s4
+             |       WHERE doc_id NOT IN (SELECT doc_id FROM cd)),
+             |sp AS (SELECT doc_id, ntok,
+             |         CASE WHEN ('0x' || substr(md5(text), 1, 4))::BIGINT % 10 = 0
+             |              THEN 'val' ELSE 'train' END AS split FROM s5),
+             |nb AS (SELECT coalesce(sum((s + 2047) // 2048), 0)::BIGINT AS nb
+             |       FROM (SELECT split, sum(ntok) AS s FROM sp GROUP BY 1)),
+             |c AS (SELECT
+             |        (SELECT count(*) FROM f) AS c_base,
+             |        (SELECT count(*) FROM f WHERE NOT is_eval) AS c0,
+             |        (SELECT count(*) FROM f WHERE NOT is_eval AND lang_ok) AS c1,
+             |        (SELECT count(*) FROM s2) AS c2,
+             |        (SELECT count(*) FROM s3) AS c3,
+             |        (SELECT count(*) FROM s4) AS c4,
+             |        (SELECT count(*) FROM s5) AS c5,
+             |        (SELECT nb FROM nb) AS c7)
+             |SELECT stage_no, stage, n_in, n_out FROM (
+             |  SELECT 0::BIGINT AS stage_no, 'eval_holdout' AS stage,
+             |         c_base::BIGINT AS n_in, c0::BIGINT AS n_out FROM c
+             |  UNION ALL SELECT 1, 'langid', c0, c1 FROM c
+             |  UNION ALL SELECT 2, 'quality', c1, c2 FROM c
+             |  UNION ALL SELECT 3, 'exact_dedup', c2, c3 FROM c
+             |  UNION ALL SELECT 4, 'near_dup', c3, c4 FROM c
+             |  UNION ALL SELECT 5, 'decontaminate', c4, c5 FROM c
+             |  UNION ALL SELECT 6, 'split', c5, c5 FROM c
+             |  UNION ALL SELECT 7, 'pack', c5, c7 FROM c)
+             |ORDER BY stage_no""".stripMargin))
   )
 
   val byName: Map[String, Query] = all.map(q => q.name -> q).toMap
