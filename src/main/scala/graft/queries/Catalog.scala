@@ -6183,7 +6183,65 @@ object Catalog {
              |  UNION ALL SELECT 5, 'decontaminate', c4, c5 FROM c
              |  UNION ALL SELECT 6, 'split', c5, c5 FROM c
              |  UNION ALL SELECT 7, 'pack', c5, c7 FROM c)
-             |ORDER BY stage_no""".stripMargin))
+             |ORDER BY stage_no""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Q167: declarative data-constraint audit (quality.ConstraintAudit)
+    // — the pre-publish contract gate: not-null / range / accepted /
+    // predicate constraints fold into ONE shared aggregate pass (a new
+    // constraint is a new agg column, not a new scan); uniqueness is a
+    // key-grain hash-agg; referential integrity is an anti-join probe
+    // against the (broadcastable) dimension key set. The horizon and
+    // quantity rules are deliberately tight so the audit REPORTS
+    // violations — the output is the report, not an assertion.
+    Query(
+      "q167_constraint_audit",
+      (s, dir) => {
+        import s.implicits._
+        import graft.quality.ConstraintAudit._
+        audit(t(s, dir, "lineitem"), Seq(
+            NotNull("l_orderkey"),
+            InRange("l_discount", 0.0, 0.1),
+            InRange("l_quantity", 1.0, 49.0),
+            Accepted("l_returnflag", Seq("A", "N", "R")),
+            Satisfies("shipdate_in_horizon",
+              $"l_shipdate" < lit("2001-01-01").cast("timestamp")),
+            Unique(Seq("l_orderkey", "l_linenumber")),
+            RefIntegrity("l_orderkey", t(s, dir, "orders"), "o_orderkey")))
+          .orderBy($"constraint")
+      },
+      Some("""SELECT "constraint", checked, violations, violations = 0 AS pass FROM (
+             |  SELECT 'not_null(l_orderkey)' AS "constraint",
+             |         count(*)::BIGINT AS checked,
+             |         sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END)::BIGINT
+             |           AS violations FROM lineitem
+             |  UNION ALL SELECT 'range(l_discount,0.0,0.1)', count(*)::BIGINT,
+             |    sum(CASE WHEN l_discount IS NULL OR l_discount < 0.0
+             |             OR l_discount > 0.1 THEN 1 ELSE 0 END)::BIGINT
+             |    FROM lineitem
+             |  UNION ALL SELECT 'range(l_quantity,1.0,49.0)', count(*)::BIGINT,
+             |    sum(CASE WHEN l_quantity IS NULL OR l_quantity < 1.0
+             |             OR l_quantity > 49.0 THEN 1 ELSE 0 END)::BIGINT
+             |    FROM lineitem
+             |  UNION ALL SELECT 'accepted(l_returnflag)', count(*)::BIGINT,
+             |    sum(CASE WHEN l_returnflag IS NULL
+             |             OR l_returnflag NOT IN ('A','N','R') THEN 1 ELSE 0 END)::BIGINT
+             |    FROM lineitem
+             |  UNION ALL SELECT 'satisfies(shipdate_in_horizon)', count(*)::BIGINT,
+             |    sum(CASE WHEN NOT coalesce(l_shipdate < TIMESTAMP '2001-01-01',
+             |                               FALSE) THEN 1 ELSE 0 END)::BIGINT
+             |    FROM lineitem
+             |  UNION ALL SELECT 'unique(l_orderkey,l_linenumber)', count(*)::BIGINT,
+             |    (count(*) - count(DISTINCT (l_orderkey, l_linenumber)))::BIGINT
+             |    FROM lineitem
+             |  UNION ALL SELECT 'ref(l_orderkey)', count(*)::BIGINT,
+             |    sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)::BIGINT
+             |    FROM (SELECT l.l_orderkey, o.o_orderkey
+             |          FROM lineitem l
+             |          LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+             |            ON l.l_orderkey = o.o_orderkey
+             |          WHERE l.l_orderkey IS NOT NULL))
+             |ORDER BY "constraint"""".stripMargin))
   )
 
   val byName: Map[String, Query] = all.map(q => q.name -> q).toMap
