@@ -6241,7 +6241,40 @@ object Catalog {
              |          LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
              |            ON l.l_orderkey = o.o_orderkey
              |          WHERE l.l_orderkey IS NOT NULL))
-             |ORDER BY "constraint"""".stripMargin))
+             |ORDER BY "constraint"""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Q168: data-mixture rebalance plan (pipelines.MixturePlan) — per
+    // source: current token share, uniform target share, planned
+    // tokens under a half-corpus budget, and the keep rate / epoch
+    // factor a mixture designer acts on. One source-grain hash-agg;
+    // the share window runs over the ≤|sources| aggregated frame.
+    // Deterministic application (md5-uniform keep, q76's scheme, no
+    // rand()) is MixturePlan.apply, spec-covered.
+    Query(
+      "q168_mixture_plan",
+      (s, dir) => {
+        import s.implicits._
+        graft.pipelines.MixturePlan.uniform(
+            t(s, dir, "documents"), TF.tokenCount($"text"), budgetFraction = 0.5)
+          .orderBy($"source")
+      },
+      Some("""WITH d AS (SELECT source,
+             |             len(string_split_regex(trim(text), '\s+'))::BIGINT AS ntok
+             |           FROM documents),
+             |s AS (SELECT source, count(*) AS n_docs, sum(ntok) AS n_toks
+             |      FROM d GROUP BY 1),
+             |t AS (SELECT *, sum(n_toks) OVER () AS total_toks,
+             |             count(*) OVER () AS n_sources FROM s),
+             |p AS (SELECT *, floor(0.5 * total_toks / n_sources)::BIGINT
+             |               AS target_toks FROM t)
+             |SELECT source, n_docs::BIGINT AS n_docs, n_toks::BIGINT AS n_toks,
+             |       round(n_toks::DOUBLE / total_toks, 4) AS share_r,
+             |       round(1.0 / n_sources, 4) AS target_share_r,
+             |       least(target_toks, n_toks)::BIGINT AS planned_toks,
+             |       round(least(target_toks::DOUBLE / n_toks, 1.0), 4) AS rate_r,
+             |       round(target_toks::DOUBLE / n_toks, 4) AS epochs_r
+             |FROM p ORDER BY source""".stripMargin))
   )
 
   val byName: Map[String, Query] = all.map(q => q.name -> q).toMap
