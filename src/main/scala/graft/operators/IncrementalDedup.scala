@@ -41,7 +41,10 @@ object IncrementalDedup {
     *         ties to min id, for neardup) and j_r the rounded
     *         Jaccard (null unless neardup)
     */
-  def against(batch: DataFrame, history: DataFrame, thr: Double): DataFrame = {
+  /** @param ngram shingle width for the near tier (3 = q143's
+    *              contract; the pretrain funnel uses 5) */
+  def against(batch: DataFrame, history: DataFrame, thr: Double,
+              ngram: Int = 3): DataFrame = {
     // ---- exact tier: fingerprint probe --------------------------------
     val fpH = history.select(TF.fingerprint(col("text")).as("fp"), col("doc_id"))
       .groupBy(col("fp")).agg(min(col("doc_id")).as("hid"))
@@ -52,9 +55,9 @@ object IncrementalDedup {
     // ---- near-dup tier on the non-exact residue -----------------------
     val residue = batch.join(exact, Seq("doc_id"), "left_anti")
     val shB = residue.select(col("doc_id"),
-      array_distinct(TF.shingles(col("text"), 3)).as("sh"))
+      array_distinct(TF.shingles(col("text"), ngram)).as("sh"))
     val shH = history.select(col("doc_id"),
-      array_distinct(TF.shingles(col("text"), 3)).as("sh"))
+      array_distinct(TF.shingles(col("text"), ngram)).as("sh"))
 
     def exploded(sh: DataFrame) = sh.select(
       col("doc_id"), size(col("sh")).as("n"), explode(col("sh")).as("shingle"))

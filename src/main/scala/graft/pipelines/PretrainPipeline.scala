@@ -69,32 +69,8 @@ object PretrainPipeline {
     def pin(df: DataFrame): DataFrame =
       if (materialize) df.localCheckpoint(eager = false) else df
 
-    // --- row-local flags (one scan; q18 + q142 semantics) -----------
-    def score(markers: Seq[String]) =
-      size(regexp_extract_all(lower($"text"),
-        lit("\\b(" + markers.mkString("|") + ")\\b"), lit(0))).cast("long")
-    val en = Seq("the", "a", "of", "and", "to")
-    val de = Seq("der", "die", "das", "und", "ist")
-    val fr = Seq("le", "la", "et", "les", "est")
-    val stop = array(Seq("the", "of", "and", "to", "in").map(lit): _*)
-
-    val flagged = pin(docs
-      .select($"doc_id", $"lang", $"source", $"text")
-      .withColumn("is_eval", pmod($"doc_id", lit(evalMod)) === 0)
-      .withColumn("en_s", score(en)).withColumn("de_s", score(de))
-      .withColumn("fr_s", score(fr))
-      .withColumn("lang_ok", targetLang match {
-        case "en" => $"en_s" >= $"de_s" && $"en_s" >= $"fr_s" && $"en_s" > 0
-        case "de" => $"de_s" > $"en_s" && $"de_s" >= $"fr_s" && $"de_s" > 0
-        case other => throw new IllegalArgumentException(
-          s"unsupported targetLang $other (marker lists cover en/de)")
-      })
-      .withColumn("ws", TF.tokenCount($"text"))
-      .withColumn("q_ok",
-        $"ws" >= 20 && $"ws" <= 1000 &&
-        TF.avgTokenLen($"text").between(4.0, 6.5) &&
-        TF.distinctTokenRatio($"text") >= 0.45 &&
-        arrays_overlap(TF.tokens($"text"), stop)))
+    val flagged = pin(rowFlags(docs, targetLang)
+      .withColumn("is_eval", pmod($"doc_id", lit(evalMod)) === 0))
 
     // --- set stages on progressively smaller survivor frames --------
     val s2 = flagged.filter(!$"is_eval" && $"lang_ok" && $"q_ok")
@@ -198,4 +174,162 @@ object PretrainPipeline {
 
   /** Sentinel stage_no for docs that survive every drop stage. */
   private val Survived = 99L
+
+  /** Row-local gate flags shared by [[run]] and [[incremental]]: q18's
+    * marker-regex language id and q142's quality rules, computed in
+    * one scan as columns (lang_ok, q_ok, ws — plus the raw scores).
+    */
+  private def rowFlags(docs: DataFrame, targetLang: String): DataFrame = {
+    import docs.sparkSession.implicits._
+    def score(markers: Seq[String]) =
+      size(regexp_extract_all(lower($"text"),
+        lit("\\b(" + markers.mkString("|") + ")\\b"), lit(0))).cast("long")
+    val en = Seq("the", "a", "of", "and", "to")
+    val de = Seq("der", "die", "das", "und", "ist")
+    val fr = Seq("le", "la", "et", "les", "est")
+    val stop = array(Seq("the", "of", "and", "to", "in").map(lit): _*)
+    docs
+      .select($"doc_id", $"lang", $"source", $"text")
+      .withColumn("en_s", score(en)).withColumn("de_s", score(de))
+      .withColumn("fr_s", score(fr))
+      .withColumn("lang_ok", targetLang match {
+        case "en" => $"en_s" >= $"de_s" && $"en_s" >= $"fr_s" && $"en_s" > 0
+        case "de" => $"de_s" > $"en_s" && $"de_s" >= $"fr_s" && $"de_s" > 0
+        case other => throw new IllegalArgumentException(
+          s"unsupported targetLang $other (marker lists cover en/de)")
+      })
+      .withColumn("ws", TF.tokenCount($"text"))
+      .withColumn("q_ok",
+        $"ws" >= 20 && $"ws" <= 1000 &&
+        TF.avgTokenLen($"text").between(4.0, 6.5) &&
+        TF.distinctTokenRatio($"text") >= 0.45 &&
+        arrays_overlap(TF.tokens($"text"), stop))
+  }
+
+  /** The DAILY-INGEST spelling of the funnel: curate a NEW batch
+    * against the already-curated history WITHOUT ever self-joining
+    * history (q143's batch-vs-history discipline, composed with the
+    * full gate set). Stages mirror [[run]] minus eval holdout (the
+    * eval set is a fixed external reference here) and minus packing
+    * (block assignment is a corpus-global layout decision — the
+    * periodic repack owns it; the delta emits ntok + split, ready to
+    * append).
+    *
+    *   1 langid + 2 quality  row-local gates on the batch only
+    *   3 exact_dedup         within-batch survivor, then a fingerprint
+    *                         PROBE of history (history text unread)
+    *   4 near_dup            within-batch PPJoin + cross-corpus
+    *                         PPJoin vs history (exact recall; history
+    *                         never pairs with itself)
+    *   5 decontaminate       vs the eval docs' 5-gram set
+    *   6 split               content-hash, identical rule to [[run]]
+    *
+    * Postcondition (spec-asserted): history-survivors ∪ additions
+    * contains no exact-duplicate fingerprints and no Jaccard-≥thr
+    * pair — the invariant a curated corpus must keep under ingestion.
+    */
+  def incremental(batch: DataFrame, history: DataFrame, evalDocs: DataFrame,
+                  targetLang: String = "en",
+                  jaccardThr: Double = 0.5,
+                  contamMinShared: Long = 3L,
+                  materialize: Boolean = true): Result = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    def pin(df: DataFrame): DataFrame =
+      if (materialize) df.localCheckpoint(eager = false) else df
+
+    val flagged = pin(rowFlags(batch, targetLang))
+    val s2 = flagged.filter($"lang_ok" && $"q_ok").select($"doc_id", $"text")
+
+    // Cross-corpus verdicts come from IncrementalDedup (q143's
+    // machinery): exact tier probes history's fingerprints, near tier
+    // is the cross-corpus PPJoin — history NEVER pairs with itself
+    // (its own curation already guaranteed no internal pair; the
+    // asymmetry is what keeps per-batch cost batch-sized).
+    val crossRaw = graft.operators.IncrementalDedup.against(
+      s2, history.select($"doc_id", $"text"), jaccardThr, ngram = 5)
+    val cross = pin(crossRaw)
+
+    // exact: within-batch fingerprint survivor + cross-exact matches
+    val exRanked = s2.withColumn("rn", row_number().over(
+      Window.partitionBy(TF.fingerprint($"text")).orderBy($"doc_id")))
+    val exactDrop = pin(exRanked.filter($"rn" > 1).select($"doc_id")
+      .unionByName(cross.filter($"verdict" === "exact").select($"doc_id"))
+      .distinct())
+    val s3 = pin(s2.join(exactDrop, Seq("doc_id"), "left_anti"))
+
+    // near: within-batch PPJoin over the exact survivors + cross
+    // near-dups vs history
+    val withinNear = graft.operators.PPJoin.similarPairs(
+        s3.select($"doc_id", array_distinct(TF.shingles($"text", 5)).as("sh")),
+        "doc_id", "sh", jaccardThr)
+      .select($"doc_b".as("doc_id"))
+    val nearDrop = pin(withinNear
+      .unionByName(cross.filter($"verdict" === "neardup").select($"doc_id"))
+      .distinct()
+      // cross verdicts were computed on s2; only drops that survived
+      // the exact stage count as near-dup drops here
+      .join(s3.select($"doc_id"), Seq("doc_id"), "left_semi"))
+    val s4 = s3.join(nearDrop, Seq("doc_id"), "left_anti")
+
+    val evalGrams = evalDocs
+      .select(explode(array_distinct(TF.shingles($"text", 5))).as("g"))
+      .distinct()
+    val contamDrop = pin(s4
+      .select($"doc_id", explode(array_distinct(TF.shingles($"text", 5))).as("g"))
+      .join(broadcast(evalGrams), Seq("g"))
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_shared"))
+      .filter($"n_shared" >= contamMinShared)
+      .select($"doc_id"))
+    val s5 = s4.join(contamDrop, Seq("doc_id"), "left_anti")
+
+    val curated = s5.select($"doc_id")
+      .join(flagged.select($"doc_id", $"lang", $"source", $"ws", $"text"), "doc_id")
+      .withColumn("split",
+        when(TF.stableBucket($"text", 10) === 0, "val").otherwise("train"))
+      .select($"doc_id", $"lang", $"source", $"split", $"ws".as("ntok"))
+
+    val stageNo = when(!$"lang_ok", 1L)
+      .when(!$"q_ok", 2L)
+      .when($"x_d", 3L)
+      .when($"n_d", 4L)
+      .when($"c_d", 5L)
+      .otherwise(Survived)
+    val dropCounts = flagged
+      .join(exactDrop.withColumn("x_d", lit(true)), Seq("doc_id"), "left")
+      .join(nearDrop.withColumn("n_d", lit(true)), Seq("doc_id"), "left")
+      .join(contamDrop.withColumn("c_d", lit(true)), Seq("doc_id"), "left")
+      .select(coalesce($"x_d", lit(false)).as("x_d"),
+        coalesce($"n_d", lit(false)).as("n_d"),
+        coalesce($"c_d", lit(false)).as("c_d"),
+        $"lang_ok", $"q_ok")
+      .groupBy(stageNo.as("stage_no")).agg(count(lit(1)).as("n_dropped"))
+
+    val spine = Seq(
+      1L -> "langid", 2L -> "quality", 3L -> "exact_dedup",
+      4L -> "near_dup", 5L -> "decontaminate")
+      .toDF("stage_no", "stage")
+    val wAll = Window.orderBy($"stage_no")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wBefore = Window.orderBy($"stage_no")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val funnel = spine
+      .join(dropCounts, Seq("stage_no"), "left")
+      .withColumn("n_dropped", coalesce($"n_dropped", lit(0L)))
+      .unionByName(dropCounts.filter($"stage_no" === Survived)
+        .withColumn("stage", lit("__survived")))
+      .withColumn("total", sum($"n_dropped").over(wAll))
+      .withColumn("n_in", $"total" - coalesce(sum(
+        when($"stage_no" =!= Survived, $"n_dropped")).over(wBefore), lit(0L)))
+      .filter($"stage_no" =!= Survived)
+      .select($"stage_no", $"stage", $"n_in",
+        ($"n_in" - $"n_dropped").as("n_out"))
+    val survivors = funnel.filter($"stage_no" === 5L)
+      .select($"n_out".as("n_surv"))
+    val tail = survivors.select(
+      lit(6L).as("stage_no"), lit("split").as("stage"),
+      $"n_surv".as("n_in"), $"n_surv".as("n_out"))
+
+    Result(curated, funnel.unionByName(tail))
+  }
 }

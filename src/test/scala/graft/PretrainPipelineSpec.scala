@@ -104,4 +104,56 @@ class PretrainPipelineSpec extends SparkSpec {
     assert(result.curated.columns.toSet ==
       Set("doc_id", "lang", "source", "split", "ntok", "start_block", "end_block"))
   }
+
+  test("incremental with empty history reproduces the batch funnel") {
+    import spark.implicits._
+    val evalDocs = docs.filter(pmod($"doc_id", lit(97L)) === 0)
+    val batch = docs.filter(pmod($"doc_id", lit(97L)) =!= 0)
+    val inc = PretrainPipeline.incremental(
+      batch, history = docs.filter(lit(false)), evalDocs = evalDocs)
+    val incManifest = inc.manifest.orderBy("stage_no").collect()
+    // stages 1..6 of the full run (which differs only by holding out
+    // the SAME eval docs itself at stage 0)
+    assert(incManifest.map(r => (r.getLong(0), r.getString(1),
+        r.getLong(2), r.getLong(3))).toSeq ==
+      manifest.slice(1, 7).map(r => (r.getLong(0), r.getString(1),
+        r.getLong(2), r.getLong(3))).toSeq)
+    val full = curated.select($"doc_id", $"split")
+    val got = inc.curated.select($"doc_id", $"split")
+    assert(full.exceptAll(got).count() == 0)
+    assert(got.exceptAll(full).count() == 0)
+  }
+
+  test("ingesting in two phases keeps the corpus invariant clean") {
+    import spark.implicits._
+    val evalDocs = docs.filter(pmod($"doc_id", lit(97L)) === 0)
+    val rest = docs.filter(pmod($"doc_id", lit(97L)) =!= 0)
+    val mid = rest.agg(expr("percentile_approx(doc_id, 0.5)")).head.getLong(0)
+    val a = rest.filter($"doc_id" <= mid)
+    val b = rest.filter($"doc_id" > mid)
+    val ra = PretrainPipeline.incremental(a, docs.filter(lit(false)), evalDocs)
+    val histA = docs.join(ra.curated.select($"doc_id"), "doc_id")
+      .select($"doc_id", $"text")
+    val rb = PretrainPipeline.incremental(b, histA, evalDocs)
+    val unionIds = ra.curated.select($"doc_id")
+      .unionByName(rb.curated.select($"doc_id"))
+    val sv = docs.join(unionIds, "doc_id").cache()
+    try {
+      // the invariant a curated corpus must keep under ingestion:
+      val n = sv.count()
+      assert(n > 0)
+      assert(sv.select(TF.fingerprint($"text")).distinct().count() == n,
+        "exact duplicate crossed a batch boundary")
+      val pairs = graft.operators.PPJoin.similarPairs(
+        sv.select($"doc_id", array_distinct(TF.shingles($"text", 5)).as("sh")),
+        "doc_id", "sh", 0.5)
+      assert(pairs.count() == 0, "near-dup pair crossed a batch boundary")
+      // batch-2 manifest chains like the batch-1 one
+      val mb = rb.manifest.orderBy("stage_no").collect()
+      (1 until mb.length).foreach { k =>
+        if (mb(k).getLong(0) <= 5)
+          assert(mb(k).getLong(2) == mb(k - 1).getLong(3))
+      }
+    } finally sv.unpersist()
+  }
 }
