@@ -369,6 +369,15 @@ object ScaleSmoke {
         .filter($"ham" <= 6)
         .count()
     }
+    // full curation funnel — q166's plan on the replicated corpus:
+    // byte-identical replicas are the WORST duplicate load, and the
+    // funnel's exact-dedup stage absorbs them before the expensive
+    // PPJoin ever sees them — near-dup input stays ~1x-corpus-sized
+    // however many exact copies arrive. The end-to-end cost should
+    // track the row-local scan, not the pair stages.
+    time(s"pretrain_funnel_${factor}x") {
+      graft.pipelines.PretrainPipeline.run(docs).manifest.count()
+    }
     // BPE training shape — operators.BpeTrain: the corpus-scale work
     // is ONE token-count pass; replication multiplies corpus rows but
     // the VOCABULARY (distinct words) is unchanged, so the 3 training
