@@ -279,15 +279,28 @@ object CdcStream {
     * kafka-shaped records through that same decode + merge pipeline,
     * so only the connector's `.load()` itself is environment-blocked.
     */
+  /** The exact option map [[runKafkaStream]] hands the kafka reader —
+    * a pure function so the one piece of this path that CANNOT run in
+    * the jar-less sandbox (the connector `.load()`) has its wiring
+    * pinned by spec anyway: reference `application.yaml:10-12` dictates
+    * latest offsets (no backfill on boot) and the single CDC topic.
+    */
+  def kafkaReaderOptions(bootstrapServers: String, topic: String): Map[String, String] =
+    Map(
+      "kafka.bootstrap.servers" -> bootstrapServers,
+      "subscribe" -> topic,
+      "startingOffsets" -> "latest",
+      // a transient broker hiccup must not kill the view-maintenance
+      // query; the lsn fence + idempotent merge tolerate re-delivery
+      "failOnDataLoss" -> "false")
+
   def runKafkaStream(spark: SparkSession, bootstrapServers: String, topic: String,
                      checkpointDir: String, stateDir: String,
                      trigger: Trigger = Trigger.ProcessingTime(100),
                      deadLetterDir: Option[String] = None): StreamingQuery = {
     val raw = spark.readStream
       .format("kafka")
-      .option("kafka.bootstrap.servers", bootstrapServers)
-      .option("subscribe", topic)
-      .option("startingOffsets", "latest")
+      .options(kafkaReaderOptions(bootstrapServers, topic))
       .load()
       .selectExpr("CAST(key AS STRING) AS key", "CAST(value AS STRING) AS value")
     runDecodedStream(decodeKafka(raw), checkpointDir,

@@ -112,4 +112,15 @@ class KafkaParitySpec extends SparkSpec {
     assert(sql.contains("s.lsn > t.lsn OR (s.lsn = t.lsn AND s.ts_ms >= t.ts_ms)"))
     assert(sql.contains("WHEN NOT MATCHED THEN INSERT *"))
   }
+
+  test("kafka reader option wiring matches the reference consumer contract") {
+    val opts = graft.streaming.CdcStream.kafkaReaderOptions("broker:9092", "messages.public.messages")
+    // reference application.yaml:10-12: latest offsets, the one CDC topic
+    assert(opts("kafka.bootstrap.servers") == "broker:9092")
+    assert(opts("subscribe") == "messages.public.messages")
+    assert(opts("startingOffsets") == "latest")
+    assert(opts("failOnDataLoss") == "false")
+    // subscribe, not subscribePattern/assign - exactly one topic key
+    assert(opts.keySet.intersect(Set("subscribePattern", "assign")).isEmpty)
+  }
 }
