@@ -47,8 +47,14 @@ object PretrainPipeline {
     *                 ntok, start_block, end_block)
     * @param manifest (stage_no, stage, n_in, n_out) — 8 rows; for the
     *                 pack stage n_out is the number of emitted blocks
+    * @param stages   per-doc fate: (doc_id, source, stage_no, stage) —
+    *                 the FIRST stage that dropped the doc, or
+    *                 (99, "kept") for survivors; both the manifest and
+    *                 the by-source attrition report are aggregates of
+    *                 this one frame
     */
-  final case class Result(curated: DataFrame, manifest: DataFrame)
+  final case class Result(curated: DataFrame, manifest: DataFrame,
+                          stages: DataFrame)
 
   /** @param materialize checkpoint the two hub frames every later
     *                     stage re-reads (the flagged corpus and the
@@ -121,15 +127,23 @@ object PretrainPipeline {
       .when($"n_d", 4L)
       .when($"c_d", 5L)
       .otherwise(Survived)
-    val dropCounts = flagged
+    val stageName = map(Seq(0L -> "eval_holdout", 1L -> "langid",
+        2L -> "quality", 3L -> "exact_dedup", 4L -> "near_dup",
+        5L -> "decontaminate", Survived -> "kept")
+      .flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
+    val perDoc = flagged
       .join(exactDrop.withColumn("x_d", lit(true)), Seq("doc_id"), "left")
       .join(nearDrop.withColumn("n_d", lit(true)), Seq("doc_id"), "left")
       .join(contamDrop.withColumn("c_d", lit(true)), Seq("doc_id"), "left")
-      .select(coalesce($"x_d", lit(false)).as("x_d"),
+      .select($"doc_id", $"source",
+        coalesce($"x_d", lit(false)).as("x_d"),
         coalesce($"n_d", lit(false)).as("n_d"),
         coalesce($"c_d", lit(false)).as("c_d"),
         $"is_eval", $"lang_ok", $"q_ok")
-      .groupBy(stageNo.as("stage_no")).agg(count(lit(1)).as("n_dropped"))
+      .select($"doc_id", $"source", stageNo.as("stage_no"))
+      .withColumn("stage", element_at(stageName, $"stage_no"))
+    val dropCounts = perDoc
+      .groupBy($"stage_no").agg(count(lit(1)).as("n_dropped"))
 
     // Blocks actually emitted: contiguous per split, so the count is
     // ceil(Σ ntok / seqLen) per split — no window needed for the tally.
@@ -169,7 +183,7 @@ object PretrainPipeline {
         lit(7L).as("stage_no"), lit("pack").as("stage"),
         $"n_surv".as("n_in"), $"nb".as("n_out")))
 
-    Result(curated, funnel.unionByName(tail))
+    Result(curated, funnel.unionByName(tail), perDoc)
   }
 
   /** Sentinel stage_no for docs that survive every drop stage. */
@@ -295,15 +309,23 @@ object PretrainPipeline {
       .when($"n_d", 4L)
       .when($"c_d", 5L)
       .otherwise(Survived)
-    val dropCounts = flagged
+    val stageName = map(Seq(1L -> "langid", 2L -> "quality",
+        3L -> "exact_dedup", 4L -> "near_dup", 5L -> "decontaminate",
+        Survived -> "kept")
+      .flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
+    val perDoc = flagged
       .join(exactDrop.withColumn("x_d", lit(true)), Seq("doc_id"), "left")
       .join(nearDrop.withColumn("n_d", lit(true)), Seq("doc_id"), "left")
       .join(contamDrop.withColumn("c_d", lit(true)), Seq("doc_id"), "left")
-      .select(coalesce($"x_d", lit(false)).as("x_d"),
+      .select($"doc_id", $"source",
+        coalesce($"x_d", lit(false)).as("x_d"),
         coalesce($"n_d", lit(false)).as("n_d"),
         coalesce($"c_d", lit(false)).as("c_d"),
         $"lang_ok", $"q_ok")
-      .groupBy(stageNo.as("stage_no")).agg(count(lit(1)).as("n_dropped"))
+      .select($"doc_id", $"source", stageNo.as("stage_no"))
+      .withColumn("stage", element_at(stageName, $"stage_no"))
+    val dropCounts = perDoc
+      .groupBy($"stage_no").agg(count(lit(1)).as("n_dropped"))
 
     val spine = Seq(
       1L -> "langid", 2L -> "quality", 3L -> "exact_dedup",
@@ -330,6 +352,6 @@ object PretrainPipeline {
       lit(6L).as("stage_no"), lit("split").as("stage"),
       $"n_surv".as("n_in"), $"n_surv".as("n_out"))
 
-    Result(curated, funnel.unionByName(tail))
+    Result(curated, funnel.unionByName(tail), perDoc)
   }
 }

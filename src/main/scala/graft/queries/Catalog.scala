@@ -6274,7 +6274,94 @@ object Catalog {
              |       least(target_toks, n_toks)::BIGINT AS planned_toks,
              |       round(least(target_toks::DOUBLE / n_toks, 1.0), 4) AS rate_r,
              |       round(target_toks::DOUBLE / n_toks, 4) AS epochs_r
-             |FROM p ORDER BY source""".stripMargin))
+             |FROM p ORDER BY source""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Q169: funnel attrition BY SOURCE — which sources lose documents
+    // at which stage of the q166 curation funnel (the report a data
+    // engineer reads before deciding whether a crawl is worth
+    // re-filtering). Derived from the SAME per-doc first-drop-stage
+    // frame the q166 manifest aggregates (PretrainPipeline Result
+    // .stages) — one extra source-keyed hash-agg, zero extra funnel
+    // passes; the share window runs at (source × stage) grain.
+    Query(
+      "q169_funnel_attrition",
+      (s, dir) => {
+        import s.implicits._
+        val wSrc = Window.partitionBy($"source")
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        graft.pipelines.PretrainPipeline.run(t(s, dir, "documents")).stages
+          .groupBy($"source", $"stage_no", $"stage")
+          .agg(count(lit(1)).as("n_docs"))
+          .withColumn("frac_r",
+            round($"n_docs".cast("double") / sum($"n_docs").over(wSrc), 4))
+          .orderBy($"source", $"stage_no")
+      },
+      Some("""WITH tk AS (SELECT doc_id, source, text,
+             |              string_split_regex(trim(text), '\s+') AS tk
+             |            FROM documents),
+             |f AS (SELECT doc_id, source, text, tk,
+             |        doc_id % 97 = 0 AS is_eval,
+             |        (len(regexp_extract_all(lower(text), '\b(the|a|of|and|to)\b')) >=
+             |           len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist)\b'))
+             |         AND len(regexp_extract_all(lower(text), '\b(the|a|of|and|to)\b')) >=
+             |           len(regexp_extract_all(lower(text), '\b(le|la|et|les|est)\b'))
+             |         AND len(regexp_extract_all(lower(text), '\b(the|a|of|and|to)\b')) > 0)
+             |          AS lang_ok,
+             |        (len(tk) BETWEEN 20 AND 1000
+             |         AND length(regexp_replace(text, '\s', '', 'g'))::DOUBLE / len(tk)
+             |               BETWEEN 4.0 AND 6.5
+             |         AND len(list_distinct(tk))::DOUBLE / len(tk) >= 0.45
+             |         AND len(list_intersect(tk, ['the','of','and','to','in'])) >= 1) AS q_ok
+             |      FROM tk),
+             |s2 AS (SELECT doc_id, text, tk FROM f WHERE NOT is_eval AND lang_ok AND q_ok),
+             |ex AS (SELECT doc_id, text, tk, row_number() OVER (
+             |         PARTITION BY md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))
+             |         ORDER BY doc_id) AS rn FROM s2),
+             |s3 AS (SELECT doc_id, text, tk FROM ex WHERE rn = 1),
+             |g3 AS (SELECT doc_id, unnest(list_distinct(list_transform(
+             |         generate_series(1, len(tk) - 4),
+             |         i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' ||
+             |              tk[i+3] || ' ' || tk[i+4]))) AS g FROM s3),
+             |sz AS (SELECT doc_id, count(*) AS n FROM g3 GROUP BY 1),
+             |pr AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+             |       FROM g3 a JOIN g3 b ON a.g = b.g AND a.doc_id < b.doc_id
+             |       GROUP BY 1, 2),
+             |nd AS (SELECT DISTINCT db AS doc_id
+             |       FROM pr JOIN sz sa ON sa.doc_id = pr.da
+             |               JOIN sz sb ON sb.doc_id = pr.db
+             |       WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.5),
+             |s4 AS (SELECT * FROM s3 WHERE doc_id NOT IN (SELECT doc_id FROM nd)),
+             |eg AS (SELECT DISTINCT unnest(list_distinct(list_transform(
+             |         generate_series(1, len(tk) - 4),
+             |         i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' ||
+             |              tk[i+3] || ' ' || tk[i+4]))) AS g
+             |       FROM f WHERE is_eval),
+             |g4 AS (SELECT doc_id, unnest(list_distinct(list_transform(
+             |         generate_series(1, len(tk) - 4),
+             |         i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' ||
+             |              tk[i+3] || ' ' || tk[i+4]))) AS g FROM s4),
+             |cd AS (SELECT g4.doc_id FROM g4 JOIN eg USING (g)
+             |       GROUP BY 1 HAVING count(*) >= 3),
+             |pd AS (SELECT source,
+             |         CASE WHEN is_eval THEN 0
+             |              WHEN NOT lang_ok THEN 1
+             |              WHEN NOT q_ok THEN 2
+             |              WHEN doc_id IN (SELECT doc_id FROM ex WHERE rn > 1) THEN 3
+             |              WHEN doc_id IN (SELECT doc_id FROM nd) THEN 4
+             |              WHEN doc_id IN (SELECT doc_id FROM cd) THEN 5
+             |              ELSE 99 END AS stage_no
+             |       FROM f)
+             |SELECT source, stage_no::BIGINT AS stage_no,
+             |       CASE stage_no WHEN 0 THEN 'eval_holdout' WHEN 1 THEN 'langid'
+             |            WHEN 2 THEN 'quality' WHEN 3 THEN 'exact_dedup'
+             |            WHEN 4 THEN 'near_dup' WHEN 5 THEN 'decontaminate'
+             |            ELSE 'kept' END AS stage,
+             |       count(*)::BIGINT AS n_docs,
+             |       round(count(*)::DOUBLE /
+             |             sum(count(*)) OVER (PARTITION BY source), 4) AS frac_r
+             |FROM pd GROUP BY source, stage_no
+             |ORDER BY source, stage_no""".stripMargin))
   )
 
   val byName: Map[String, Query] = all.map(q => q.name -> q).toMap

@@ -105,6 +105,25 @@ class PretrainPipelineSpec extends SparkSpec {
       Set("doc_id", "lang", "source", "split", "ntok", "start_block", "end_block"))
   }
 
+  test("stages frame is the manifest's algebra, doc by doc") {
+    import spark.implicits._
+    val byStage = result.stages.groupBy($"stage_no").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // each funnel stage's drop count equals n_in - n_out
+    manifest.take(6).foreach { r =>
+      assert(byStage.getOrElse(r.getLong(0), 0L) == r.getLong(2) - r.getLong(3),
+        s"stage ${r.getString(1)}")
+    }
+    // survivors tagged kept, and exactly the curated docs
+    assert(byStage.getOrElse(99L, 0L) == manifest(5).getLong(3))
+    val keptIds = result.stages.filter($"stage_no" === 99).select($"doc_id")
+    assert(keptIds.exceptAll(curated.select($"doc_id")).count() == 0)
+    assert(curated.select($"doc_id").exceptAll(keptIds).count() == 0)
+    // every corpus doc appears exactly once
+    assert(result.stages.count() == docs.count())
+    assert(result.stages.select($"doc_id").distinct().count() == docs.count())
+  }
+
   test("incremental with empty history reproduces the batch funnel") {
     import spark.implicits._
     val evalDocs = docs.filter(pmod($"doc_id", lit(97L)) === 0)
