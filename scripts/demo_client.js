@@ -1,4 +1,4 @@
-#!/usr/bin/env node --experimental-websocket
+#!/usr/bin/env -S node --experimental-websocket
 // Headless driver for the CdcWebDemo page: fetches static/index.html
 // from the running demo, executes its REAL inline script under a
 // minimal DOM shim, and connects through node's browser-grade

@@ -178,8 +178,14 @@ object CosinePairs {
     require(k > 0 && iters >= 0)
     val spark = vecs.sparkSession
     import spark.implicits._
+    // pinned: every Lloyd iteration's assign(), the seed selection,
+    // and the final assignment all re-read this frame — without the
+    // checkpoint each re-read re-executes the caller's full upstream
+    // lineage, multiplying the dominant corpus-scan cost of the very
+    // path whose point is cutting compute
     val e = vecs.toDF("id", "v")
       .withColumn("nrm", sqrt(VF.dot(col("v"), col("v"))))
+      .localCheckpoint(eager = false)
     // Seedless init: k lowest-hash vectors. orderBy+limit compiles to
     // a distributed TakeOrdered — no single-partition window over the
     // corpus; the k-row label numbering window IS single-task, over

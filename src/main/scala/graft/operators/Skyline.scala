@@ -24,9 +24,10 @@ import org.apache.spark.sql.functions._
   * decomposition:
   *
   *   1. collapse to cost grain (hash agg, map-side partials);
-  *   2. range-partition the grain by cost into P partitions;
+  *   2. derive a partition id from quantile boundaries of the cost —
+  *      a pure function of the value ([[PrefixScan]]);
   *   3. LOCAL prefix max inside each partition — P parallel window
-  *      tasks of |grain|/P rows each, keyed by the range partition id;
+  *      tasks of |grain|/P rows each, keyed by that pid;
   *   4. prefix-max MERGE of the P partition maxima — the only global
   *      ordered pass in the plan, over exactly P rows;
   *   5. prefix(row) = max(local prefix, carry-in of all earlier
@@ -34,9 +35,10 @@ import org.apache.spark.sql.functions._
   *      fact rows.
   *
   * No stage orders more than |grain|/P rows; equality with the
-  * single-window form is spec-asserted (SkylineSpec), and the range
-  * partitioner keeps equal costs in one partition so the strictness
-  * of "strictly cheaper" survives the decomposition.
+  * single-window form is spec-asserted (SkylineSpec), and the
+  * value-derived pid keeps equal costs in one partition so the
+  * strictness of "strictly cheaper" survives the decomposition.
+  * `cost` must be numeric in the p > 1 path (quantile boundaries).
   */
 object Skyline {
 
@@ -58,24 +60,16 @@ object Skyline {
           .rowsBetween(Window.unboundedPreceding, -1)
         grain.withColumn("sk_prev", max(col("sk_gmax")).over(w))
       } else {
-        val parts = grain
-          .repartitionByRange(p, col("sk_c"))
-          .withColumn("sk_pid", spark_partition_id())
-        // 3. local prefix max — parallel across the P range partitions
-        val wLocal = Window.partitionBy(col("sk_pid")).orderBy(col("sk_c"))
-          .rowsBetween(Window.unboundedPreceding, -1)
-        val local = parts.withColumn("sk_lprev", max(col("sk_gmax")).over(wLocal))
-        // 4. carry-in per partition: prefix max of the partition maxima
-        //    (P rows — the only globally ordered frame in the plan)
-        val wCarry = Window.orderBy(col("sk_pid"))
-          .rowsBetween(Window.unboundedPreceding, -1)
-        val carry = parts.groupBy(col("sk_pid")).agg(max(col("sk_gmax")).as("sk_pmax"))
-          .withColumn("sk_carry", max(col("sk_pmax")).over(wCarry))
-          .select(col("sk_pid"), col("sk_carry"))
-        // 5. greatest() skips nulls: first partition has no carry-in,
-        //    first row of a partition has no local prefix
-        local.join(broadcast(carry), "sk_pid")
-          .withColumn("sk_prev", greatest(col("sk_lprev"), col("sk_carry")))
+        // 3-5 via PrefixScan: quantile-derived pids (a pure function
+        // of sk_c), local prefix max per pid, P-row carry merge. The
+        // earlier spelling derived pids from spark_partition_id()
+        // after repartitionByRange, whose SAMPLED bounds are only
+        // consistent between the local and carry branches while the
+        // planner reuses the exchange — a silent correctness
+        // dependence on spark.sql.exchange.reuse that a value-derived
+        // pid cannot have.
+        PrefixScan.scan(grain, keys = Nil, orderCol = "sk_c",
+          valueCol = "sk_gmax", out = "sk_prev", op = "max", partitions = p)
       }
 
     val ann = annotated.select(col("sk_c"), col("sk_gmax"), col("sk_prev"))

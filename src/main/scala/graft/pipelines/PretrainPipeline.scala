@@ -1,6 +1,6 @@
 package graft.pipelines
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -108,13 +108,21 @@ object PretrainPipeline {
     val s5 = s4.join(contamDrop, Seq("doc_id"), "left_anti")
 
     // --- split + pack (q43 + q77 semantics) --------------------------
-    val packW = Window.partitionBy($"split").orderBy($"doc_id")
-    val curated = s5.select($"doc_id")
+    // The packing cumsum runs through PrefixScan's two-level
+    // decomposition: a bare Window.partitionBy(split) has TWO
+    // partitions, funneling the whole curated corpus through two
+    // window tasks — the q160-class single-task regression this
+    // engine's own plan discipline polices. PrefixScan keys the local
+    // windows by (split, quantile-pid of doc_id) and merges ≤ P
+    // per-partition totals per split.
+    val curatedBase = pin(s5.select($"doc_id")
       .join(flagged.select($"doc_id", $"lang", $"source", $"ws", $"text"), "doc_id")
       .withColumn("split",
         when(TF.stableBucket($"text", 10) === 0, "val").otherwise("train"))
-      .select($"doc_id", $"lang", $"source", $"split", $"ws".as("ntok"))
-      .withColumn("cum", sum($"ntok").over(packW))
+      .select($"doc_id", $"lang", $"source", $"split", $"ws".as("ntok")))
+    val curated = graft.operators.PrefixScan.scan(
+        curatedBase, keys = Seq("split"), orderCol = "doc_id",
+        valueCol = "ntok", out = "cum", op = "sum", partitions = 32)
       .select($"doc_id", $"lang", $"source", $"split", $"ntok",
         (($"cum" - $"ntok") / seqLen).cast("long").as("start_block"),
         (($"cum" - 1) / seqLen).cast("long").as("end_block"))
@@ -127,23 +135,11 @@ object PretrainPipeline {
       .when($"n_d", 4L)
       .when($"c_d", 5L)
       .otherwise(Survived)
-    val stageName = map(Seq(0L -> "eval_holdout", 1L -> "langid",
-        2L -> "quality", 3L -> "exact_dedup", 4L -> "near_dup",
-        5L -> "decontaminate", Survived -> "kept")
-      .flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
-    val perDoc = flagged
-      .join(exactDrop.withColumn("x_d", lit(true)), Seq("doc_id"), "left")
-      .join(nearDrop.withColumn("n_d", lit(true)), Seq("doc_id"), "left")
-      .join(contamDrop.withColumn("c_d", lit(true)), Seq("doc_id"), "left")
-      .select($"doc_id", $"source",
-        coalesce($"x_d", lit(false)).as("x_d"),
-        coalesce($"n_d", lit(false)).as("n_d"),
-        coalesce($"c_d", lit(false)).as("c_d"),
-        $"is_eval", $"lang_ok", $"q_ok")
-      .select($"doc_id", $"source", stageNo.as("stage_no"))
-      .withColumn("stage", element_at(stageName, $"stage_no"))
-    val dropCounts = perDoc
-      .groupBy($"stage_no").agg(count(lit(1)).as("n_dropped"))
+    val names = Seq(0L -> "eval_holdout", 1L -> "langid", 2L -> "quality",
+      3L -> "exact_dedup", 4L -> "near_dup", 5L -> "decontaminate")
+    val perDoc = stageFrame(flagged, exactDrop, nearDrop, contamDrop,
+      stageNo, names)
+    val funnel = funnelFrame(perDoc, names)
 
     // Blocks actually emitted: contiguous per split, so the count is
     // ceil(Σ ntok / seqLen) per split — no window needed for the tally.
@@ -151,15 +147,55 @@ object PretrainPipeline {
       .agg(coalesce(sum(floor(($"s" + seqLen - 1) / seqLen).cast("long")),
         lit(0L)).as("nb"))
 
-    val spine = Seq(
-      0L -> "eval_holdout", 1L -> "langid", 2L -> "quality",
-      3L -> "exact_dedup", 4L -> "near_dup", 5L -> "decontaminate")
-      .toDF("stage_no", "stage")
+    val survivors = funnel.filter($"stage_no" === 5L)
+      .select($"n_out".as("n_surv"))
+    val tail = survivors.crossJoin(nBlocks).select(
+      lit(6L).as("stage_no"), lit("split").as("stage"),
+      $"n_surv".as("n_in"), $"n_surv".as("n_out"))
+      .unionByName(survivors.crossJoin(nBlocks).select(
+        lit(7L).as("stage_no"), lit("pack").as("stage"),
+        $"n_surv".as("n_in"), $"nb".as("n_out")))
+
+    Result(curated, funnel.unionByName(tail), perDoc)
+  }
+
+  /** Per-doc first-drop-stage frame: flag joins + the caller's stage
+    * CASE (the flag columns x_d/n_d/c_d are coalesced to false before
+    * the CASE evaluates). Shared by [[run]] and [[incremental]].
+    */
+  private def stageFrame(flagged: DataFrame, exactDrop: DataFrame,
+                         nearDrop: DataFrame, contamDrop: DataFrame,
+                         stageNo: Column, names: Seq[(Long, String)]): DataFrame = {
+    import flagged.sparkSession.implicits._
+    val stageName = map((names :+ (Survived -> "kept"))
+      .flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
+    flagged
+      .join(exactDrop.withColumn("x_d", lit(true)), Seq("doc_id"), "left")
+      .join(nearDrop.withColumn("n_d", lit(true)), Seq("doc_id"), "left")
+      .join(contamDrop.withColumn("c_d", lit(true)), Seq("doc_id"), "left")
+      .withColumn("x_d", coalesce($"x_d", lit(false)))
+      .withColumn("n_d", coalesce($"n_d", lit(false)))
+      .withColumn("c_d", coalesce($"c_d", lit(false)))
+      .select($"doc_id", $"source", stageNo.as("stage_no"))
+      .withColumn("stage", element_at(stageName, $"stage_no"))
+  }
+
+  /** Funnel rows (stage_no, stage, n_in, n_out) from the per-doc
+    * first-drop-stage frame: one hash-agg + a ≤|stages|+1-row bounded
+    * window. Shared by [[run]] and [[incremental]].
+    */
+  private def funnelFrame(perDoc: DataFrame,
+                          names: Seq[(Long, String)]): DataFrame = {
+    val spark = perDoc.sparkSession
+    import spark.implicits._
+    val dropCounts = perDoc
+      .groupBy($"stage_no").agg(count(lit(1)).as("n_dropped"))
+    val spine = names.toDF("stage_no", "stage")
     val wAll = Window.orderBy($"stage_no")
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val wBefore = Window.orderBy($"stage_no")
       .rowsBetween(Window.unboundedPreceding, -1)
-    val funnel = spine
+    spine
       .join(dropCounts, Seq("stage_no"), "left")
       .withColumn("n_dropped", coalesce($"n_dropped", lit(0L)))
       // total corpus size = drops across all stages + survivors; the
@@ -173,17 +209,6 @@ object PretrainPipeline {
       .filter($"stage_no" =!= Survived)
       .select($"stage_no", $"stage", $"n_in",
         ($"n_in" - $"n_dropped").as("n_out"))
-
-    val survivors = funnel.filter($"stage_no" === 5L)
-      .select($"n_out".as("n_surv"))
-    val tail = survivors.crossJoin(nBlocks).select(
-      lit(6L).as("stage_no"), lit("split").as("stage"),
-      $"n_surv".as("n_in"), $"n_surv".as("n_out"))
-      .unionByName(survivors.crossJoin(nBlocks).select(
-        lit(7L).as("stage_no"), lit("pack").as("stage"),
-        $"n_surv".as("n_in"), $"nb".as("n_out")))
-
-    Result(curated, funnel.unionByName(tail), perDoc)
   }
 
   /** Sentinel stage_no for docs that survive every drop stage. */
@@ -206,18 +231,23 @@ object PretrainPipeline {
       .select($"doc_id", $"lang", $"source", $"text")
       .withColumn("en_s", score(en)).withColumn("de_s", score(de))
       .withColumn("fr_s", score(fr))
-      .withColumn("lang_ok", targetLang match {
+      // coalesce(false): a null text makes every gate expression NULL,
+      // which under three-valued logic fails the survivor FILTER but
+      // would also dodge every when(!flag) branch of the manifest's
+      // first-drop-stage CASE — the doc would count as "kept" while
+      // missing from the curated output. Null gates ARE failed gates.
+      .withColumn("lang_ok", coalesce(targetLang match {
         case "en" => $"en_s" >= $"de_s" && $"en_s" >= $"fr_s" && $"en_s" > 0
         case "de" => $"de_s" > $"en_s" && $"de_s" >= $"fr_s" && $"de_s" > 0
         case other => throw new IllegalArgumentException(
           s"unsupported targetLang $other (marker lists cover en/de)")
-      })
+      }, lit(false)))
       .withColumn("ws", TF.tokenCount($"text"))
-      .withColumn("q_ok",
+      .withColumn("q_ok", coalesce(
         $"ws" >= 20 && $"ws" <= 1000 &&
         TF.avgTokenLen($"text").between(4.0, 6.5) &&
         TF.distinctTokenRatio($"text") >= 0.45 &&
-        arrays_overlap(TF.tokens($"text"), stop))
+        arrays_overlap(TF.tokens($"text"), stop), lit(false)))
   }
 
   /** The DAILY-INGEST spelling of the funnel: curate a NEW batch
@@ -309,43 +339,11 @@ object PretrainPipeline {
       .when($"n_d", 4L)
       .when($"c_d", 5L)
       .otherwise(Survived)
-    val stageName = map(Seq(1L -> "langid", 2L -> "quality",
-        3L -> "exact_dedup", 4L -> "near_dup", 5L -> "decontaminate",
-        Survived -> "kept")
-      .flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
-    val perDoc = flagged
-      .join(exactDrop.withColumn("x_d", lit(true)), Seq("doc_id"), "left")
-      .join(nearDrop.withColumn("n_d", lit(true)), Seq("doc_id"), "left")
-      .join(contamDrop.withColumn("c_d", lit(true)), Seq("doc_id"), "left")
-      .select($"doc_id", $"source",
-        coalesce($"x_d", lit(false)).as("x_d"),
-        coalesce($"n_d", lit(false)).as("n_d"),
-        coalesce($"c_d", lit(false)).as("c_d"),
-        $"lang_ok", $"q_ok")
-      .select($"doc_id", $"source", stageNo.as("stage_no"))
-      .withColumn("stage", element_at(stageName, $"stage_no"))
-    val dropCounts = perDoc
-      .groupBy($"stage_no").agg(count(lit(1)).as("n_dropped"))
-
-    val spine = Seq(
-      1L -> "langid", 2L -> "quality", 3L -> "exact_dedup",
+    val names = Seq(1L -> "langid", 2L -> "quality", 3L -> "exact_dedup",
       4L -> "near_dup", 5L -> "decontaminate")
-      .toDF("stage_no", "stage")
-    val wAll = Window.orderBy($"stage_no")
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val wBefore = Window.orderBy($"stage_no")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val funnel = spine
-      .join(dropCounts, Seq("stage_no"), "left")
-      .withColumn("n_dropped", coalesce($"n_dropped", lit(0L)))
-      .unionByName(dropCounts.filter($"stage_no" === Survived)
-        .withColumn("stage", lit("__survived")))
-      .withColumn("total", sum($"n_dropped").over(wAll))
-      .withColumn("n_in", $"total" - coalesce(sum(
-        when($"stage_no" =!= Survived, $"n_dropped")).over(wBefore), lit(0L)))
-      .filter($"stage_no" =!= Survived)
-      .select($"stage_no", $"stage", $"n_in",
-        ($"n_in" - $"n_dropped").as("n_out"))
+    val perDoc = stageFrame(flagged, exactDrop, nearDrop, contamDrop,
+      stageNo, names)
+    val funnel = funnelFrame(perDoc, names)
     val survivors = funnel.filter($"stage_no" === 5L)
       .select($"n_out".as("n_surv"))
     val tail = survivors.select(

@@ -60,6 +60,12 @@ object ConstraintAudit {
   def audit(df: DataFrame, constraints: Seq[Constraint]): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    if (constraints.isEmpty)
+      return spark.emptyDataset[(String, Long, Long, Boolean)]
+        .toDF("constraint", "checked", "violations", "pass")
+    require(constraints.map(_.name).distinct.size == constraints.size,
+      s"duplicate constraint names: ${constraints.map(_.name)
+        .groupBy(identity).collect { case (n, g) if g.size > 1 => n }.mkString(", ")}")
 
     def rowLocalViolation(c: Constraint): Option[Column] = c match {
       case NotNull(col0) => Some(col(col0).isNull)

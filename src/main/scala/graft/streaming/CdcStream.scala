@@ -497,7 +497,17 @@ object CdcStream {
   private[streaming] def healDir(p: Path): Unit = {
     val old = backupOf(p)
     if (!Files.exists(p) && Files.exists(old))
-      Files.move(old, p, StandardCopyOption.ATOMIC_MOVE)
+      try Files.move(old, p, StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        // Two readers (or a reader and the writer) can both pass the
+        // exists-checks; whoever moves second finds the backup gone
+        // and/or the live dir restored. Either way the state this
+        // heal wanted (live dir present) now holds — losing the race
+        // is success, not an error to surface out of a read path.
+        case _: java.nio.file.NoSuchFileException |
+             _: java.nio.file.FileAlreadyExistsException |
+             _: java.nio.file.DirectoryNotEmptyException => ()
+      }
   }
 
   /** The state-read gate: heal first, then report existence. For a
@@ -515,12 +525,17 @@ object CdcStream {
     * missing. A no-op on plain (non-bucketed) state dirs: parquet part
     * files never match the backup naming. */
   private[streaming] def healBuckets(root: Path): Unit =
-    if (Files.isDirectory(root))
-      Files.list(root).forEach { c =>
+    if (Files.isDirectory(root)) {
+      // Files.list holds an open directory fd until closed — and this
+      // runs on EVERY state read (statePresent), so an unclosed stream
+      // leaks one fd per poll until the JVM hits its ulimit.
+      val s = Files.list(root)
+      try s.forEach { c =>
         val n = c.getFileName.toString
         if (n.startsWith(".") && n.endsWith(".old"))
           healDir(c.resolveSibling(n.stripPrefix(".").stripSuffix(".old")))
-      }
+      } finally s.close()
+    }
 
   /** Backup path for `p`. The leading dot is load-bearing: bucketed
     * state roots are read with partition discovery
@@ -535,8 +550,10 @@ object CdcStream {
     p.resolveSibling("." + p.getFileName.toString + ".old")
 
   private[streaming] def deleteRecursively(p: Path): Unit = if (Files.exists(p)) {
-    if (Files.isDirectory(p))
-      Files.list(p).forEach(c => deleteRecursively(c))
+    if (Files.isDirectory(p)) {
+      val s = Files.list(p)
+      try s.forEach(c => deleteRecursively(c)) finally s.close()
+    }
     Files.delete(p)
   }
 

@@ -71,6 +71,15 @@ class ConstraintAuditSpec extends SparkSpec {
       s"expected ONE shared aggregate for 4 row-local constraints, got ${aggs.size}")
   }
 
+  test("empty constraint list yields an empty report; duplicates are rejected") {
+    val empty = audit(frame, Seq.empty)
+    assert(empty.count() == 0)
+    assert(empty.columns.toSeq == Seq("constraint", "checked", "violations", "pass"))
+    intercept[IllegalArgumentException] {
+      audit(frame, Seq(NotNull("id"), NotNull("id")))
+    }
+  }
+
   test("null keys in Unique group like values (surplus counted once)") {
     import spark.implicits._
     val withNullDups = Seq[java.lang.Long](null, null, 7L, 7L, 7L, 8L).toDF("id")

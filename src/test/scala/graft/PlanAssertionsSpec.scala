@@ -334,13 +334,19 @@ class PlanAssertionsSpec extends SparkSpec {
 
   test("q105: skyline prefix max is partition-parallel; only the P-row merge is global") {
     val p = plan("q105_skyline")
-    // the big ordered window must be keyed by the range-partition id —
-    // a bare Window.orderBy(price) here is a single-task WindowExec
-    // over every distinct price
-    assert("windowspecdefinition\\(sk_pid#\\d+, sk_c#\\d+ ASC".r.findFirstIn(p).isDefined,
+    // the big ordered window must be keyed by PrefixScan's
+    // quantile-derived pid — a bare Window.orderBy(price) here is a
+    // single-task WindowExec over every distinct price. (Round 8
+    // replaced repartitionByRange+spark_partition_id with the
+    // value-derived pid: the sampled range bounds were only consistent
+    // between the local and carry branches while the planner reused
+    // the exchange.)
+    assert("windowspecdefinition\\(__ps_pid#\\d+, sk_c#\\d+ ASC".r.findFirstIn(p).isDefined,
       s"grain prefix max is not partition-parallel:\n${p.take(3000)}")
-    assert(p.contains("Exchange rangepartitioning(sk_c"),
-      "grain is not range-partitioned by cost")
+    assert(p.contains("hashpartitioning(__ps_pid"),
+      "grain is not partitioned by the quantile pid")
+    assert(!p.contains("rangepartitioning(sk_c"),
+      "sampled range partitioning of the grain reappeared — pid must be value-derived")
     // exactly one SinglePartition exchange: the prefix-max merge of
     // the P partition maxima (P rows), nothing else
     assert(countOf(p, "Exchange SinglePartition") == 1,

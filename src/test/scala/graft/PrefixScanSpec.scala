@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.operators.PrefixScan
+
+/** The two-level decomposition must equal the single-window spelling
+  * exactly — sum and max, keyed and global, any partition count,
+  * including P far larger than the row count.
+  */
+class PrefixScanSpec extends SparkSpec {
+
+  private def gen(seed: Long): Seq[(String, Long, Long)] = {
+    val g = for {
+      n <- Gen.choose(0, 120)
+      rows <- Gen.listOfN(n, for {
+        k <- Gen.oneOf("a", "b", "c")
+        v <- Gen.choose(-50L, 50L)
+      } yield (k, v))
+    } yield rows.zipWithIndex.map { case ((k, v), i) => (k, i.toLong * 7, v) }
+    g.apply(Gen.Parameters.default, Seed(seed)).getOrElse(Nil)
+  }
+
+  test("prefix sum (inclusive, keyed) equals the window form") {
+    import spark.implicits._
+    (1 to 6).foreach { s =>
+      val df = gen(1000L + s).toDF("k", "ord", "v")
+      val w = Window.partitionBy($"k").orderBy($"ord")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val expect = df.withColumn("cum", sum($"v").over(w))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3))).sorted
+      Seq(1, 4, 300).foreach { p =>
+        val got = PrefixScan.scan(df, Seq("k"), "ord", "v", "cum", "sum", p)
+          .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3))).sorted
+        assert(got.toSeq == expect.toSeq, s"seed $s p=$p")
+      }
+    }
+  }
+
+  test("prefix max (exclusive, global) equals the window form") {
+    import spark.implicits._
+    (1 to 6).foreach { s =>
+      val df = gen(2000L + s).toDF("k", "ord", "v").drop("k")
+      val w = Window.orderBy($"ord")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val expect = df.withColumn("m", max($"v").over(w))
+        .collect().map(r => (r.getLong(0), if (r.isNullAt(2)) Long.MinValue else r.getLong(2))).sorted
+      Seq(1, 4, 300).foreach { p =>
+        val got = PrefixScan.scan(df, Nil, "ord", "v", "m", "max", p)
+          .collect().map(r => (r.getLong(0), if (r.isNullAt(2)) Long.MinValue else r.getLong(2))).sorted
+        assert(got.toSeq == expect.toSeq, s"seed $s p=$p")
+      }
+    }
+  }
+
+  test("pid derivation is a pure function: repartitioned input agrees") {
+    import spark.implicits._
+    val df = gen(3000L).toDF("k", "ord", "v")
+    val a = PrefixScan.scan(df, Seq("k"), "ord", "v", "cum", "sum", 8)
+      .select($"k", $"ord", $"cum")
+    val b = PrefixScan.scan(df.repartition(11), Seq("k"), "ord", "v", "cum", "sum", 8)
+      .select($"k", $"ord", $"cum")
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+  }
+}
