@@ -53,18 +53,21 @@ object PrefixScan {
       val w = frame(Window.partitionBy(keyCols: _*).orderBy(col(orderCol)))
       return df.withColumn(out, aggc(col(valueCol)).over(w))
     }
-    // pinned BEFORE the boundary action: approxQuantile is a driver
-    // action on the input, and without the checkpoint it would execute
-    // the caller's lineage once for the boundaries and again for the
-    // scan itself (measured +0.7 s on q105's grain at sf0.1)
-    val pinned = df.localCheckpoint(eager = false)
+    // The boundary action re-executes the caller's lineage once, and
+    // the local/carry branches twice more. Checkpointing here was
+    // measured SLOWER on both callers (q105 1.76→1.86 s, q160's grain
+    // ~2x) — the materialization write outweighs recomputing a cheap
+    // aggregate lineage; callers with an expensive upstream should pin
+    // their own input. Correctness never depends on the recomputes:
+    // `bounds` is collected exactly once, and pid is a pure function
+    // of (bounds, order value).
     val qs = (1 until p).map(_.toDouble / p).toArray
-    val bounds = pinned.stat.approxQuantile(orderCol, qs, 0.001).distinct.sorted
+    val bounds = df.stat.approxQuantile(orderCol, qs, 0.001).distinct.sorted
     val pidCol =
       if (bounds.isEmpty) lit(0)
       else size(filter(array(bounds.map(lit(_)): _*),
         b => b < col(orderCol).cast("double")))
-    val parts = pinned.withColumn("__ps_pid", pidCol)
+    val parts = df.withColumn("__ps_pid", pidCol)
     val wLocal = frame(Window
       .partitionBy(keyCols :+ col("__ps_pid"): _*).orderBy(col(orderCol)))
     val local = parts.withColumn("__ps_local", aggc(col(valueCol)).over(wLocal))

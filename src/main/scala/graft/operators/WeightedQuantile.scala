@@ -39,17 +39,23 @@ import org.apache.spark.sql.functions._
 object WeightedQuantile {
 
   /** Exact weighted quantile: min v with cumWeight(≤v) ≥ q·totalWeight,
-    * per group. Output: groupCols :+ `wq`. */
+    * per group. Output: groupCols :+ `wq`. The cumulative runs through
+    * [[PrefixScan]]'s two-level decomposition: with few groups (q160
+    * has 3 flags) even the grain-collapsed window holds |distinct
+    * values per group| rows in ONE task per group — near-continuous
+    * values at scale make that the same single-task funnel the grain
+    * collapse removed from the fact table. Group totals come from a
+    * hash-agg + broadcast join, not a whole-partition window. `value`
+    * must be numeric (PrefixScan's quantile boundaries). */
   def exact(df: DataFrame, groupCols: Seq[String], value: Column,
-            weight: Column, q: Double = 0.5): DataFrame = {
+            weight: Column, q: Double = 0.5,
+            partitions: Int = 32): DataFrame = {
     require(q > 0 && q <= 1, s"q must be in (0, 1], got $q")
     val g = groupCols.map(col)
     val grain = df.groupBy((g :+ value.as("v")): _*).agg(sum(weight).as("w"))
-    val win = Window.partitionBy(g: _*).orderBy(col("v"))
-    grain
-      .withColumn("cumw", sum(col("w"))
-        .over(win.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .withColumn("totw", sum(col("w")).over(Window.partitionBy(g: _*)))
+    val totals = grain.groupBy(g: _*).agg(sum(col("w")).as("totw"))
+    PrefixScan.scan(grain, groupCols, "v", "w", "cumw", "sum", partitions)
+      .join(broadcast(totals), groupCols)
       .filter(col("cumw") >= col("totw") * lit(q))
       .groupBy(g: _*)
       .agg(min(col("v")).as("wq"))

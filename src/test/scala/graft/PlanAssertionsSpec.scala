@@ -357,23 +357,29 @@ class PlanAssertionsSpec extends SparkSpec {
 
   test("q160: weighted median windows over the collapsed grain, not the fact table") {
     val p = plan("q160_weighted_median")
-    // the (flag, price) grain hash-agg must exchange BEFORE the
-    // window: without the collapse the 3-key window funnels a third of
-    // the fact table through one task each
-    assert("hashpartitioning\\(l_returnflag#\\d+, l_extendedprice#\\d+".r
-      .findFirstIn(p).isDefined,
-      s"no (flag, price) grain exchange feeding the window:\n${p.take(3000)}")
-    // exactly two hash exchanges: the grain agg + the flag-keyed
-    // window; cumw (ordered rows frame) and totw (whole partition)
-    // share the latter
-    assert(countOf(p, "Exchange hashpartitioning") == 2,
-      s"expected grain + window exchanges only:\n${p.take(3000)}")
+    // the cumulative window must be keyed by (flag, PrefixScan pid):
+    // a bare (flag)-keyed window holds |distinct prices per flag| rows
+    // in ONE task per flag — near-continuous values at scale make that
+    // the same funnel the grain collapse removed from the fact table.
+    // (The grain agg itself materializes in PrefixScan's pinned
+    // checkpoint job, upstream of this plan.)
+    assert(("windowspecdefinition\\(l_returnflag#\\d+, __ps_pid#\\d+, " +
+        "v#\\d+ ASC").r.findFirstIn(p).isDefined,
+      s"grain cumulative is not partition-parallel:\n${p.take(3000)}")
+    // group totals broadcast back — not a whole-partition window
+    assert(countOf(p, "BroadcastHashJoin") >= 2,
+      s"carry/totals joins must broadcast:\n${p.take(3000)}")
+    assert(countOf(p, "Exchange SinglePartition") == 0,
+      s"nothing in this plan may be single-partition:\n${p.take(3000)}")
     // the old row-level spelling sorted the window by (price,
     // orderkey, linenumber); the grain form never reads the tiebreak
     // columns at all
     assert(!p.contains("l_orderkey"),
       "fact-table tiebreak columns reached the plan — window is row-level again")
-    assert(!p.contains("Join"), "no join belongs in this plan")
+    // the only joins are PrefixScan's broadcast carry + the broadcast
+    // group totals — nothing shuffles for a join
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "a shuffled join crept into the grain plan")
   }
 
   test("q161: dedup savings is survivor-window + one source agg, no join") {
