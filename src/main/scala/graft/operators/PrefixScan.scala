@@ -53,12 +53,11 @@ object PrefixScan {
       val w = frame(Window.partitionBy(keyCols: _*).orderBy(col(orderCol)))
       return df.withColumn(out, aggc(col(valueCol)).over(w))
     }
-    // The boundary action re-executes the caller's lineage once, and
-    // the local/carry branches twice more. Checkpointing here was
-    // measured SLOWER on both callers (q105 1.76→1.86 s, q160's grain
-    // ~2x) — the materialization write outweighs recomputing a cheap
-    // aggregate lineage; callers with an expensive upstream should pin
-    // their own input. Correctness never depends on the recomputes:
+    // The boundary action executes the caller's lineage once (the
+    // approxQuantile collect); the pid-stamped frame below is then
+    // lazily checkpointed, so the local and carry branches compute the
+    // upstream once more between them — two total executions of the
+    // caller's lineage. Correctness never depends on the recomputes:
     // `bounds` is collected exactly once, and pid is a pure function
     // of (bounds, order value).
     val qs = (1 until p).map(_.toDouble / p).toArray
@@ -67,23 +66,41 @@ object PrefixScan {
       if (bounds.isEmpty) lit(0)
       else size(filter(array(bounds.map(lit(_)): _*),
         b => b < col(orderCol).cast("double")))
+    // Lazily checkpointed: the local and carry branches both consume
+    // this frame, and their twin hashpartitioning(keys, pid) exchanges
+    // over one shared lineage intermittently tripped AQE's stage
+    // bookkeeping (task-level INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND under
+    // concurrent query execution, ~1 in 3 runs). The checkpoint severs
+    // the shared lineage into one materialized frame — also computing
+    // the upstream exactly once for both branches.
     val parts = df.withColumn("__ps_pid", pidCol)
+      .localCheckpoint(eager = false)
     val wLocal = frame(Window
       .partitionBy(keyCols :+ col("__ps_pid"): _*).orderBy(col(orderCol)))
     val local = parts.withColumn("__ps_local", aggc(col(valueCol)).over(wLocal))
     // exclusive prefix of the per-partition totals: ≤ P rows per key
-    // group — the only globally ordered frame in the plan
+    // group — the only globally ordered frame in the plan. The carry
+    // side's output is RE-ALIASED to fresh names before the join:
+    // local and carry share the `parts` lineage, and a USING-join
+    // between identical attribute ids tripped Spark's self-join
+    // attribute dedup intermittently (INTERNAL_ERROR_ATTRIBUTE_NOT_
+    // FOUND under concurrent query execution); fresh aliases make the
+    // two sides attribute-disjoint.
     val wCarry = Window.partitionBy(keyCols: _*).orderBy(col("__ps_pid"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val carry = parts.groupBy(keyCols :+ col("__ps_pid"): _*)
       .agg(aggc(col(valueCol)).as("__ps_ptot"))
       .withColumn("__ps_carry", aggc(col("__ps_ptot")).over(wCarry))
-      .select(keyCols :+ col("__ps_pid") :+ col("__ps_carry"): _*)
+      .select(keys.map(k => col(k).as(s"__ps_k_$k")) :+
+        col("__ps_pid").as("__ps_pid_c") :+ col("__ps_carry"): _*)
+    val joinCond = keys.map(k => col(k) === col(s"__ps_k_$k"))
+      .foldLeft(col("__ps_pid") === col("__ps_pid_c"))(_ && _)
     val combined =
       if (op == "sum") col("__ps_local") + coalesce(col("__ps_carry"), lit(0L))
       else greatest(col("__ps_local"), col("__ps_carry"))
-    local.join(broadcast(carry), keys :+ "__ps_pid")
+    local.join(broadcast(carry), joinCond)
       .withColumn(out, combined)
-      .drop("__ps_pid", "__ps_local", "__ps_carry")
+      .drop(Seq("__ps_pid", "__ps_pid_c", "__ps_local", "__ps_carry") ++
+        keys.map(k => s"__ps_k_$k"): _*)
   }
 }

@@ -2093,11 +2093,30 @@ object Catalog {
     // stats: the corpus-profiling step before length-based filtering.
     Query(
       "q70_decile_stats",
+      // Round 8: ntile decomposed — rank per lang via PrefixScan over a
+      // composite numeric order (n_chars·10⁹ + doc_id reproduces the
+      // (n_chars, doc_id) tiebreak exactly while doc_id < 10⁹; larger id
+      // spaces widen the multiplier or hash-bucket first), group sizes
+      // broadcast, and
+      // ntile's bucket rule spelled in closed form: the first n mod k
+      // buckets hold ⌈n/k⌉ rows, the rest ⌊n/k⌋. Identical output; no
+      // |languages|-partition window ever sees fact-scale rows.
       (s, dir) => {
         import s.implicits._
-        val w = Window.partitionBy($"lang").orderBy($"n_chars", $"doc_id")
-        t(s, dir, "documents")
-          .withColumn("decile", ntile(10).over(w).cast("long"))
+        val base = t(s, dir, "documents")
+          .select($"lang", $"n_chars", $"doc_id",
+            ($"n_chars" * lit(1000000000L) + $"doc_id").as("ord"),
+            lit(1L).as("one"))
+        val ranked = graft.operators.PrefixScan.scan(
+          base, Seq("lang"), "ord", "one", "rk", "sum", 32)
+        val sizes = base.groupBy($"lang").agg(count(lit(1)).as("nr"))
+        val q = floor($"nr" / 10).cast("long")
+        val r = $"nr" - q * 10
+        ranked.join(broadcast(sizes), "lang")
+          .withColumn("decile",
+            when($"rk" <= r * (q + 1), floor(($"rk" - 1) / (q + 1)))
+              .otherwise(r + floor(($"rk" - 1 - r * (q + 1)) / q))
+              .cast("long") + 1)
           .groupBy($"lang", $"decile")
           .agg(count(lit(1)).as("n"),
             min($"n_chars").as("min_chars"),
@@ -2338,12 +2357,15 @@ object Catalog {
     // the stream id, not a sequential driver loop.
     Query(
       "q77_sequence_pack",
+      // Round 8: the running sum goes through PrefixScan — a bare
+      // (lang)-keyed window has |languages| partitions of corpus-scale
+      // width, the q160-class funnel. Same result, hash-green.
       (s, dir) => {
         import s.implicits._
-        val w = Window.partitionBy($"lang").orderBy($"doc_id")
-        t(s, dir, "documents")
-          .select($"doc_id", $"lang", TF.tokenCount($"text").as("ntok"))
-          .withColumn("cum", sum($"ntok").over(w))
+        graft.operators.PrefixScan.scan(
+            t(s, dir, "documents")
+              .select($"doc_id", $"lang", TF.tokenCount($"text").as("ntok")),
+            Seq("lang"), "doc_id", "ntok", "cum", "sum", 32)
           .select($"doc_id", $"lang", $"ntok",
             (($"cum" - $"ntok") / 2048).cast("long").as("start_block"),
             (($"cum" - 1) / 2048).cast("long").as("end_block"))
@@ -5683,12 +5705,22 @@ object Catalog {
       "q157_cdf_normalize",
       (s, dir) => {
         import s.implicits._
+        // Round 8: cume_dist decomposed — collapse to (source, score)
+        // grain, inclusive cum of tie counts via PrefixScan, divide by
+        // the broadcast group total. Identical to cume_dist (all tied
+        // rows carry the full count of rows ≤ their score); no
+        // |sources|-partition window ever sees fact-scale rows.
         val toks = TF.tokens($"text")
         val sc = t(s, dir, "documents")
           .select($"doc_id", $"source",
             (size(array_distinct(toks)).cast("double") / size(toks)).as("score"))
-        sc.withColumn("pct",
-            cume_dist().over(Window.partitionBy($"source").orderBy($"score")))
+        val grain = sc.groupBy($"source", $"score").agg(count(lit(1)).as("cnt"))
+        val cum = graft.operators.PrefixScan.scan(
+          grain, Seq("source"), "score", "cnt", "cs", "sum", 32)
+        val tot = grain.groupBy($"source").agg(sum($"cnt").as("nr"))
+        sc.join(cum.select($"source", $"score", $"cs"), Seq("source", "score"))
+          .join(broadcast(tot), "source")
+          .withColumn("pct", $"cs".cast("double") / $"nr")
           .withColumn("decile", least(floor($"pct" * 10), lit(9L)).cast("long"))
           .groupBy($"source", $"decile")
           .agg(count(lit(1)).as("n_docs"), round(avg($"score"), 4).as("mean_score_r"))

@@ -277,13 +277,39 @@ class PlanAssertionsSpec extends SparkSpec {
       s"moments agg + per-vector agg are the only exchanges:\n${p.take(3000)}")
   }
 
-  test("q157: CDF normalization partitions by source — one exchange serves window AND aggs") {
+  test("q157: CDF windows run at (source, score) grain through PrefixScan") {
     val p = plan("q157_cdf_normalize")
-    assert(countOf(p, "Window ") == 1, p.take(3000))
-    // hashpartitioning(source) satisfies the (source, decile) agg's
-    // clustered distribution, so the whole plan runs on ONE exchange
-    assert(countOf(p, "Exchange hashpartitioning") == 1,
-      s"decile agg must reuse the source partitioning:\n${p.take(3000)}")
+    // round 8: cume_dist decomposed — the cumulative runs over the
+    // (source, score) GRAIN keyed by (source, PrefixScan pid); no
+    // |sources|-partition window over fact-scale rows remains
+    assert("windowspecdefinition\\(source#\\d+, __ps_pid#\\d+, score#\\d+ ASC".r
+      .findFirstIn(p).isDefined,
+      s"grain cumulative is not partition-parallel:\n${p.take(3000)}")
+    assert(!p.contains("cume_dist"),
+      "fact-scale cume_dist window reappeared")
+    assert(countOf(p, "Exchange SinglePartition") == 0, p.take(3000))
+  }
+
+  test("q70: ntile decomposed — rank windows run at (lang, pid) grain through PrefixScan") {
+    val p = plan("q70_decile_stats")
+    // round 8: the per-lang ntile is a closed form over a PrefixScan
+    // rank; the cumulative must be keyed by (lang, pid), never a bare
+    // |languages|-partition window over the corpus
+    assert("windowspecdefinition\\(lang#\\d+, __ps_pid#\\d+, ord#\\d+L ASC".r
+      .findFirstIn(p).isDefined,
+      s"rank cumulative is not partition-parallel:\n${p.take(3000)}")
+    assert(!p.contains("ntile"), "fact-scale ntile window reappeared")
+    assert(countOf(p, "Exchange SinglePartition") == 0, p.take(3000))
+  }
+
+  test("q77: packing cumsum runs at (lang, pid) grain through PrefixScan") {
+    val p = plan("q77_sequence_pack")
+    // a bare (lang)-keyed running sum holds a whole language stream in
+    // ONE task — the q160-class funnel this round removed
+    assert("windowspecdefinition\\(lang#\\d+, __ps_pid#\\d+, doc_id#\\d+L ASC".r
+      .findFirstIn(p).isDefined,
+      s"packing cumsum is not partition-parallel:\n${p.take(3000)}")
+    assert(countOf(p, "Exchange SinglePartition") == 0, p.take(3000))
   }
 
   test("q159: gap islands — lag, running sum and BOTH aggs share one user shuffle") {
