@@ -343,6 +343,57 @@ object ScaleSmoke {
           li, Seq("l_returnflag"), $"l_extendedprice", $"l_quantity", q = 0.5)
         .count()
     }
+    // sequence-packing shape — q77's production spelling: the running
+    // sum goes through PrefixScan's (lang, quantile-pid) local windows
+    // + bounded carry merge. Replication multiplies every language
+    // stream by `factor`; the probe times the claim that no task ever
+    // holds a whole stream (the retired per-lang window's failure mode).
+    time(s"seq_pack_${factor}x") {
+      graft.operators.PrefixScan.scan(
+          docs.select($"doc_id", $"lang",
+            graft.functions.TextFunctions.tokenCount($"text").as("ntok")),
+          Seq("lang"), "doc_id", "ntok", "cum", "sum", 32)
+        .select((($"cum" - $"ntok") / 2048).cast("long").as("b")).count()
+    }
+    // closed-form ntile shape — q70's decomposition: PrefixScan rank
+    // over the composite (n_chars, doc_id) order + broadcast group
+    // sizes + the bucket rule in arithmetic. Replicated doc_ids stay
+    // under the 10⁹ composite multiplier (shift is 10⁸ per replica).
+    time(s"ntile_closed_${factor}x") {
+      val base = docs.select($"lang", $"n_chars", $"doc_id",
+        ($"n_chars" * lit(1000000000L) + $"doc_id").as("ord"), lit(1L).as("one"))
+      val ranked = graft.operators.PrefixScan.scan(
+        base, Seq("lang"), "ord", "one", "rk", "sum", 32)
+      val sizes = base.groupBy($"lang").agg(count(lit(1)).as("nr"))
+      val q = floor($"nr" / 10).cast("long")
+      val r = $"nr" - q * 10
+      ranked.join(broadcast(sizes), "lang")
+        .withColumn("decile",
+          when($"rk" <= r * (q + 1), floor(($"rk" - 1) / (q + 1)))
+            .otherwise(r + floor(($"rk" - 1 - r * (q + 1)) / q))
+            .cast("long") + 1)
+        .groupBy($"lang", $"decile").agg(count(lit(1)))
+        .count()
+    }
+    // CDF-normalize shape — q157's decomposition: (source, score)-grain
+    // tie counts, PrefixScan cumulative over the GRAIN, broadcast
+    // totals. Replication multiplies tie counts but adds no new scores,
+    // so the cumulative's input does not grow — only the counting scan
+    // and the annotate-back join do.
+    time(s"cdf_normalize_${factor}x") {
+      val toks = graft.functions.TextFunctions.tokens($"text")
+      val sc = docs.select($"doc_id", $"source",
+        (size(array_distinct(toks)).cast("double") / size(toks)).as("score"))
+      val grain = sc.groupBy($"source", $"score").agg(count(lit(1)).as("cnt"))
+      val cum = graft.operators.PrefixScan.scan(
+        grain, Seq("source"), "score", "cnt", "cs", "sum", 32)
+      val tot = grain.groupBy($"source").agg(sum($"cnt").as("nr"))
+      sc.join(cum.select($"source", $"score", $"cs"), Seq("source", "score"))
+        .join(broadcast(tot), "source")
+        .select(least(floor($"cs" / $"nr" * 10), lit(9L)).as("decile"))
+        .groupBy($"decile").agg(count(lit(1)))
+        .count()
+    }
     // phash near-dup shape — q164's plan on a corpus where every
     // replica's payload is PERTURBED (a per-replica suffix shifts the
     // aHash sample grid), so growth means new distinct hashes — the

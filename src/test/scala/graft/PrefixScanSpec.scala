@@ -56,6 +56,29 @@ class PrefixScanSpec extends SparkSpec {
     }
   }
 
+  test("concurrent consumers: the five PrefixScan queries run in parallel without planner errors") {
+    // Regression for the AQE flake the lazy checkpoint fixed: the
+    // local/carry branches' twin (keys, pid) exchanges over one shared
+    // lineage intermittently threw task-level
+    // INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND (~1 in 3) when several
+    // PrefixScan plans executed concurrently in one session — exactly
+    // how Verify and the driver run the catalog. Three rounds of all
+    // five consumers in parallel; any planner/runtime error fails.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val dir = "/root/testdata/sf0.001"
+    val names = Seq("q70_decile_stats", "q77_sequence_pack",
+      "q105_skyline", "q157_cdf_normalize", "q160_weighted_median")
+    (1 to 3).foreach { round =>
+      val fs = names.map { n =>
+        Future(graft.queries.Catalog.byName(n).run(spark, dir).count())
+      }
+      val counts = Await.result(Future.sequence(fs), 5.minutes)
+      assert(counts.forall(_ > 0), s"round $round: $counts")
+    }
+  }
+
   test("pid derivation is a pure function: repartitioned input agrees") {
     import spark.implicits._
     val df = gen(3000L).toDF("k", "ord", "v")
