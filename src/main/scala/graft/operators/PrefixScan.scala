@@ -53,54 +53,73 @@ object PrefixScan {
       val w = frame(Window.partitionBy(keyCols: _*).orderBy(col(orderCol)))
       return df.withColumn(out, aggc(col(valueCol)).over(w))
     }
-    // The boundary action executes the caller's lineage once (the
-    // approxQuantile collect); the pid-stamped frame below is then
-    // lazily checkpointed, so the local and carry branches compute the
-    // upstream once more between them — two total executions of the
-    // caller's lineage. Correctness never depends on the recomputes:
-    // `bounds` is collected exactly once, and pid is a pure function
-    // of (bounds, order value).
+    // The upstream is materialized exactly once (lazy checkpoint whose
+    // first action is the quantile collect), the pid stamp is a lazy
+    // checkpoint over those cached blocks, and the carry table — the
+    // ≤ |key groups| × P-row frame the decomposition exists to
+    // produce — is computed in ITS OWN action, collected, and folded
+    // into the final plan as a LITERAL MAP LOOKUP expression, not a
+    // join. Every join spelling of the carry was unsound in practice:
+    // keeping it in-plan self-joins the checkpoint's LogicalRDD, and
+    // Spark's relation dedup of the duplicated reference
+    // intermittently mis-bound expressions across the branches
+    // (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND, ~1-3 in 10 concurrent
+    // runs); re-aliasing, eager checkpoints, and even joining a
+    // freshly collected LocalRelation all still reproduced it. A
+    // scalar `element_at(map-literal, key)` leaves NOTHING to dedup —
+    // the final plan references `parts` once and joins nothing. The
+    // composite key string is built by the SAME Spark expression on
+    // both sides (collect side and probe side), so value-to-string
+    // canonicalization can never disagree; the limit guard fails
+    // loudly rather than building a degenerate map if a caller breaks
+    // the low-cardinality-keys contract.
+    val ckpt = df.localCheckpoint(eager = false)
     val qs = (1 until p).map(_.toDouble / p).toArray
-    val bounds = df.stat.approxQuantile(orderCol, qs, 0.001).distinct.sorted
+    val bounds = ckpt.stat.approxQuantile(orderCol, qs, 0.001).distinct.sorted
     val pidCol =
       if (bounds.isEmpty) lit(0)
       else size(filter(array(bounds.map(lit(_)): _*),
         b => b < col(orderCol).cast("double")))
-    // Lazily checkpointed: the local and carry branches both consume
-    // this frame, and their twin hashpartitioning(keys, pid) exchanges
-    // over one shared lineage intermittently tripped AQE's stage
-    // bookkeeping (task-level INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND under
-    // concurrent query execution, ~1 in 3 runs). The checkpoint severs
-    // the shared lineage into one materialized frame — also computing
-    // the upstream exactly once for both branches.
-    val parts = df.withColumn("__ps_pid", pidCol)
+    val parts = ckpt.withColumn("__ps_pid", pidCol)
       .localCheckpoint(eager = false)
     val wLocal = frame(Window
       .partitionBy(keyCols :+ col("__ps_pid"): _*).orderBy(col(orderCol)))
     val local = parts.withColumn("__ps_local", aggc(col(valueCol)).over(wLocal))
-    // exclusive prefix of the per-partition totals: ≤ P rows per key
-    // group — the only globally ordered frame in the plan. The carry
-    // side's output is RE-ALIASED to fresh names before the join:
-    // local and carry share the `parts` lineage, and a USING-join
-    // between identical attribute ids tripped Spark's self-join
-    // attribute dedup intermittently (INTERNAL_ERROR_ATTRIBUTE_NOT_
-    // FOUND under concurrent query execution); fresh aliases make the
-    // two sides attribute-disjoint.
+    // composite (keys, pid) lookup key — null keys get a sentinel so
+    // concat_ws (which SKIPS nulls) cannot collide them with empties
+    val keyStr = concat_ws("\u0000",
+      keyCols.map(k => coalesce(k.cast("string"), lit("NULL"))) :+
+        col("__ps_pid").cast("string"): _*)
+    // exclusive prefix of the per-partition totals: the only globally
+    // ordered frame, and it never touches the big plan — it runs in
+    // the collect action over parts' cached blocks
     val wCarry = Window.partitionBy(keyCols: _*).orderBy(col("__ps_pid"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val carry = parts.groupBy(keyCols :+ col("__ps_pid"): _*)
+    val carryQ = parts.groupBy(keyCols :+ col("__ps_pid"): _*)
       .agg(aggc(col(valueCol)).as("__ps_ptot"))
       .withColumn("__ps_carry", aggc(col("__ps_ptot")).over(wCarry))
-      .select(keys.map(k => col(k).as(s"__ps_k_$k")) :+
-        col("__ps_pid").as("__ps_pid_c") :+ col("__ps_carry"): _*)
-    val joinCond = keys.map(k => col(k) === col(s"__ps_k_$k"))
-      .foldLeft(col("__ps_pid") === col("__ps_pid_c"))(_ && _)
+      .select(keyStr.as("__ps_k"), col("__ps_carry"))
+    val maxCarry = 1 << 16
+    val carryRows = carryQ.limit(maxCarry + 1).collect()
+    Iterate.unpersistCheckpoint(ckpt)
+    require(carryRows.length <= maxCarry,
+      s"PrefixScan carry frame exceeds the literal-map budget ($maxCarry " +
+        "entries): keys are not low-cardinality — use partitions <= 1 or re-key")
+    val carryType = carryQ.schema(1).dataType
+    val entries = carryRows.filter(!_.isNullAt(1))
+    // first pid of each key group has a null exclusive prefix — absent
+    // from the map, and try_element_at's null on a missing key
+    // restores it (plain element_at THROWS on missing map keys under
+    // this engine's ANSI mode)
+    val carryLookup =
+      if (entries.isEmpty) lit(null).cast(carryType)
+      else try_element_at(
+        map(entries.toSeq.flatMap(r => Seq(lit(r.getString(0)), lit(r.get(1)))): _*),
+        keyStr)
     val combined =
-      if (op == "sum") col("__ps_local") + coalesce(col("__ps_carry"), lit(0L))
-      else greatest(col("__ps_local"), col("__ps_carry"))
-    local.join(broadcast(carry), joinCond)
-      .withColumn(out, combined)
-      .drop(Seq("__ps_pid", "__ps_pid_c", "__ps_local", "__ps_carry") ++
-        keys.map(k => s"__ps_k_$k"): _*)
+      if (op == "sum") col("__ps_local") + coalesce(carryLookup, lit(0L))
+      else greatest(col("__ps_local"), carryLookup)
+    local.withColumn(out, combined)
+      .drop("__ps_pid", "__ps_local")
   }
 }

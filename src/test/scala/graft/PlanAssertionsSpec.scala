@@ -373,10 +373,12 @@ class PlanAssertionsSpec extends SparkSpec {
       "grain is not partitioned by the quantile pid")
     assert(!p.contains("rangepartitioning(sk_c"),
       "sampled range partitioning of the grain reappeared — pid must be value-derived")
-    // exactly one SinglePartition exchange: the prefix-max merge of
-    // the P partition maxima (P rows), nothing else
-    assert(countOf(p, "Exchange SinglePartition") == 1,
-      s"expected only the P-row carry merge to be global:\n${p.take(3000)}")
+    // NOTHING in the presented plan is single-partition: the P-row
+    // prefix-max merge runs in PrefixScan's bounded carry collect (a
+    // separate ≤P-row action), and its result enters the plan as a
+    // literal map lookup, not a join
+    assert(countOf(p, "Exchange SinglePartition") == 0,
+      s"the carry merge must not run in the main plan:\n${p.take(3000)}")
     assert(p.contains("BroadcastHashJoin"), "annotate-back join must broadcast")
     assert(!p.contains("SortMergeJoin"), "annotate-back join fell back to SMJ")
   }
@@ -392,9 +394,10 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(("windowspecdefinition\\(l_returnflag#\\d+, __ps_pid#\\d+, " +
         "v#\\d+ ASC").r.findFirstIn(p).isDefined,
       s"grain cumulative is not partition-parallel:\n${p.take(3000)}")
-    // group totals broadcast back — not a whole-partition window
-    assert(countOf(p, "BroadcastHashJoin") >= 2,
-      s"carry/totals joins must broadcast:\n${p.take(3000)}")
+    // group totals broadcast back — not a whole-partition window; the
+    // carry enters as PrefixScan's literal map lookup, not a join
+    assert(countOf(p, "BroadcastHashJoin") >= 1,
+      s"totals join must broadcast:\n${p.take(3000)}")
     assert(countOf(p, "Exchange SinglePartition") == 0,
       s"nothing in this plan may be single-partition:\n${p.take(3000)}")
     // the old row-level spelling sorted the window by (price,
