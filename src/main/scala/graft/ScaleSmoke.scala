@@ -394,6 +394,27 @@ object ScaleSmoke {
         .groupBy($"decile").agg(count(lit(1)))
         .count()
     }
+    // epoch-shard layout shape — q170's plan with the shard count
+    // scaled WITH the corpus (nshards = 8 x factor): the per-(epoch,
+    // shard) position window's width is the shard-size knob, so 10x
+    // docs across 10x shards must hold per-task width flat — the
+    // design claim that distinguishes this window from the
+    // fixed-cardinality funnels the PrefixScan sweep removed.
+    time(s"epoch_shard_${factor}x") {
+      import org.apache.spark.sql.expressions.Window
+      val nSh = 8 * factor
+      val e = docs.select($"doc_id")
+        .withColumn("epoch", explode(sequence(lit(0L), lit(2L))))
+        .withColumn("h", md5(concat($"epoch".cast("string"), lit(":"),
+          $"doc_id".cast("string"))))
+        .withColumn("shard",
+          conv(substring($"h", 1, 4), 16, 10).cast("long") % nSh)
+      val w = Window.partitionBy($"epoch", $"shard").orderBy($"h", $"doc_id")
+      e.withColumn("pos", row_number().over(w).cast("long"))
+        .groupBy($"epoch", $"shard")
+        .agg(count(lit(1)).as("n_docs"), max($"pos").as("max_pos"))
+        .count()
+    }
     // phash near-dup shape — q164's plan on a corpus where every
     // replica's payload is PERTURBED (a per-replica suffix shifts the
     // aHash sample grid), so growth means new distinct hashes — the

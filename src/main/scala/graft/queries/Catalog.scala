@@ -6393,7 +6393,59 @@ object Catalog {
              |       round(count(*)::DOUBLE /
              |             sum(count(*)) OVER (PARTITION BY source), 4) AS frac_r
              |FROM pd GROUP BY source, stage_no
-             |ORDER BY source, stage_no""".stripMargin))
+             |ORDER BY source, stage_no""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Q170: deterministic epoch shuffle + shard layout — the dataloader
+    // contract at the end of the curation funnel: every doc gets a
+    // reproducible (epoch, shard, position) so training streams shards
+    // in shuffled order with NO read-time global sort, and a re-run on
+    // any partitioning/engine lands every doc in the same slot (md5 of
+    // "epoch:doc_id", the q43/q76 no-rand() scheme; a new epoch is a
+    // new salt, not a new plan). The per-(epoch, shard) position window
+    // is bounded by the SHARD-SIZE knob, not by key cardinality:
+    // nshards grows with the corpus to hold shard ≈ one dataloader
+    // file, so partition width is capped by construction — unlike the
+    // fixed-cardinality language/source windows the round-8 PrefixScan
+    // sweep removed (ScaleSmoke probes this: 10x corpus, 10x shards,
+    // flat per-shard width). Output is the shard manifest a reader
+    // consumes: sizes, token mass, and the first/last doc per shard as
+    // a layout checksum.
+    Query(
+      "q170_epoch_shuffle",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+          .select($"doc_id", TF.tokenCount($"text").as("ntok"))
+        val e = docs
+          .withColumn("epoch", explode(sequence(lit(0L), lit(2L))))
+          .withColumn("h", md5(concat($"epoch".cast("string"), lit(":"),
+            $"doc_id".cast("string"))))
+          .withColumn("shard",
+            conv(substring($"h", 1, 4), 16, 10).cast("long") % 8)
+        val w = Window.partitionBy($"epoch", $"shard").orderBy($"h", $"doc_id")
+        e.withColumn("pos", row_number().over(w).cast("long"))
+          .groupBy($"epoch", $"shard")
+          .agg(count(lit(1)).as("n_docs"),
+            sum($"ntok").as("n_tokens"),
+            max(when($"pos" === 1, $"doc_id")).as("first_doc"),
+            max_by($"doc_id", $"pos").as("last_doc"))
+          .orderBy($"epoch", $"shard")
+      },
+      Some("""WITH d AS (SELECT doc_id,
+             |             len(string_split_regex(trim(text), '\s+'))::BIGINT AS ntok
+             |           FROM documents),
+             |e AS (SELECT doc_id, ntok, epoch,
+             |        md5(epoch::VARCHAR || ':' || doc_id::VARCHAR) AS h
+             |      FROM d, (SELECT unnest([0, 1, 2]) AS epoch)),
+             |sh AS (SELECT *, ('0x' || substr(h, 1, 4))::BIGINT % 8 AS shard FROM e),
+             |p AS (SELECT *, row_number() OVER (
+             |        PARTITION BY epoch, shard ORDER BY h, doc_id) AS pos FROM sh)
+             |SELECT epoch::BIGINT AS epoch, shard, count(*) AS n_docs,
+             |       sum(ntok)::BIGINT AS n_tokens,
+             |       max(CASE WHEN pos = 1 THEN doc_id END) AS first_doc,
+             |       arg_max(doc_id, pos) AS last_doc
+             |FROM p GROUP BY epoch, shard ORDER BY epoch, shard""".stripMargin))
   )
 
   val byName: Map[String, Query] = all.map(q => q.name -> q).toMap
