@@ -68,8 +68,12 @@ class PrefixScanSpec extends SparkSpec {
     import scala.concurrent.duration._
     import scala.concurrent.ExecutionContext.Implicits.global
     val dir = "/root/testdata/sf0.001"
+    // the five direct consumers, plus the funnel (PrefixScan inside
+    // its packing stage AND repeated pinned-frame references — the
+    // same repeated-relation topology) and the epoch-shard layout
     val names = Seq("q70_decile_stats", "q77_sequence_pack",
-      "q105_skyline", "q157_cdf_normalize", "q160_weighted_median")
+      "q105_skyline", "q157_cdf_normalize", "q160_weighted_median",
+      "q166_pretrain_funnel", "q170_epoch_shuffle")
     (1 to 3).foreach { round =>
       val fs = names.map { n =>
         Future(graft.queries.Catalog.byName(n).run(spark, dir).count())
