@@ -312,6 +312,18 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(countOf(p, "Exchange SinglePartition") == 0, p.take(3000))
   }
 
+  test("q170: epoch-shard layout — md5 placement map-side, one (epoch, shard) exchange serves window AND agg") {
+    val p = plan("q170_epoch_shuffle")
+    // position window keyed by (epoch, shard) — width is the
+    // shard-size knob, and the manifest agg reuses its clustering
+    assert("windowspecdefinition\\(epoch#\\d+L?, shard#\\d+L?, h#\\d+ ASC".r
+      .findFirstIn(p).isDefined,
+      s"position window must key on (epoch, shard):\n${p.take(3000)}")
+    assert(countOf(p, "Exchange hashpartitioning") == 1,
+      s"manifest agg must reuse the (epoch, shard) clustering:\n${p.take(3000)}")
+    assert(countOf(p, "Exchange SinglePartition") == 0, p.take(3000))
+  }
+
   test("q159: gap islands — lag, running sum and BOTH aggs share one user shuffle") {
     val p = plan("q159_gap_islands")
     // chg feeds island (dependent window exprs -> two Window nodes),
