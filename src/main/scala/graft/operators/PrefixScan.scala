@@ -15,7 +15,8 @@ import org.apache.spark.sql.functions._
   *      windows of ~|rows|/P each;
   *   3. carry-in per partition: an exclusive prefix aggregate of the
   *      per-partition totals — the only globally ordered frame, ≤ P
-  *      rows per key group, broadcast back.
+  *      rows per key group, collected and folded back into the plan
+  *      as a literal map lookup keyed by (keys, pid).
   *
   * Why not `repartitionByRange + spark_partition_id()`: the range
   * partitioner SAMPLES its bounds with an RDD-id-seeded PRNG, so two
@@ -88,7 +89,7 @@ object PrefixScan {
     // composite (keys, pid) lookup key — null keys get a sentinel so
     // concat_ws (which SKIPS nulls) cannot collide them with empties
     val keyStr = concat_ws("\u0000",
-      keyCols.map(k => coalesce(k.cast("string"), lit("NULL"))) :+
+      keyCols.map(k => coalesce(k.cast("string"), lit("\u0001NULL"))) :+
         col("__ps_pid").cast("string"): _*)
     // exclusive prefix of the per-partition totals: the only globally
     // ordered frame, and it never touches the big plan — it runs in

@@ -56,6 +56,30 @@ class PrefixScanSpec extends SparkSpec {
     }
   }
 
+  test("prefix sum over TWO keys incl. nulls and a literal \"NULL\" key equals the window form") {
+    // covers the multi-key composite lookup key: several key columns
+    // concat_ws'd with pid, nulls mapped to the control-char-framed
+    // sentinel — a group whose key is the STRING "NULL" must not
+    // collide with a null-keyed group
+    import spark.implicits._
+    (1 to 4).foreach { s =>
+      val rows = gen(4000L + s).map { case (k, o, v) =>
+        val k2 = if (v % 5 == 0) None else if (v % 3 == 0) Some("NULL") else Some(s"g${v % 2}")
+        (k, k2, o, v)
+      }
+      val df = rows.toDF("k1", "k2", "ord", "v")
+      val w = Window.partitionBy($"k1", $"k2").orderBy($"ord")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val expect = df.withColumn("cum", sum($"v").over(w))
+        .collect().map(r => (r.getString(0), Option(r.getString(1)), r.getLong(2), r.getLong(4))).sorted
+      Seq(4, 300).foreach { p =>
+        val got = PrefixScan.scan(df, Seq("k1", "k2"), "ord", "v", "cum", "sum", p)
+          .collect().map(r => (r.getString(0), Option(r.getString(1)), r.getLong(2), r.getLong(4))).sorted
+        assert(got.toSeq == expect.toSeq, s"seed $s p=$p")
+      }
+    }
+  }
+
   test("concurrent consumers: the five PrefixScan queries run in parallel without planner errors") {
     // Regression for the AQE flake the lazy checkpoint fixed: the
     // local/carry branches' twin (keys, pid) exchanges over one shared
