@@ -42,6 +42,10 @@ object Bench {
     // session on a 16g driver otherwise never collects them).
     var sinceGc = 0
     def reclaim(): Unit = {
+      // drain the plan-pinned checkpoint registry first (the RDD sweep
+      // below would drop the blocks anyway, but the registry would
+      // keep accumulating DataFrame references across 160+ queries)
+      graft.operators.Checkpoints.releaseAll()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
       spark.catalog.clearCache()
       sinceGc += 1

@@ -41,7 +41,12 @@ object ScaleSmoke {
 
     def time(tag: String)(f: => Long): Unit = {
       f // warm (janino)
+      // quiesce point: the warm run's plan-pinned checkpoints
+      // (PrefixScan/CosinePairs.clustered) are fully consumed — drop
+      // them so probes measure their own work, not accumulation
+      graft.operators.Checkpoints.releaseAll()
       timeOnce(tag)(f)
+      graft.operators.Checkpoints.releaseAll()
     }
 
     time(s"agg_${factor}x") {
@@ -356,14 +361,14 @@ object ScaleSmoke {
         .select((($"cum" - $"ntok") / 2048).cast("long").as("b")).count()
     }
     // closed-form ntile shape — q70's decomposition: PrefixScan rank
-    // over the composite (n_chars, doc_id) order + broadcast group
-    // sizes + the bucket rule in arithmetic. Replicated doc_ids stay
-    // under the 10⁹ composite multiplier (shift is 10⁸ per replica).
+    // over n_chars with doc_id as the tie-break (exact at any id
+    // scale — ties share a pid by construction) + broadcast group
+    // sizes + the bucket rule in arithmetic.
     time(s"ntile_closed_${factor}x") {
-      val base = docs.select($"lang", $"n_chars", $"doc_id",
-        ($"n_chars" * lit(1000000000L) + $"doc_id").as("ord"), lit(1L).as("one"))
+      val base = docs.select($"lang", $"n_chars", $"doc_id", lit(1L).as("one"))
       val ranked = graft.operators.PrefixScan.scan(
-        base, Seq("lang"), "ord", "one", "rk", "sum", 32)
+        base, Seq("lang"), "n_chars", "one", "rk", "sum", 32,
+        tieCols = Seq("doc_id"))
       val sizes = base.groupBy($"lang").agg(count(lit(1)).as("nr"))
       val q = floor($"nr" / 10).cast("long")
       val r = $"nr" - q * 10

@@ -39,6 +39,11 @@ object Verify {
     }
     pool.shutdown()
     tasks.foreach(_.get())
+    // quiesce point (no query in flight): drop the plan-pinned
+    // checkpoints PrefixScan / CosinePairs.clustered / the funnel
+    // tracked — releasing mid-pool would yank blocks under running
+    // queries, so it happens once, here
+    graft.operators.Checkpoints.releaseAll()
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

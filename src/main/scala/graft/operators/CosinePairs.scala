@@ -182,10 +182,12 @@ object CosinePairs {
     // and the final assignment all re-read this frame — without the
     // checkpoint each re-read re-executes the caller's full upstream
     // lineage, multiplying the dominant corpus-scan cost of the very
-    // path whose point is cutting compute
-    val e = vecs.toDF("id", "v")
+    // path whose point is cutting compute. Tracked (not released
+    // here): the RETURNED plan reads it too, so release belongs to
+    // the caller's quiesce point — Checkpoints.releaseAll().
+    val e = Checkpoints.track(vecs.toDF("id", "v")
       .withColumn("nrm", sqrt(VF.dot(col("v"), col("v"))))
-      .localCheckpoint(eager = false)
+      .localCheckpoint(eager = false))
     // Seedless init: k lowest-hash vectors. orderBy+limit compiles to
     // a distributed TakeOrdered — no single-partition window over the
     // corpus; the k-row label numbering window IS single-task, over
@@ -224,6 +226,10 @@ object CosinePairs {
       Iterate.unpersistCheckpoint(prev)
       it += 1
     }
+
+    // the final centroid checkpoint survives into the returned plan —
+    // tracked for the same caller-quiesce release as `e`
+    Checkpoints.track(cent)
 
     val nParts =
       if (partitions > 0) partitions else spark.sparkContext.defaultParallelism

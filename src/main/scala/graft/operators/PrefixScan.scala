@@ -27,31 +27,37 @@ import org.apache.spark.sql.functions._
   * disagree with itself, however many times the subtree executes.
   *
   * Requirements: `orderCol` is numeric (quantile boundaries) and
-  * DISTINCT within each key group (both callers order on a grain /
-  * unique id; with ties the tie-order of any windowed spelling is
+  * (`orderCol`, `tieCols`) is DISTINCT within each key group — the
+  * tie-break is sound because the pid is a pure function of the
+  * `orderCol` VALUE, so tied rows always share a partition and the
+  * local window's (orderCol, tieCols) sort totally orders them; only
+  * partition BALANCE degrades with ties (the heaviest single value
+  * bounds the widest pid). With no `tieCols`, `orderCol` itself must
+  * be distinct (with ties the tie-order of any windowed spelling is
   * undefined anyway).
   */
 object PrefixScan {
 
-  /** Adds `out` = running aggregate of `valueCol` over `orderCol`
-    * within `keys`. `op` is "sum" (inclusive frame) or "max"
-    * (exclusive frame — the dominance/prefix-max shape, null for the
-    * first row). `partitions` ≤ 1 degenerates to the single-window
-    * spelling.
+  /** Adds `out` = running aggregate of `valueCol` over
+    * (`orderCol`, `tieCols`) within `keys`. `op` is "sum" (inclusive
+    * frame) or "max" (exclusive frame — the dominance/prefix-max
+    * shape, null for the first row). `partitions` ≤ 1 degenerates to
+    * the single-window spelling.
     */
   def scan(df: DataFrame, keys: Seq[String], orderCol: String,
            valueCol: String, out: String, op: String,
-           partitions: Int): DataFrame = {
+           partitions: Int, tieCols: Seq[String] = Nil): DataFrame = {
     require(op == "sum" || op == "max", s"op must be sum|max, got $op")
     val p = math.max(1, partitions)
     def aggc(c: Column): Column = if (op == "sum") sum(c) else max(c)
     val keyCols = keys.map(col)
+    val orderCols = col(orderCol) +: tieCols.map(col)
     def frame(w: org.apache.spark.sql.expressions.WindowSpec) =
       if (op == "sum") w.rowsBetween(Window.unboundedPreceding, 0)
       else w.rowsBetween(Window.unboundedPreceding, -1)
 
     if (p <= 1) {
-      val w = frame(Window.partitionBy(keyCols: _*).orderBy(col(orderCol)))
+      val w = frame(Window.partitionBy(keyCols: _*).orderBy(orderCols: _*))
       return df.withColumn(out, aggc(col(valueCol)).over(w))
     }
     // The upstream is materialized exactly once (lazy checkpoint whose
@@ -81,16 +87,26 @@ object PrefixScan {
       if (bounds.isEmpty) lit(0)
       else size(filter(array(bounds.map(lit(_)): _*),
         b => b < col(orderCol).cast("double")))
-    val parts = ckpt.withColumn("__ps_pid", pidCol)
-      .localCheckpoint(eager = false)
+    // tracked: the returned plan reads this checkpoint, so release is
+    // only safe at a caller quiesce point — Checkpoints.releaseAll()
+    val parts = Checkpoints.track(ckpt.withColumn("__ps_pid", pidCol)
+      .localCheckpoint(eager = false))
     val wLocal = frame(Window
-      .partitionBy(keyCols :+ col("__ps_pid"): _*).orderBy(col(orderCol)))
+      .partitionBy(keyCols :+ col("__ps_pid"): _*).orderBy(orderCols: _*))
     val local = parts.withColumn("__ps_local", aggc(col(valueCol)).over(wLocal))
-    // composite (keys, pid) lookup key — null keys get a sentinel so
-    // concat_ws (which SKIPS nulls) cannot collide them with empties
-    val keyStr = concat_ws("\u0000",
-      keyCols.map(k => coalesce(k.cast("string"), lit("\u0001NULL"))) :+
-        col("__ps_pid").cast("string"): _*)
+    // composite (keys, pid) lookup key, length-prefix coded so it is
+    // uniquely decodable for ANY key content: each component is "N"
+    // for null or "<charlen>:<value>" otherwise. A value component
+    // always starts with a digit, so "N" cannot collide with one, and
+    // the length prefix means no character IN a value can either —
+    // the earlier control-separator spelling merged distinct
+    // multi-key groups whenever a value contained the separator, and
+    // collided a NULL key with the literal sentinel string.
+    val keyStr = concat(
+      (keyCols :+ col("__ps_pid")).map { k =>
+        val s = k.cast("string")
+        when(s.isNull, lit("N")).otherwise(concat(length(s), lit(":"), s))
+      }: _*)
     // exclusive prefix of the per-partition totals: the only globally
     // ordered frame, and it never touches the big plan — it runs in
     // the collect action over parts' cached blocks

@@ -72,8 +72,13 @@ object PretrainPipeline {
           materialize: Boolean = true): Result = {
     val spark = docs.sparkSession
     import spark.implicits._
+    // tracked: the returned Result frames read these checkpoints, so
+    // release belongs to the caller's quiesce point
+    // (graft.operators.Checkpoints.releaseAll())
     def pin(df: DataFrame): DataFrame =
-      if (materialize) df.localCheckpoint(eager = false) else df
+      if (materialize)
+        graft.operators.Checkpoints.track(df.localCheckpoint(eager = false))
+      else df
 
     val flagged = pin(rowFlags(docs, targetLang)
       .withColumn("is_eval", pmod($"doc_id", lit(evalMod)) === 0))
@@ -149,7 +154,8 @@ object PretrainPipeline {
 
     val survivors = funnel.filter($"stage_no" === 5L)
       .select($"n_out".as("n_surv"))
-    val tail = survivors.crossJoin(nBlocks).select(
+    // stage 6 projects only survivor columns — no nBlocks dependency
+    val tail = survivors.select(
       lit(6L).as("stage_no"), lit("split").as("stage"),
       $"n_surv".as("n_in"), $"n_surv".as("n_out"))
       .unionByName(survivors.crossJoin(nBlocks).select(
@@ -279,8 +285,13 @@ object PretrainPipeline {
                   materialize: Boolean = true): Result = {
     val spark = batch.sparkSession
     import spark.implicits._
+    // tracked: the returned Result frames read these checkpoints, so
+    // release belongs to the caller's quiesce point
+    // (graft.operators.Checkpoints.releaseAll())
     def pin(df: DataFrame): DataFrame =
-      if (materialize) df.localCheckpoint(eager = false) else df
+      if (materialize)
+        graft.operators.Checkpoints.track(df.localCheckpoint(eager = false))
+      else df
 
     val flagged = pin(rowFlags(batch, targetLang))
     val s2 = flagged.filter($"lang_ok" && $"q_ok").select($"doc_id", $"text")

@@ -104,11 +104,18 @@ object ConstraintAudit {
               .as("violations"))
           .select(lit(c.name).as("constraint"), $"checked", $"violations")
       case c @ RefIntegrity(col0, ref, refCol) =>
+        // one pass: a left join against the distinct dimension keys
+        // feeds checked and violations from the same scan — the
+        // anti-join + separate count spelling read the fact table
+        // twice, doubling the dominant I/O this operator's contract
+        // ("nothing re-scans per constraint") forbids
         val probe = df.select(col(col0).as("__k")).filter($"__k".isNotNull)
-        val miss = probe.join(ref.select(col(refCol).as("__k")).distinct(),
-          Seq("__k"), "left_anti")
-        probe.agg(count(lit(1)).as("checked"))
-          .crossJoin(miss.agg(count(lit(1)).as("violations")))
+        val dim = ref.select(col(refCol).as("__k")).distinct()
+          .withColumn("__hit", lit(1))
+        probe.join(dim, Seq("__k"), "left")
+          .agg(count(lit(1)).as("checked"),
+            coalesce(sum(when($"__hit".isNull, 1L).otherwise(0L)), lit(0L))
+              .as("violations"))
           .select(lit(c.name).as("constraint"), $"checked", $"violations")
     }
 

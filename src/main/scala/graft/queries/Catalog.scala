@@ -2093,22 +2093,21 @@ object Catalog {
     // stats: the corpus-profiling step before length-based filtering.
     Query(
       "q70_decile_stats",
-      // Round 8: ntile decomposed — rank per lang via PrefixScan over a
-      // composite numeric order (n_chars·10⁹ + doc_id reproduces the
-      // (n_chars, doc_id) tiebreak exactly while doc_id < 10⁹; larger id
-      // spaces widen the multiplier or hash-bucket first), group sizes
-      // broadcast, and
+      // Round 8: ntile decomposed — rank per lang via PrefixScan over
+      // n_chars with doc_id as the tie-break column (pids are a pure
+      // function of the n_chars VALUE, so tied rows share a partition
+      // and the tie-break is exact at any id scale — no composite-key
+      // arithmetic to overflow or collide), group sizes broadcast, and
       // ntile's bucket rule spelled in closed form: the first n mod k
       // buckets hold ⌈n/k⌉ rows, the rest ⌊n/k⌋. Identical output; no
       // |languages|-partition window ever sees fact-scale rows.
       (s, dir) => {
         import s.implicits._
         val base = t(s, dir, "documents")
-          .select($"lang", $"n_chars", $"doc_id",
-            ($"n_chars" * lit(1000000000L) + $"doc_id").as("ord"),
-            lit(1L).as("one"))
+          .select($"lang", $"n_chars", $"doc_id", lit(1L).as("one"))
         val ranked = graft.operators.PrefixScan.scan(
-          base, Seq("lang"), "ord", "one", "rk", "sum", 32)
+          base, Seq("lang"), "n_chars", "one", "rk", "sum", 32,
+          tieCols = Seq("doc_id"))
         val sizes = base.groupBy($"lang").agg(count(lit(1)).as("nr"))
         val q = floor($"nr" / 10).cast("long")
         val r = $"nr" - q * 10

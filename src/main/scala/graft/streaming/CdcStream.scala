@@ -285,22 +285,30 @@ object CdcStream {
     * pinned by spec anyway: reference `application.yaml:10-12` dictates
     * latest offsets (no backfill on boot) and the single CDC topic.
     */
-  def kafkaReaderOptions(bootstrapServers: String, topic: String): Map[String, String] =
+  def kafkaReaderOptions(bootstrapServers: String, topic: String,
+                         failOnDataLoss: Boolean = true): Map[String, String] =
     Map(
       "kafka.bootstrap.servers" -> bootstrapServers,
       "subscribe" -> topic,
       "startingOffsets" -> "latest",
-      // a transient broker hiccup must not kill the view-maintenance
-      // query; the lsn fence + idempotent merge tolerate re-delivery
-      "failOnDataLoss" -> "false")
+      // STRICT by default: failOnDataLoss=false does not just tolerate
+      // re-delivery (the lsn fence + idempotent merge handle that) —
+      // it silently SKIPS offsets the broker aged out while the query
+      // was down, and a skipped update/delete leaves the materialized
+      // view permanently stale for that key with no error row. Opt
+      // out only when a reconciliation path exists (periodic
+      // [[bootstrapFromTable]] re-snapshot), which is the only state
+      // this merge can heal a gap from.
+      "failOnDataLoss" -> failOnDataLoss.toString)
 
   def runKafkaStream(spark: SparkSession, bootstrapServers: String, topic: String,
                      checkpointDir: String, stateDir: String,
                      trigger: Trigger = Trigger.ProcessingTime(100),
-                     deadLetterDir: Option[String] = None): StreamingQuery = {
+                     deadLetterDir: Option[String] = None,
+                     failOnDataLoss: Boolean = true): StreamingQuery = {
     val raw = spark.readStream
       .format("kafka")
-      .options(kafkaReaderOptions(bootstrapServers, topic))
+      .options(kafkaReaderOptions(bootstrapServers, topic, failOnDataLoss))
       .load()
       .selectExpr("CAST(key AS STRING) AS key", "CAST(value AS STRING) AS value")
     runDecodedStream(decodeKafka(raw), checkpointDir,
@@ -496,8 +504,12 @@ object CdcStream {
     * complete copy). */
   private[streaming] def healDir(p: Path): Unit = {
     val old = backupOf(p)
-    if (!Files.exists(p) && Files.exists(old))
-      try Files.move(old, p, StandardCopyOption.ATOMIC_MOVE)
+    val legacy = legacyBackupOf(p)
+    if (!Files.exists(p) && (Files.exists(old) || Files.exists(legacy)))
+      // prefer the current naming; a legacy backup is only the
+      // restore source when it is the ONLY complete copy
+      try Files.move(if (Files.exists(old)) old else legacy, p,
+        StandardCopyOption.ATOMIC_MOVE)
       catch {
         // Two readers (or a reader and the writer) can both pass the
         // exists-checks; whoever moves second finds the backup gone
@@ -508,6 +520,13 @@ object CdcStream {
              _: java.nio.file.FileAlreadyExistsException |
              _: java.nio.file.DirectoryNotEmptyException => ()
       }
+    // live dir present + stranded legacy backup: nothing ever clears
+    // it (replace() only clears the dot-prefixed name) and partition
+    // discovery WOULD index it — delete it here. Cannot race a writer:
+    // current code never creates the legacy name.
+    if (Files.exists(p) && Files.exists(legacy))
+      try deleteRecursively(legacy)
+      catch { case _: java.io.IOException => () } // concurrent healer won
   }
 
   /** The state-read gate: heal first, then report existence. For a
@@ -532,8 +551,14 @@ object CdcStream {
       val s = Files.list(root)
       try s.forEach { c =>
         val n = c.getFileName.toString
-        if (n.startsWith(".") && n.endsWith(".old"))
-          healDir(c.resolveSibling(n.stripPrefix(".").stripSuffix(".old")))
+        // both backup generations: current `.b=N.old` and legacy
+        // `b=N.old` (healDir restores-or-deletes as appropriate)
+        if (n.endsWith(".old")) {
+          val live =
+            if (n.startsWith(".")) n.stripPrefix(".").stripSuffix(".old")
+            else n.stripSuffix(".old")
+          healDir(c.resolveSibling(live))
+        }
       } finally s.close()
     }
 
@@ -548,6 +573,18 @@ object CdcStream {
     * matter when a crash strands it. */
   private[streaming] def backupOf(p: Path): Path =
     p.resolveSibling("." + p.getFileName.toString + ".old")
+
+  /** The PRE-dot-prefix backup name (`<name>.old`) earlier builds
+    * wrote. Never created anymore, but a crash under the old naming
+    * can have stranded one — and for a bucketed root, partition
+    * discovery would index `b=5.old` as partition b='5.old' and serve
+    * its stale rows as live data (the exact bug the dot prefix
+    * fixed). [[healDir]] still honors it: restore when the live dir
+    * is missing, delete when the live dir exists. Deleting on the
+    * read path is safe precisely BECAUSE current code never writes
+    * this name — it cannot be a racing writer's in-flight backup. */
+  private[streaming] def legacyBackupOf(p: Path): Path =
+    p.resolveSibling(p.getFileName.toString + ".old")
 
   private[streaming] def deleteRecursively(p: Path): Unit = if (Files.exists(p)) {
     if (Files.isDirectory(p)) {

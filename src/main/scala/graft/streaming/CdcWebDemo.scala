@@ -60,7 +60,12 @@ object CdcWebDemo {
   }
 
   def main(args: Array[String]): Unit = {
-    val Array(inputDir, workDir) = args.take(2)
+    if (args.length < 2) {
+      System.err.println("usage: CdcWebDemo <inputDir> <workDir> [httpPort]")
+      sys.exit(2)
+    }
+    val inputDir = args(0)
+    val workDir = args(1)
     val httpPort = if (args.length > 2) args(2).toInt else 8080
     val spark = graft.engine.Graft.session("local[4]", 4)
 

@@ -119,7 +119,15 @@ class KafkaParitySpec extends SparkSpec {
     assert(opts("kafka.bootstrap.servers") == "broker:9092")
     assert(opts("subscribe") == "messages.public.messages")
     assert(opts("startingOffsets") == "latest")
-    assert(opts("failOnDataLoss") == "false")
+    // strict by default: a broker-side offset gap (retention aged out
+    // records while the query was down) must FAIL the query, not be
+    // silently skipped - a skipped update/delete would leave the view
+    // permanently stale for that key. The opt-out exists for
+    // deployments with a re-snapshot reconciliation path.
+    assert(opts("failOnDataLoss") == "true")
+    val lossy = graft.streaming.CdcStream.kafkaReaderOptions(
+      "broker:9092", "messages.public.messages", failOnDataLoss = false)
+    assert(lossy("failOnDataLoss") == "false")
     // subscribe, not subscribePattern/assign - exactly one topic key
     assert(opts.keySet.intersect(Set("subscribePattern", "assign")).isEmpty)
   }

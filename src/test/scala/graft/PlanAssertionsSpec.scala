@@ -295,7 +295,10 @@ class PlanAssertionsSpec extends SparkSpec {
     // round 8: the per-lang ntile is a closed form over a PrefixScan
     // rank; the cumulative must be keyed by (lang, pid), never a bare
     // |languages|-partition window over the corpus
-    assert("windowspecdefinition\\(lang#\\d+, __ps_pid#\\d+, ord#\\d+L ASC".r
+    // (n_chars, doc_id) ordering: n_chars drives the pid, doc_id is
+    // the tie-break — no composite-key arithmetic in the plan
+    assert(("windowspecdefinition\\(lang#\\d+, __ps_pid#\\d+, " +
+      "n_chars#\\d+L ASC NULLS FIRST, doc_id#\\d+L ASC").r
       .findFirstIn(p).isDefined,
       s"rank cumulative is not partition-parallel:\n${p.take(3000)}")
     assert(!p.contains("ntile"), "fact-scale ntile window reappeared")

@@ -196,6 +196,50 @@ class SnapshotDiffViewSpec extends SparkSpec {
       == naiveView(b1), "stranded bucket was not healed on read")
   }
 
+  test("a LEGACY (pre-dot-prefix) stranded bucket backup is deleted, not served as a partition") {
+    import java.nio.file.{Paths => JPaths}
+    val root = Files.createTempDirectory("snapdiffb5").toString
+    val (st, df) = (s"$root/state", s"$root/diff")
+    import spark.implicits._
+
+    SnapshotDiffView.mergeBatchBucketed(ev(b1), st, df, 0L, nBuckets = 8)
+    val live = new java.io.File(st).listFiles()
+      .filter(_.getName.startsWith("b=")).head
+    // a crash under the OLD backup naming stranded `b=N.old` beside a
+    // live dir: partition discovery would index it as partition
+    // b='N.old' and serve its stale rows — the read path must delete
+    // it (current code never writes this name, so it cannot be a
+    // racing writer's in-flight backup)
+    val stale = JPaths.get(st, live.getName + ".old")
+    Seq((1L, Timestamp.valueOf("1999-01-01 00:00:00"), 1L, -999.0))
+      .toDF("user_id", "ts", "event_id", "value")
+      .write.parquet(stale.toString)
+
+    val view = SnapshotDiffView.readViewBucketed(spark, st)
+      .select($"user_id", $"value").as[(Long, Double)].collect()
+    assert(view.toMap == naiveView(b1), "legacy backup rows leaked into the view")
+    assert(!java.nio.file.Files.exists(stale), "legacy backup not cleaned up")
+  }
+
+  test("a bucket stranded under the LEGACY backup naming still heals when live is gone") {
+    import java.nio.file.{Files => JFiles, Paths => JPaths, StandardCopyOption}
+    val root = Files.createTempDirectory("snapdiffb6").toString
+    val (st, df) = (s"$root/state", s"$root/diff")
+    import spark.implicits._
+
+    SnapshotDiffView.mergeBatchBucketed(ev(b1), st, df, 0L, nBuckets = 8)
+    val live = new java.io.File(st).listFiles()
+      .filter(f => f.getName.startsWith("b=") && f.listFiles().exists(_.getName.endsWith(".parquet")))
+      .head
+    // pre-upgrade crash between the old swap's renames: the bucket
+    // survives ONLY as `b=N.old` — restore it rather than losing it
+    JFiles.move(live.toPath, JPaths.get(st, live.getName + ".old"),
+      StandardCopyOption.ATOMIC_MOVE)
+    assert(SnapshotDiffView.readViewBucketed(spark, st)
+      .select($"user_id", $"value").as[(Long, Double)].collect().toMap
+      == naiveView(b1), "legacy-named stranded bucket was not healed on read")
+  }
+
   test("a batch id below the applied fence is an error, not a silent skip") {
     val root = Files.createTempDirectory("snapdiff6").toString
     val (stateDir, diffDir) = (s"$root/state", s"$root/diff")
