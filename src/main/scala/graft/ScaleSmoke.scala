@@ -360,23 +360,14 @@ object ScaleSmoke {
           Seq("lang"), "doc_id", "ntok", "cum", "sum", 32)
         .select((($"cum" - $"ntok") / 2048).cast("long").as("b")).count()
     }
-    // closed-form ntile shape — q70's decomposition: PrefixScan rank
-    // over n_chars with doc_id as the tie-break (exact at any id
-    // scale — ties share a pid by construction) + broadcast group
-    // sizes + the bucket rule in arithmetic.
+    // closed-form ntile shape — q70's decomposition, through the SAME
+    // operators.Ntile.closed the query runs (one bucket formula, one
+    // place): PrefixScan rank over n_chars with doc_id tie-break +
+    // broadcast group sizes + the bucket rule in arithmetic.
     time(s"ntile_closed_${factor}x") {
-      val base = docs.select($"lang", $"n_chars", $"doc_id", lit(1L).as("one"))
-      val ranked = graft.operators.PrefixScan.scan(
-        base, Seq("lang"), "n_chars", "one", "rk", "sum", 32,
-        tieCols = Seq("doc_id"))
-      val sizes = base.groupBy($"lang").agg(count(lit(1)).as("nr"))
-      val q = floor($"nr" / 10).cast("long")
-      val r = $"nr" - q * 10
-      ranked.join(broadcast(sizes), "lang")
-        .withColumn("decile",
-          when($"rk" <= r * (q + 1), floor(($"rk" - 1) / (q + 1)))
-            .otherwise(r + floor(($"rk" - 1 - r * (q + 1)) / q))
-            .cast("long") + 1)
+      graft.operators.Ntile.closed(
+          docs.select($"lang", $"n_chars", $"doc_id"),
+          Seq("lang"), "n_chars", Seq("doc_id"), 10, "decile", 32)
         .groupBy($"lang", $"decile").agg(count(lit(1)))
         .count()
     }
@@ -389,12 +380,7 @@ object ScaleSmoke {
       val toks = graft.functions.TextFunctions.tokens($"text")
       val sc = docs.select($"doc_id", $"source",
         (size(array_distinct(toks)).cast("double") / size(toks)).as("score"))
-      val grain = sc.groupBy($"source", $"score").agg(count(lit(1)).as("cnt"))
-      val cum = graft.operators.PrefixScan.scan(
-        grain, Seq("source"), "score", "cnt", "cs", "sum", 32)
-      val tot = grain.groupBy($"source").agg(sum($"cnt").as("nr"))
-      sc.join(cum.select($"source", $"score", $"cs"), Seq("source", "score"))
-        .join(broadcast(tot), "source")
+      graft.operators.CumeDist.annotate(sc, Seq("source"), "score", "cs", "nr", 32)
         .select(least(floor($"cs" / $"nr" * 10), lit(9L)).as("decile"))
         .groupBy($"decile").agg(count(lit(1)))
         .count()

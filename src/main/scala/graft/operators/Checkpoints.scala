@@ -17,9 +17,12 @@ import org.apache.spark.sql.DataFrame
   * Contract: operators [[track]] such frames at creation; a DRIVER at
   * a quiesce point — after fully consuming the returned DataFrames,
   * with no tracked plan still in flight — calls [[releaseAll]].
-  * The engine's own loops do this (Verify between queries, ScaleSmoke
-  * between probes; Bench's reclaim() force-unpersists every RDD, which
-  * subsumes it). Releasing while a tracked plan is mid-execution is
+  * The engine's own loops do this (ScaleSmoke between probes; Bench's
+  * reclaim() force-unpersists every RDD, which subsumes it; Verify
+  * runs its queries CONCURRENTLY, so its only quiesce point is after
+  * the pool drains — its pins accumulate for the round, bounded by
+  * the sf0.01 gate inputs). Releasing while a tracked plan is
+  * mid-execution is
   * unsafe the same way unpersisting any localCheckpoint is: the
   * lineage is truncated, so the blocks are the only copy.
   */

@@ -116,7 +116,14 @@ object PrefixScan {
       .agg(aggc(col(valueCol)).as("__ps_ptot"))
       .withColumn("__ps_carry", aggc(col("__ps_ptot")).over(wCarry))
       .select(keyStr.as("__ps_k"), col("__ps_carry"))
-    val maxCarry = 1 << 16
+    // 4096 entries, not more: the carry map is a LITERAL expression
+    // serialized into every task of the final plan, and each entry is
+    // two literal children — far above this, the expression tree
+    // approaches the 64KB codegen method limit and whole-stage
+    // codegen falls back to interpreted element_at per row, which
+    // defeats the decomposition. Real callers sit orders of magnitude
+    // below (|key groups| × P ≈ tens to hundreds).
+    val maxCarry = 1 << 12
     val carryRows = carryQ.limit(maxCarry + 1).collect()
     Iterate.unpersistCheckpoint(ckpt)
     require(carryRows.length <= maxCarry,
@@ -133,8 +140,20 @@ object PrefixScan {
       else try_element_at(
         map(entries.toSeq.flatMap(r => Seq(lit(r.getString(0)), lit(r.get(1)))): _*),
         keyStr)
+    // null semantics must match the window form exactly: window sum
+    // SKIPS nulls and is null only when the frame holds no non-null
+    // value. local is null iff the current partition's frame is
+    // all-null; the carry is null iff every preceding partition's
+    // total is null (the map omits null carries). So a bare
+    // `local + coalesce(carry, 0)` would wrongly null out rows whose
+    // own partition prefix is all-null but whose carry is real —
+    // both-null is the only case that stays null. greatest() already
+    // has exactly this skip-nulls contract for max.
     val combined =
-      if (op == "sum") col("__ps_local") + coalesce(carryLookup, lit(0L))
+      if (op == "sum")
+        when(col("__ps_local").isNull && carryLookup.isNull, lit(null))
+          .otherwise(coalesce(col("__ps_local"), lit(0L)) +
+            coalesce(carryLookup, lit(0L)))
       else greatest(col("__ps_local"), carryLookup)
     local.withColumn(out, combined)
       .drop("__ps_pid", "__ps_local")

@@ -43,7 +43,12 @@ import org.apache.spark.sql.functions._
 object Skyline {
 
   /** Rows of `df` on the (min `cost`, max `gain`) frontier, original
-    * columns untouched. `rangePartitions` is P above — the grain
+    * columns untouched. Rows with a NULL cost or gain are EXCLUDED —
+    * dominance is undefined against an unknown coordinate, so they
+    * can neither win nor defend a frontier slot; callers that want
+    * them back union them explicitly. (The exclusion is an explicit
+    * filter here, not a silent side effect of the annotate-back
+    * equi-join.) `rangePartitions` is P above — the grain
     * parallelism; P ≤ 1 degenerates to the single-window spelling.
     * `broadcastBack = false` swaps the annotate-back join to a shuffle
     * join for grains past the broadcast budget (near-continuous costs
@@ -52,7 +57,8 @@ object Skyline {
                rangePartitions: Int = 32,
                broadcastBack: Boolean = true): DataFrame = {
     val p = math.max(1, rangePartitions)
-    val grain = df.groupBy(cost.as("sk_c")).agg(max(gain).as("sk_gmax"))
+    val defined = df.filter(cost.isNotNull && gain.isNotNull)
+    val grain = defined.groupBy(cost.as("sk_c")).agg(max(gain).as("sk_gmax"))
 
     val annotated =
       if (p == 1) {
@@ -73,7 +79,7 @@ object Skyline {
       }
 
     val ann = annotated.select(col("sk_c"), col("sk_gmax"), col("sk_prev"))
-    df.join(if (broadcastBack) broadcast(ann) else ann, cost === col("sk_c"))
+    defined.join(if (broadcastBack) broadcast(ann) else ann, cost === col("sk_c"))
       .filter(!(coalesce(col("sk_prev") >= gain, lit(false)) ||
                 col("sk_gmax") > gain))
       .drop("sk_c", "sk_gmax", "sk_prev")

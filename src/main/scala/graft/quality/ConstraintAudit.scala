@@ -83,9 +83,13 @@ object ConstraintAudit {
       else {
         // one shared aggregate pass; melt the single row into the
         // long format with a per-constraint struct explode
+        // coalesce: sum over ZERO rows is null, and an empty snapshot
+        // must audit as (checked=0, violations=0, pass=true) — the
+        // same verdict the key-level constraints already give — not
+        // as a null verdict that NPEs a gate reading pass
         val aggs = count(lit(1)).as("__checked") +:
           rowLocal.zipWithIndex.map { case ((_, v), i) =>
-            sum(when(v, 1L).otherwise(0L)).as(s"__v$i")
+            coalesce(sum(when(v, 1L).otherwise(0L)), lit(0L)).as(s"__v$i")
           }
         val one = df.agg(aggs.head, aggs.tail: _*)
         val entries = rowLocal.zipWithIndex.map { case ((c, _), i) =>

@@ -2093,29 +2093,18 @@ object Catalog {
     // stats: the corpus-profiling step before length-based filtering.
     Query(
       "q70_decile_stats",
-      // Round 8: ntile decomposed — rank per lang via PrefixScan over
-      // n_chars with doc_id as the tie-break column (pids are a pure
-      // function of the n_chars VALUE, so tied rows share a partition
-      // and the tie-break is exact at any id scale — no composite-key
-      // arithmetic to overflow or collide), group sizes broadcast, and
-      // ntile's bucket rule spelled in closed form: the first n mod k
-      // buckets hold ⌈n/k⌉ rows, the rest ⌊n/k⌋. Identical output; no
-      // |languages|-partition window ever sees fact-scale rows.
+      // Round 8: ntile decomposed via operators.Ntile.closed — a
+      // PrefixScan rank over n_chars with doc_id as the tie-break
+      // (pids are a pure function of the n_chars VALUE, so tied rows
+      // share a partition and the tie-break is exact at any id scale),
+      // broadcast group sizes, and ntile's bucket rule in closed form.
+      // Identical output; no |languages|-partition window ever sees
+      // fact-scale rows.
       (s, dir) => {
         import s.implicits._
-        val base = t(s, dir, "documents")
-          .select($"lang", $"n_chars", $"doc_id", lit(1L).as("one"))
-        val ranked = graft.operators.PrefixScan.scan(
-          base, Seq("lang"), "n_chars", "one", "rk", "sum", 32,
-          tieCols = Seq("doc_id"))
-        val sizes = base.groupBy($"lang").agg(count(lit(1)).as("nr"))
-        val q = floor($"nr" / 10).cast("long")
-        val r = $"nr" - q * 10
-        ranked.join(broadcast(sizes), "lang")
-          .withColumn("decile",
-            when($"rk" <= r * (q + 1), floor(($"rk" - 1) / (q + 1)))
-              .otherwise(r + floor(($"rk" - 1 - r * (q + 1)) / q))
-              .cast("long") + 1)
+        graft.operators.Ntile.closed(
+            t(s, dir, "documents").select($"lang", $"n_chars", $"doc_id"),
+            Seq("lang"), "n_chars", Seq("doc_id"), 10, "decile", 32)
           .groupBy($"lang", $"decile")
           .agg(count(lit(1)).as("n"),
             min($"n_chars").as("min_chars"),
@@ -5704,21 +5693,19 @@ object Catalog {
       "q157_cdf_normalize",
       (s, dir) => {
         import s.implicits._
-        // Round 8: cume_dist decomposed — collapse to (source, score)
-        // grain, inclusive cum of tie counts via PrefixScan, divide by
-        // the broadcast group total. Identical to cume_dist (all tied
-        // rows carry the full count of rows ≤ their score); no
-        // |sources|-partition window ever sees fact-scale rows.
+        // Round 8: cume_dist decomposed via operators.CumeDist —
+        // collapse to (source, score) grain, inclusive cum of tie
+        // counts via PrefixScan, divide by the broadcast group total.
+        // Identical to cume_dist (all tied rows carry the full count
+        // of rows ≤ their score, null scores rank first and survive
+        // the null-safe annotate-back); no |sources|-partition window
+        // ever sees fact-scale rows.
         val toks = TF.tokens($"text")
         val sc = t(s, dir, "documents")
           .select($"doc_id", $"source",
             (size(array_distinct(toks)).cast("double") / size(toks)).as("score"))
-        val grain = sc.groupBy($"source", $"score").agg(count(lit(1)).as("cnt"))
-        val cum = graft.operators.PrefixScan.scan(
-          grain, Seq("source"), "score", "cnt", "cs", "sum", 32)
-        val tot = grain.groupBy($"source").agg(sum($"cnt").as("nr"))
-        sc.join(cum.select($"source", $"score", $"cs"), Seq("source", "score"))
-          .join(broadcast(tot), "source")
+        graft.operators.CumeDist.annotate(
+            sc, Seq("source"), "score", "cs", "nr", 32)
           .withColumn("pct", $"cs".cast("double") / $"nr")
           .withColumn("decile", least(floor($"pct" * 10), lit(9L)).cast("long"))
           .groupBy($"source", $"decile")

@@ -80,6 +80,24 @@ class ConstraintAuditSpec extends SparkSpec {
     }
   }
 
+  test("an empty table audits as pass for every constraint family") {
+    import spark.implicits._
+    val empty = spark.emptyDataset[(Long, String)].toDF("id", "status")
+    val dim = Seq(1L).toDF("rid")
+    val out = audit(empty, Seq(
+      NotNull("id"),
+      InRange("id", 0, 10),
+      Unique(Seq("id")),
+      RefIntegrity("id", dim, "rid")))
+      .collect()
+    // sum over zero rows is null — the row-local lane must coalesce
+    // it so a gate reading `pass` gets true, not an NPE
+    out.foreach { r =>
+      assert(r.getLong(1) == 0L && r.getLong(2) == 0L && r.getBoolean(3),
+        s"empty-table verdict not (0, 0, true): $r")
+    }
+  }
+
   test("null keys in Unique group like values (surplus counted once)") {
     import spark.implicits._
     val withNullDups = Seq[java.lang.Long](null, null, 7L, 7L, 7L, 8L).toDF("id")

@@ -66,4 +66,20 @@ class SkylineSpec extends SparkSpec {
     val same = Seq((1L, 5.0, 2), (2L, 5.0, 2), (3L, 5.0, 2))
     assert(ids(Skyline.frontier(df(same), col("c"), col("g"), 8)) == Set(1L, 2L, 3L))
   }
+
+  test("null cost/gain rows are excluded by contract, without disturbing the frontier") {
+    import spark.implicits._
+    // dominance is undefined against an unknown coordinate — the
+    // operator documents exclusion, and the null rows must not
+    // change which defined rows survive
+    val rows = Seq(
+      (1L, Some(1.0), Some(5)), (2L, Some(2.0), Some(9)),
+      (3L, Some(3.0), Some(9)), // dominated by 2
+      (4L, None, Some(100)),    // null cost
+      (5L, Some(0.5), None))    // null gain
+    val d = rows.toDF("id", "c", "g")
+    val got = Skyline.frontier(d, col("c"), col("g"), 8)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 2L))
+  }
 }
