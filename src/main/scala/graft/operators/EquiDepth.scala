@@ -1,37 +1,38 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Equi-depth histogram in two spellings.
   *
-  * `exactHistogram` is the oracle-able contract (q84): a global ntile
-  * over a total order. Spark plans that as a single-partition
-  * WindowExec — every row through one task — which is fine for
-  * verification-sized inputs and is exactly what DuckDB computes, but
-  * is a scale-killer at 100 TB.
+  * `exactHistogram` is the oracle-able contract (q84): exact global
+  * ntile buckets over a total order. Round 8 re-derives it through
+  * [[Ntile.closed]] — a [[PrefixScan]] rank (parallel local windows +
+  * bounded carry) and the bucket rule in closed form — so the EXACT
+  * form no longer plans the single-partition WindowExec a bare
+  * `ntile().over(orderBy(...))` does; output is identical (DuckDB's
+  * ntile included), only the plan changed.
   *
-  * `approxHistogram` is the production spelling: cut points from ONE
-  * mergeable `approx_percentile` sketch aggregation (map-side partials,
-  * no global sort), broadcast back as literals, bucket assignment as a
+  * `approxHistogram` remains the cheapest production spelling when
+  * sketch-edge exactness suffices: cut points from ONE mergeable
+  * `approx_percentile` sketch aggregation (map-side partials, no rank
+  * pass at all), broadcast back as literals, bucket assignment as a
   * pure map-side codegen'd expression, then one ordinary agg shuffle.
-  * No stage sees more than its slice; the whole plan is two shuffles
-  * of which the first carries only sketch partials. Bucket EDGES agree
-  * with the exact form within the sketch's rank error (1/accuracy);
-  * bucket membership of rows tied at an edge may differ, which is the
-  * documented exactness trade.
+  * Bucket EDGES agree with the exact form within the sketch's rank
+  * error (1/accuracy); bucket membership of rows tied at an edge may
+  * differ, which is the documented exactness trade.
   */
 object EquiDepth {
 
-  /** Exact equi-depth buckets via global ntile (the q84 oracle form).
-    * `tiebreak` must make the order total or bucket membership at ties
-    * is nondeterministic.
+  /** Exact equi-depth buckets via the closed-form ntile (the q84
+    * oracle form). `tiebreak` must make the order total or bucket
+    * membership at ties is nondeterministic; `value` must be numeric
+    * ([[PrefixScan]]'s quantile boundaries).
     */
   def exactHistogram(df: DataFrame, value: Column, tiebreak: Column,
-                     buckets: Int): DataFrame = {
-    val w = Window.orderBy(value, tiebreak)
-    df.select(value.as("v"), ntile(buckets).over(w).cast("long").as("bucket"))
+                     buckets: Int, partitions: Int = 32): DataFrame = {
+    val base = df.select(value.as("v"), tiebreak.as("__ed_t"))
+    Ntile.closed(base, Nil, "v", Seq("__ed_t"), buckets, "bucket", partitions)
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n"),
            min(col("v")).as("lo"),

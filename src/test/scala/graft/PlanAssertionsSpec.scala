@@ -349,10 +349,10 @@ class PlanAssertionsSpec extends SparkSpec {
     import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
     import org.apache.spark.sql.execution.window.WindowExec
     import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
-    // q84's exact global ntile IS its oracle contract (the production
-    // spelling is EquiDepth.approxHistogram, spec-covered) — the one
-    // documented exception.
-    val allowed = Set("q84_equidepth_hist")
+    // round 8 closed the last exception: q84's exact global ntile now
+    // runs through Ntile.closed (PrefixScan rank + closed-form bucket
+    // rule), so the invariant holds with NO exceptions.
+    val allowed = Set.empty[String]
     // a ReusedExchange is a leaf pointing at the original exchange —
     // look through it or the aggregate behind a reused shuffle hides
     def hasAgg(p: SparkPlan): Boolean = p.exists {
