@@ -195,6 +195,15 @@ object ScaleSmoke {
         .approxHistogram(ord.select($"o_totalprice"), col("o_totalprice"), 10)
         .count()
     }
+    // equi-depth EXACT shape — q84's oracle contract through
+    // Ntile.closed (round 8): PrefixScan rank instead of the
+    // single-partition global ntile window; replica-shifted order
+    // keys keep the tie-break total
+    time(s"equidepth_exact_${factor}x") {
+      graft.operators.EquiDepth
+        .exactHistogram(ord, col("o_totalprice"), col("o_orderkey"), 10)
+        .count()
+    }
     // KS-drift shape — q129's plan on a 10x corpus: the cumulative
     // windows run over the (source x distinct-value) grid, which does
     // NOT grow with replication — only the counting scan does
