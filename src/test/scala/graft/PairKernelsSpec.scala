@@ -111,4 +111,33 @@ class PairKernelsSpec extends SparkSpec {
       assert(ranks.head == 1L && ranks.last == 20000L && ranks.distinct.length == 20000)
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
   }
+  test("PPJoin.similarPairs equals the naive all-pairs Jaccard join (randomized)") {
+    // the exact-recall claim beyond the q98 fixture: random shingle
+    // sets over a small vocabulary (heavy collisions, empty sets,
+    // thresholds up to 1.0), compared pair-for-pair with the naive
+    // O(n^2) join the oracle runs
+    import spark.implicits._
+    (1 to 3).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val docs = (0 until 40).map { i =>
+        val sz = rnd.nextInt(9) // 0..8, empty sets included
+        (i.toLong, (0 until sz).map(_ => "t" + rnd.nextInt(20)).distinct)
+      }
+      val df = docs.toDF("doc_id", "sh")
+      Seq(0.3, 0.5, 0.8, 1.0).foreach { thr =>
+        val naive = (for {
+          (ia, sa) <- docs; (ib, sb) <- docs if ia < ib
+          uni = (sa.toSet ++ sb.toSet).size if uni > 0
+          j = (sa.toSet & sb.toSet).size.toDouble / uni if j >= thr
+        } yield (ia, ib, j)).sortBy(p => (p._1, p._2))
+        val got = graft.operators.PPJoin.similarPairs(df, "doc_id", "sh", thr)
+          .as[(Long, Long, Double)].collect().sortBy(p => (p._1, p._2))
+        assert(got.map(p => (p._1, p._2)).toSeq == naive.map(p => (p._1, p._2)),
+          s"seed=$seed thr=$thr: pair sets differ")
+        got.zip(naive).foreach { case ((_, _, gj), (_, _, nj)) =>
+          assert(math.abs(gj - nj) < 1e-12, s"seed=$seed thr=$thr: jaccard drifted")
+        }
+      }
+    }
+  }
 }
