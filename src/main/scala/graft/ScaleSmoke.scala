@@ -9,11 +9,16 @@ import org.apache.spark.sql.functions._
   * have no accidental O(n^2) or single-task bottleneck; AQE handles
   * partition sizing.
   *
-  * Usage: runMain graft.ScaleSmoke [factor]
+  * Usage: runMain graft.ScaleSmoke [factor] [probeSubstring...]
+  * With substrings, only probes whose tag contains one of them run
+  * (dev iteration / high-factor spot probes — e.g. `30 pack ntile`
+  * runs the packing and ntile shapes at 30x without paying for the
+  * quadratic-by-nature probes at that factor).
   */
 object ScaleSmoke {
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(10)
+    val only: Seq[String] = args.drop(1).toSeq
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = graft.engine.Graft.session(s"local[$cpus]", cpus.toInt)
     import spark.implicits._
@@ -34,12 +39,13 @@ object ScaleSmoke {
     // Single-shot timer — used directly for stateful merges, where a
     // second identical run would hit the replay fence
     // (SnapshotDiffView) or re-append (WinnowIngest).
-    def timeOnce(tag: String)(f: => Long): Unit = {
-      val t0 = System.nanoTime(); val n = f
-      println(f"SCALE $tag rows=$n ${(System.nanoTime() - t0) / 1e9}%.2f s")
-    }
+    def timeOnce(tag: String)(f: => Long): Unit =
+      if (only.isEmpty || only.exists(tag.contains)) {
+        val t0 = System.nanoTime(); val n = f
+        println(f"SCALE $tag rows=$n ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
 
-    def time(tag: String)(f: => Long): Unit = {
+    def time(tag: String)(f: => Long): Unit = if (only.isEmpty || only.exists(tag.contains)) {
       f // warm (janino)
       // quiesce point: the warm run's plan-pinned checkpoints
       // (PrefixScan/CosinePairs.clustered) are fully consumed — drop
@@ -465,9 +471,13 @@ object ScaleSmoke {
     // exactly IncrementalMergeBench's plain-vs-bucketed trade; the
     // bucketed layout is the 100 TB path. The winnow ingest probe IS
     // batch-proportional: history never self-joins.
+    // a filtered run must also skip these sections' heavy SETUP
+    // (state builds outside the timers), not just their timed bodies
+    def section(tag: String)(body: => Unit): Unit =
+      if (only.isEmpty || only.exists(tag.contains)) body
     val smokeRoot: String =
       java.nio.file.Files.createTempDirectory("scalesmoke").toString
-    locally {
+    section("snapshot_diff") {
       val st = s"$smokeRoot/sd_state"
       val df0 = s"$smokeRoot/sd_diff"
       val evAll = replicate(graft.sources.Tables.events(spark, dir), Seq("event_id", "user_id"))
@@ -489,7 +499,7 @@ object ScaleSmoke {
         spark.read.parquet(s"$smokeRoot/sdb_diff/batch_seq=1").count()
       }
     }
-    locally {
+    section("winnow_ingest") {
       val idx = s"$smokeRoot/wi_index"
       val prs = s"$smokeRoot/wi_pairs"
       // history = the factor-x corpus's fingerprints (written once);
