@@ -17,8 +17,13 @@ import org.apache.spark.sql.functions._
   */
 object ScaleSmoke {
   def main(args: Array[String]): Unit = {
-    val factor = args.headOption.map(_.toInt).getOrElse(10)
-    val only: Seq[String] = args.drop(1).toSeq
+    // a non-numeric first arg is a probe filter at the default factor
+    // (the usage string shows factor as optional)
+    val factor = args.headOption
+      .flatMap(a => scala.util.Try(a.toInt).toOption).getOrElse(10)
+    val only: Seq[String] =
+      (if (args.headOption.exists(a => scala.util.Try(a.toInt).isSuccess))
+         args.drop(1) else args).toSeq
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = graft.engine.Graft.session(s"local[$cpus]", cpus.toInt)
     import spark.implicits._
@@ -472,12 +477,16 @@ object ScaleSmoke {
     // bucketed layout is the 100 TB path. The winnow ingest probe IS
     // batch-proportional: history never self-joins.
     // a filtered run must also skip these sections' heavy SETUP
-    // (state builds outside the timers), not just their timed bodies
-    def section(tag: String)(body: => Unit): Unit =
-      if (only.isEmpty || only.exists(tag.contains)) body
+    // (state builds outside the timers), not just their timed bodies.
+    // The gate takes the section's INNER probe tags, so a filter that
+    // names any probe inside (not just the shared prefix) still runs
+    // the section.
+    def section(tags: String*)(body: => Unit): Unit =
+      if (only.isEmpty || tags.exists(t => only.exists(t.contains))) body
     val smokeRoot: String =
       java.nio.file.Files.createTempDirectory("scalesmoke").toString
-    section("snapshot_diff") {
+    section(s"snapshot_diff_delta_vs_${factor}x_state",
+            s"snapshot_diff_bucketed_delta_vs_${factor}x_state") {
       val st = s"$smokeRoot/sd_state"
       val df0 = s"$smokeRoot/sd_diff"
       val evAll = replicate(graft.sources.Tables.events(spark, dir), Seq("event_id", "user_id"))
@@ -499,7 +508,7 @@ object ScaleSmoke {
         spark.read.parquet(s"$smokeRoot/sdb_diff/batch_seq=1").count()
       }
     }
-    section("winnow_ingest") {
+    section(s"winnow_ingest_500_vs_${factor}x_index") {
       val idx = s"$smokeRoot/wi_index"
       val prs = s"$smokeRoot/wi_pairs"
       // history = the factor-x corpus's fingerprints (written once);

@@ -35,10 +35,14 @@ object Ntile {
     require(k > 0, s"ntile bucket count must be positive, got $k")
     val ranked = PrefixScan.scan(df.withColumn("__nt_one", lit(1L)),
       keys, orderCol, "__nt_one", "__nt_rk", "sum", partitions, tieCols)
+    // null-SAFE size match (`<=>`): the ntile window keeps a null-key
+    // partition, so a plain using-join would silently drop those rows
     val sizes = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__nt_nr"))
+      .select(keys.map(k => col(k).as(s"__nt_k_$k")) :+ col("__nt_nr"): _*)
     val joined =
       if (keys.isEmpty) ranked.crossJoin(broadcast(sizes))
-      else ranked.join(broadcast(sizes), keys)
+      else ranked.join(broadcast(sizes),
+        keys.map(k => col(k) <=> col(s"__nt_k_$k")).reduce(_ && _))
     val q = floor(col("__nt_nr") / k).cast("long")
     val r = col("__nt_nr") - q * k
     val rk = col("__nt_rk")
@@ -47,6 +51,7 @@ object Ntile {
         when(rk <= r * (q + 1), floor((rk - 1) / (q + 1)))
           .otherwise(r + floor((rk - 1 - r * (q + 1)) / q))
           .cast("long") + 1)
-      .drop("__nt_one", "__nt_rk", "__nt_nr")
+      .drop(Seq("__nt_one", "__nt_rk", "__nt_nr") ++
+        keys.map(k => s"__nt_k_$k"): _*)
   }
 }

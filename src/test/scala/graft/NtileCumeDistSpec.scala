@@ -22,15 +22,20 @@ class NtileCumeDistSpec extends SparkSpec {
     }.toDF("id", "k", "v")
   }
 
-  test("Ntile.closed equals the ntile window for every k") {
+  test("Ntile.closed equals the ntile window for every k — null keys and values included") {
     import spark.implicits._
-    val df = docs(200, 42L).filter($"k".isNotNull && $"v".isNotNull)
+    // the window keeps a null-key partition and ranks null values
+    // first; the closed form must not lose either (null-safe size
+    // match, value-derived pid treating null as the lowest bucket)
+    val df = docs(200, 42L)
     Seq(1, 3, 10, 250).foreach { k =>
       val w = Window.partitionBy($"k").orderBy($"v", $"id")
       val expect = df.withColumn("b", ntile(k).over(w).cast("long"))
         .select($"id", $"b").as[(Long, Long)].collect().sorted
       val got = Ntile.closed(df, Seq("k"), "v", Seq("id"), k, "b", 8)
         .select($"id", $"b").as[(Long, Long)].collect().sorted
+      assert(got.length == expect.length,
+        s"k=$k: row count drifted — null rows dropped?")
       assert(got.toSeq == expect.toSeq, s"k=$k")
     }
   }
