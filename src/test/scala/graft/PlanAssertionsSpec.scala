@@ -337,6 +337,20 @@ class PlanAssertionsSpec extends SparkSpec {
       s"islands must not re-shuffle after the window pass:\n${p.take(3000)}")
   }
 
+  test("catalog-wide: no CartesianProduct — every cross is a broadcast of a bounded frame") {
+    // BroadcastNestedLoopJoin over a tiny aggregate (corpus totals,
+    // one-row size frames) is fine; a shuffled CartesianProduct means
+    // a cross join whose BOTH sides the planner thinks are large —
+    // always a mistake in this catalog, and the kind that only shows
+    // at scale. (Static plans: AQE may further improve joins at
+    // runtime, but a static CartesianProduct is already a bug.)
+    Catalog.all.foreach { q =>
+      val p = q.run(spark, dir).queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"),
+        s"${q.name}: CartesianProduct in plan:\n${p.take(2000)}")
+    }
+  }
+
   test("catalog-wide: every unpartitioned window runs over an aggregated frame") {
     // The aggregate-then-window discipline, asserted as an invariant
     // over EVERY catalog query: an ordered window with no partition
