@@ -52,7 +52,12 @@ object WeightedQuantile {
             partitions: Int = 32): DataFrame = {
     require(q > 0 && q <= 1, s"q must be in (0, 1], got $q")
     val g = groupCols.map(col)
-    val grain = df.groupBy((g :+ value.as("v")): _*).agg(sum(weight).as("w"))
+    // percentile semantics: rows with a null value or weight carry no
+    // quantile information and are EXCLUDED (as Spark/DuckDB
+    // percentile functions do) — left in, a null-value group would
+    // order first and silently inflate every cumulative
+    val clean = df.filter(value.isNotNull && weight.isNotNull)
+    val grain = clean.groupBy((g :+ value.as("v")): _*).agg(sum(weight).as("w"))
     val totals = grain.groupBy(g: _*).agg(sum(col("w")).as("totw"))
     PrefixScan.scan(grain, groupCols, "v", "w", "cumw", "sum", partitions)
       .join(broadcast(totals), groupCols)
@@ -75,11 +80,16 @@ object WeightedQuantile {
     val probs = (1 until cuts).map(i => lit(i.toDouble / cuts))
     // One sketch pass: ~cuts candidate cut points per group. |groups|
     // rows — broadcast back to the fact side.
-    val cutPoints = df.groupBy(g: _*)
+    // same null exclusion as [[exact]] — percentile_approx already
+    // ignores null values in the sketch, so leaving null rows in the
+    // bucket assignment (where they land in bucket 0) would count
+    // weight the cut points never saw
+    val clean = df.filter(value.isNotNull && weight.isNotNull)
+    val cutPoints = clean.groupBy(g: _*)
       .agg(percentile_approx(value, array(probs: _*), lit(accuracy)).as("cuts"))
     // bucket = |{cut : v > cut}|; strict > puts a value tied with a
     // cut in the lower bucket, mirroring EquiDepth.approxHistogram.
-    val bucketed = df
+    val bucketed = clean
       .join(broadcast(cutPoints), groupCols)
       .select((g :+ value.as("v") :+ weight.as("wt") :+
         size(filter(col("cuts"), c => value > c)).as("bucket")): _*)

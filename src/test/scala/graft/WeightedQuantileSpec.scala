@@ -98,4 +98,30 @@ class WeightedQuantileSpec extends SparkSpec {
       a.foreach { case (g, v) => assert(v <= e(g), s"q=$q group=$g") }
     }
   }
+
+  test("null values and weights are excluded, like percentile functions") {
+    import spark.implicits._
+    val base = Seq(
+      ("a", Some(1.0), Some(1.0)), ("a", Some(2.0), Some(1.0)),
+      ("a", Some(3.0), Some(1.0)), ("b", Some(10.0), Some(2.0)),
+      ("b", Some(20.0), Some(2.0)))
+    val noisy = base ++ Seq(
+      ("a", None, Some(99.0)),      // null value, heavy weight
+      ("a", Some(0.5), None),       // null weight
+      ("b", None, None))
+    def med(rows: Seq[(String, Option[Double], Option[Double])]) =
+      WeightedQuantile.exact(rows.toDF("g", "v", "wt"),
+          Seq("g"), col("v"), col("wt"), 0.5)
+        .as[(String, Double)].collect().toMap
+    assert(med(noisy) == med(base),
+      "null value/weight rows changed the exact weighted median")
+    val approxClean = WeightedQuantile.approx(noisy.toDF("g", "v", "wt"),
+        Seq("g"), col("v"), col("wt"), 0.5, cuts = 4)
+      .as[(String, Double)].collect().toMap
+    val approxBase = WeightedQuantile.approx(base.toDF("g", "v", "wt"),
+        Seq("g"), col("v"), col("wt"), 0.5, cuts = 4)
+      .as[(String, Double)].collect().toMap
+    assert(approxClean == approxBase,
+      "null value/weight rows changed the approx weighted median")
+  }
 }
