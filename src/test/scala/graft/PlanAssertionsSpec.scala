@@ -287,6 +287,10 @@ class PlanAssertionsSpec extends SparkSpec {
       s"grain cumulative is not partition-parallel:\n${p.take(3000)}")
     assert(!p.contains("cume_dist"),
       "fact-scale cume_dist window reappeared")
+    // the group-total annotate-back must stay a broadcast — a lost
+    // hint would silently SMJ the null-safe join at fact scale
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"CumeDist total join lost its broadcast:\n${p.take(3000)}")
     assert(countOf(p, "Exchange SinglePartition") == 0, p.take(3000))
   }
 
@@ -302,6 +306,9 @@ class PlanAssertionsSpec extends SparkSpec {
       .findFirstIn(p).isDefined,
       s"rank cumulative is not partition-parallel:\n${p.take(3000)}")
     assert(!p.contains("ntile"), "fact-scale ntile window reappeared")
+    // the group-size annotate-back must stay a broadcast
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"Ntile size join lost its broadcast:\n${p.take(3000)}")
     assert(countOf(p, "Exchange SinglePartition") == 0, p.take(3000))
   }
 
