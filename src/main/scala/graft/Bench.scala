@@ -65,11 +65,24 @@ object Bench {
     // far harder than scans — a measured 25x late-run inflation of
     // shuffle-heavy queries left q01 canary readings completely flat.
     val canaryQ = Catalog.headline.find(_.name == "q02_group_agg")
+    // Same try/catch + in-band error contract as the per-query runs: a
+    // transient canary failure mid-run (e.g. OOM under exactly the
+    // block-manager pressure the canary exists to detect) must report
+    // and return -1.0, not abort the results loop and lose the summary
+    // JSON line the driver parses.
     def canaryOnce(): Double = canaryQ match {
       case Some(q) =>
-        val t0 = System.nanoTime()
-        q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
-        val s = (System.nanoTime() - t0) / 1e9; reclaim(); s
+        try {
+          val t0 = System.nanoTime()
+          q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
+          val s = (System.nanoTime() - t0) / 1e9; reclaim(); s
+        } catch { case e: Throwable =>
+          val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+            .replaceAll("[\"\\\\\n\r\t]", " ").take(160)
+          println(s"""{"bench_error":"canary_q02","msg":"$msg"}""")
+          reclaim()
+          -1.0
+        }
       case None => -1.0
     }
     // Ratio is against the BEST canary time seen so far, not the first
@@ -88,6 +101,7 @@ object Bench {
       if (sinceCanary >= 30) {
         sinceCanary = 0
         val s = canaryOnce()
+        if (s < 0) return // failure already reported in-band; no ratio to judge
         val r = s / math.max(canaryMin, 1e-3)
         canaryMaxRatio = math.max(canaryMaxRatio, r)
         println(f"""{"canary":"q02","sec":$s%.2f,"ratio":$r%.2f}""")

@@ -41,6 +41,31 @@ object ScaleSmoke {
     val ord = replicate(graft.sources.Tables.orders(spark, dir), Seq("o_orderkey", "o_custkey")).cache()
     println(s"SCALE inputs lineitem=${li.count()} orders=${ord.count()}")
 
+    // Host-state canary (the bench's q02 discipline brought to the
+    // probe tables): q02's scan+agg+exchange shape over the
+    // UNREPLICATED sf0.1 lineitem — constant work at EVERY factor —
+    // re-timed after each probe, so a probe table is self-describing
+    // about host state (docs/SCALE.md's 100x rows were measured under
+    // the same contention the bench canary flags). Reading a table:
+    // a probe whose adjacent canary ratio is >~4 moved because the
+    // HOST moved, not the plan.
+    val liBase = graft.sources.Tables.lineitem(spark, dir).cache()
+    liBase.count()
+    def canaryOnce(): Double = {
+      val t0 = System.nanoTime()
+      liBase.groupBy($"l_returnflag", $"l_linestatus")
+        .agg(sum($"l_quantity"), avg($"l_extendedprice")).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    canaryOnce() // warm (janino)
+    var canaryMin = canaryOnce()
+    println(f"SCALE canary_base $canaryMin%.2f s")
+    def canaryCheck(): Unit = {
+      val s = canaryOnce()
+      println(f"SCALE canary $s%.2f s ratio=${s / math.max(canaryMin, 1e-3)}%.2f")
+      canaryMin = math.min(canaryMin, s)
+    }
+
     // Single-shot timer — used directly for stateful merges, where a
     // second identical run would hit the replay fence
     // (SnapshotDiffView) or re-append (WinnowIngest).
@@ -48,6 +73,7 @@ object ScaleSmoke {
       if (only.isEmpty || only.exists(tag.contains)) {
         val t0 = System.nanoTime(); val n = f
         println(f"SCALE $tag rows=$n ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        canaryCheck()
       }
 
     def time(tag: String)(f: => Long): Unit = if (only.isEmpty || only.exists(tag.contains)) {

@@ -29,20 +29,26 @@ object Verify {
       .filter { case (name, _) => subset.isEmpty || subset(name) }
       .map { case (name, fn) =>
       pool.submit(new Runnable {
-        override def run(): Unit =
+        override def run(): Unit = {
           try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
             .parquet(s"$outDir/$name")
           catch { case e: Throwable =>
             System.err.println(s"[verify] $name failed: ${e.getMessage}")
           }
+          // thread-scoped release: the write above fully consumed this
+          // worker's plan, so its own checkpoint pins (PrefixScan,
+          // CosinePairs.clustered, the funnel) can drop now instead of
+          // accumulating for the whole round — and it cannot touch a
+          // concurrent worker's in-flight pins (Checkpoints is keyed
+          // by tracking thread)
+          graft.operators.Checkpoints.release()
+        }
       })
     }
     pool.shutdown()
     tasks.foreach(_.get())
-    // quiesce point (no query in flight): drop the plan-pinned
-    // checkpoints PrefixScan / CosinePairs.clustered / the funnel
-    // tracked — releasing mid-pool would yank blocks under running
-    // queries, so it happens once, here
+    // full quiesce point (no query in flight on any thread): sweep any
+    // remaining plan-pinned checkpoints the per-worker release missed
     graft.operators.Checkpoints.releaseAll()
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -1,6 +1,6 @@
 package graft.operators
 
-import java.util.concurrent.ConcurrentLinkedQueue
+import java.util.concurrent.{ConcurrentHashMap, ConcurrentLinkedQueue}
 
 import org.apache.spark.sql.DataFrame
 
@@ -14,29 +14,58 @@ import org.apache.spark.sql.DataFrame
   * pins one input-scale copy in block-manager memory for the session
   * lifetime.
   *
-  * Contract: operators [[track]] such frames at creation; a DRIVER at
-  * a quiesce point — after fully consuming the returned DataFrames,
-  * with no tracked plan still in flight — calls [[releaseAll]].
-  * The engine's own loops do this (ScaleSmoke between probes; Bench's
-  * reclaim() force-unpersists every RDD, which subsumes it; Verify
-  * runs its queries CONCURRENTLY, so its only quiesce point is after
-  * the pool drains — its pins accumulate for the round, bounded by
-  * the sf0.01 gate inputs). Releasing while a tracked plan is
-  * mid-execution is
-  * unsafe the same way unpersisting any localCheckpoint is: the
-  * lineage is truncated, so the blocks are the only copy.
+  * The registry is scoped PER TRACKING THREAD: operators build their
+  * plans (and hence [[track]]) on the caller's thread, so a caller at
+  * its own quiesce point calls [[release]] and can only drop frames
+  * it created — a concurrent caller on another thread (e.g. Verify's
+  * query pool) cannot have its still-unconsumed plan's blocks yanked
+  * out from under it, which the old process-global queue allowed.
+  * Releasing a frame whose plan is mid-execution remains unsafe the
+  * same way unpersisting any localCheckpoint is (the lineage is
+  * truncated, so the blocks are the only copy) — the scoping reduces
+  * that contract from "no tracked plan in flight anywhere" to "no
+  * tracked plan of MINE in flight".
+  *
+  * [[releaseAll]] keeps the global sweep for true full-session
+  * quiesce points (Bench between queries of its single-threaded loop;
+  * Verify after its pool drains; ScaleSmoke between probes), where no
+  * tracked plan is in flight on ANY thread.
   */
 object Checkpoints {
 
-  private val live = new ConcurrentLinkedQueue[DataFrame]
+  private val live = new ConcurrentHashMap[Long, ConcurrentLinkedQueue[DataFrame]]
 
-  private[graft] def track(df: DataFrame): DataFrame = { live.add(df); df }
+  private[graft] def track(df: DataFrame): DataFrame = {
+    live.computeIfAbsent(Thread.currentThread().getId,
+      _ => new ConcurrentLinkedQueue[DataFrame]).add(df)
+    df
+  }
 
-  /** Unpersist every tracked frame's checkpoint blocks. Safe to call
-    * repeatedly; unpersisting an already-dropped RDD is a no-op.
+  private def drain(q: ConcurrentLinkedQueue[DataFrame]): Unit = {
+    var df = q.poll()
+    while (df != null) { Iterate.unpersistCheckpoint(df); df = q.poll() }
+  }
+
+  /** Unpersist only the frames tracked by the CALLING thread — safe at
+    * a caller-local quiesce point (its returned plans fully consumed)
+    * even while other threads' tracked plans are still in flight.
+    * Safe to call repeatedly; unpersisting an already-dropped RDD is a
+    * no-op.
+    */
+  def release(): Unit = {
+    val q = live.remove(Thread.currentThread().getId)
+    if (q != null) drain(q)
+  }
+
+  /** Unpersist EVERY tracked frame's checkpoint blocks, all threads.
+    * Only safe at a full-session quiesce point: no tracked plan still
+    * in flight on any thread. Safe to call repeatedly.
     */
   def releaseAll(): Unit = {
-    var df = live.poll()
-    while (df != null) { Iterate.unpersistCheckpoint(df); df = live.poll() }
+    val it = live.keySet().iterator()
+    while (it.hasNext) {
+      val q = live.remove(it.next())
+      if (q != null) drain(q)
+    }
   }
 }

@@ -49,11 +49,18 @@ object PPJoin {
     // Size filter (t·|B| ≤ |A| ≤ |B|/t) + positional filter: the first
     // shared token at ranks (i, j) caps the overlap at
     // 1 + min(|A|−i, |B|−j), which must reach ⌈t/(1+t)·(|A|+|B|)⌉.
+    // Spelled as the rational comparison (1+min)·(1+t) ≥ t·(|A|+|B|)
+    // (equivalent for integer LHS, no ceil): the ceil-of-double form
+    // could round t/(1+t)·(|A|+|B|) a ulp ABOVE an exact integer and
+    // wrongly prune a true pair. The 1e-9 slack makes any residual
+    // double rounding err toward KEEPING a candidate — the exact
+    // verify below prunes it, so recall is preserved at the cost of at
+    // most a few extra verified pairs.
     val cand = prefix.as("a").join(prefix.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id") &&
         col("a.n") >= col("b.n") * thr && col("b.n") >= col("a.n") * thr &&
-        least(col("a.n") - col("a.rn"), col("b.n") - col("b.rn")) + 1 >=
-          ceil((col("a.n") + col("b.n")) * (thr / (1 + thr))))
+        (least(col("a.n") - col("a.rn"), col("b.n") - col("b.rn")) + 1) * (1 + thr) >=
+          (col("a.n") + col("b.n")) * thr - 1e-9)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
     // Verify over sorted xxhash64'd shingles: 8-byte elements through

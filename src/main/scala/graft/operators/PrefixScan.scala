@@ -44,6 +44,15 @@ object PrefixScan {
     * shape, null for the first row). `partitions` ≤ 1 degenerates to
     * the single-window spelling.
     */
+  // 4096 entries, not more: the carry map is a LITERAL expression
+  // serialized into every task of the final plan, and each entry is
+  // two literal children — far above this, the expression tree
+  // approaches the 64KB codegen method limit and whole-stage codegen
+  // falls back to interpreted element_at per row, which defeats the
+  // decomposition. Real callers sit orders of magnitude below
+  // (|key groups| × P ≈ tens to hundreds).
+  private val maxCarry = 1 << 12
+
   def scan(df: DataFrame, keys: Seq[String], orderCol: String,
            valueCol: String, out: String, op: String,
            partitions: Int, tieCols: Seq[String] = Nil): DataFrame = {
@@ -83,6 +92,30 @@ object PrefixScan {
     val ckpt = df.localCheckpoint(eager = false)
     val qs = (1 until p).map(_.toDouble / p).toArray
     val bounds = ckpt.stat.approxQuantile(orderCol, qs, 0.001).distinct.sorted
+    // Cheap budget pre-check on the input the quantile collect just
+    // cached: carry rows number at least |key groups| (every group
+    // occupies ≥1 pid), so a caller whose key cardinality ALONE
+    // exceeds the literal-map budget fails HERE — one HLL pass over
+    // the cached blocks — before the pid stamp materializes a second
+    // input-scale checkpoint and the carry agg + window run at fact
+    // scale. The 1.25 slack absorbs HLL overestimation (default 5%
+    // rsd) so a legitimately-under-budget caller can never false-trip
+    // on estimator noise; the exact post-collect require below stays
+    // the authoritative guard for the |groups| ≤ budget < |groups|·P
+    // band the estimate cannot decide.
+    if (keys.nonEmpty) {
+      val estGroups = ckpt
+        .select(approx_count_distinct(struct(keys.map(col): _*)).as("g"))
+        .head.getLong(0)
+      if (estGroups > maxCarry * 1.25) {
+        Iterate.unpersistCheckpoint(ckpt) // fail clean: drop the cached input
+        throw new IllegalArgumentException(
+          s"PrefixScan pre-check: ~$estGroups key groups estimated, already " +
+            s"above the literal-map budget ($maxCarry entries) before any " +
+            "pid partitioning — keys are not low-cardinality; use " +
+            "partitions <= 1 or re-key")
+      }
+    }
     val pidCol =
       if (bounds.isEmpty) lit(0)
       else size(filter(array(bounds.map(lit(_)): _*),
@@ -116,14 +149,6 @@ object PrefixScan {
       .agg(aggc(col(valueCol)).as("__ps_ptot"))
       .withColumn("__ps_carry", aggc(col("__ps_ptot")).over(wCarry))
       .select(keyStr.as("__ps_k"), col("__ps_carry"))
-    // 4096 entries, not more: the carry map is a LITERAL expression
-    // serialized into every task of the final plan, and each entry is
-    // two literal children — far above this, the expression tree
-    // approaches the 64KB codegen method limit and whole-stage
-    // codegen falls back to interpreted element_at per row, which
-    // defeats the decomposition. Real callers sit orders of magnitude
-    // below (|key groups| × P ≈ tens to hundreds).
-    val maxCarry = 1 << 12
     val carryRows = carryQ.limit(maxCarry + 1).collect()
     Iterate.unpersistCheckpoint(ckpt)
     require(carryRows.length <= maxCarry,

@@ -58,9 +58,17 @@ object WeightedQuantile {
     // order first and silently inflate every cumulative
     val clean = df.filter(value.isNotNull && weight.isNotNull)
     val grain = clean.groupBy((g :+ value.as("v")): _*).agg(sum(weight).as("w"))
+    // null-SAFE totals match (`<=>`, mirroring Ntile.closed): groupBy
+    // keeps a null-keyed group and PrefixScan scans it, so a plain
+    // using-join here would silently drop those groups from the output
     val totals = grain.groupBy(g: _*).agg(sum(col("w")).as("totw"))
-    PrefixScan.scan(grain, groupCols, "v", "w", "cumw", "sum", partitions)
-      .join(broadcast(totals), groupCols)
+      .select(groupCols.map(k => col(k).as(s"__wq_k_$k")) :+ col("totw"): _*)
+    val scanned = PrefixScan.scan(grain, groupCols, "v", "w", "cumw", "sum", partitions)
+    val joined =
+      if (groupCols.isEmpty) scanned.crossJoin(broadcast(totals))
+      else scanned.join(broadcast(totals),
+        groupCols.map(k => col(k) <=> col(s"__wq_k_$k")).reduce(_ && _))
+    joined
       .filter(col("cumw") >= col("totw") * lit(q))
       .groupBy(g: _*)
       .agg(min(col("v")).as("wq"))

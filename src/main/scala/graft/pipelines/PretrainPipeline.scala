@@ -54,7 +54,28 @@ object PretrainPipeline {
     *                 this one frame
     */
   final case class Result(curated: DataFrame, manifest: DataFrame,
-                          stages: DataFrame)
+                          stages: DataFrame) {
+    /** By-source attrition report (q169): which sources lose documents
+      * at which funnel stage — aggregated from the ALREADY-COMPUTED
+      * [[stages]] frame, so a caller holding a Result pays one
+      * source-keyed hash-agg plus a (source × stage)-grain share
+      * window, zero extra funnel passes. (The q169 CATALOG entry still
+      * times funnel+agg, because as an independent query it must build
+      * its own Result — noted in BASELINE.md.)
+      */
+    def attrition: DataFrame = {
+      val spark = stages.sparkSession
+      import spark.implicits._
+      val wSrc = Window.partitionBy($"source")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      stages
+        .groupBy($"source", $"stage_no", $"stage")
+        .agg(count(lit(1)).as("n_docs"))
+        .withColumn("frac_r",
+          round($"n_docs".cast("double") / sum($"n_docs").over(wSrc), 4))
+        .orderBy($"source", $"stage_no")
+    }
+  }
 
   /** @param materialize checkpoint the two hub frames every later
     *                     stage re-reads (the flagged corpus and the

@@ -6298,23 +6298,16 @@ object Catalog {
     // Q169: funnel attrition BY SOURCE — which sources lose documents
     // at which stage of the q166 curation funnel (the report a data
     // engineer reads before deciding whether a crawl is worth
-    // re-filtering). Derived from the SAME per-doc first-drop-stage
-    // frame the q166 manifest aggregates (PretrainPipeline Result
-    // .stages) — one extra source-keyed hash-agg, zero extra funnel
-    // passes; the share window runs at (source × stage) grain.
+    // re-filtering). `Result.attrition` aggregates the SAME per-doc
+    // first-drop-stage frame the q166 manifest reads (one extra
+    // source-keyed hash-agg, zero extra funnel passes); a production
+    // caller holding q166's Result calls `.attrition` on it directly.
+    // As an INDEPENDENT catalog query this entry must build its own
+    // Result first, so its bench time is funnel+agg (BASELINE.md).
     Query(
       "q169_funnel_attrition",
-      (s, dir) => {
-        import s.implicits._
-        val wSrc = Window.partitionBy($"source")
-          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-        graft.pipelines.PretrainPipeline.run(t(s, dir, "documents")).stages
-          .groupBy($"source", $"stage_no", $"stage")
-          .agg(count(lit(1)).as("n_docs"))
-          .withColumn("frac_r",
-            round($"n_docs".cast("double") / sum($"n_docs").over(wSrc), 4))
-          .orderBy($"source", $"stage_no")
-      },
+      (s, dir) =>
+        graft.pipelines.PretrainPipeline.run(t(s, dir, "documents")).attrition,
       Some("""WITH tk AS (SELECT doc_id, source, text,
              |              string_split_regex(trim(text), '\s+') AS tk
              |            FROM documents),

@@ -362,14 +362,30 @@ object CdcStream {
     val raw =
       if (predicates.isEmpty) spark.read.jdbc(url, table, props)
       else spark.read.jdbc(url, table, predicates, props)
-    bootstrapFromTable(
-      raw.select(
-        col("id").cast("string").as("id"),
-        unix_millis(col("create_time").cast("timestamp")).as("create_time"),
-        unix_millis(col("update_time").cast("timestamp")).as("update_time"),
-        col("message"), col("username")),
-      stateDir, fenceLsn)
+    bootstrapFromTable(normalizeJdbcSnapshot(raw), stateDir, fenceLsn)
   }
+
+  /** Normalize a JDBC snapshot of the base table to the envelope's
+    * column types — the exact seam that makes a real pgjdbc deployment
+    * config-only. Golden-schema-pinned in CdcJdbcBootstrapSpec for the
+    * types the reference schema actually emits (`V1__init.sql`:
+    * `id BIGSERIAL`/UUID text, `TIMESTAMP`/`TIMESTAMPTZ` columns):
+    *
+    *  - `id`: any JDBC type (int8, uuid — pgjdbc surfaces uuid as
+    *    StringType) → string, the envelope's key type;
+    *  - `create_time`/`update_time`: TimestampType (pgjdbc's mapping
+    *    for BOTH `timestamp` and `timestamptz` — the instant is
+    *    absolute either way under this engine's pinned UTC session) →
+    *    UTC epoch millis via `unix_millis`, exactly what decoded
+    *    Debezium changes carry; string-typed timestamps cast through
+    *    TimestampType first, interpreted as UTC.
+    */
+  def normalizeJdbcSnapshot(raw: DataFrame): DataFrame =
+    raw.select(
+      col("id").cast("string").as("id"),
+      unix_millis(col("create_time").cast("timestamp")).as("create_time"),
+      unix_millis(col("update_time").cast("timestamp")).as("update_time"),
+      col("message"), col("username"))
 
   /** Union-and-rewrite merge of one micro-batch into the parquet state
     * snapshot. Test/local sink; a production deployment swaps this for

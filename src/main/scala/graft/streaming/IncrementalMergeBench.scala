@@ -84,7 +84,29 @@ object IncrementalMergeBench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    println(f"""{"metric":"incremental_merge","state_keys":$stateKeys,"batches":$batches,"batch_size":$batchSize,"plain_sec_per_batch":${plainSec / batches}%.3f,"bucketed_sec_per_batch":${bktSec / batches}%.3f,"manifest_sec_per_batch":${mfSec / batches}%.3f,"manifest_2writer_sec_per_batch":${mfcSec / math.max(1, concBatches)}%.3f,"speedup":${plainSec / bktSec}%.1f,"rows_plain":$a,"rows_bucketed":$b,"rows_manifest":$c}""")
+    // Steady-state small-file audit: there is no compaction debt to
+    // measure AWAY, because every commit already compacts the buckets
+    // it touches — the heavy phase rewrites each touched bucket IN
+    // FULL into one immutable version dir holding ONE parquet file
+    // (repartition(col("b")) puts a bucket's rows in one task;
+    // partitionBy("b") gives that task one output file), and
+    // generation-GC then caps live+superseded dirs per bucket. So
+    // after ANY number of merges the data-file count is bounded by
+    // nBuckets × (1 + keepGenerations), plus byte-sized archived
+    // manifests (kept forever, O(commits), data-free). Measured here
+    // after seed + serial + concurrent phases (~hundreds of commits
+    // at the default args) and asserted against the bound.
+    def countUnder(suffix: String): Long = {
+      val s = java.nio.file.Files.walk(java.nio.file.Paths.get(mfDir))
+      try s.filter(p => p.toString.endsWith(suffix)).count()
+      finally s.close()
+    }
+    val dataFiles = countUnder(".parquet")
+    val fileBound = nBuckets.toLong * 2 // keepGenerations = 1 default
+    assert(dataFiles <= fileBound,
+      s"bucketed-state file count $dataFiles exceeds the GC bound $fileBound")
+
+    println(f"""{"metric":"incremental_merge","state_keys":$stateKeys,"batches":$batches,"batch_size":$batchSize,"plain_sec_per_batch":${plainSec / batches}%.3f,"bucketed_sec_per_batch":${bktSec / batches}%.3f,"manifest_sec_per_batch":${mfSec / batches}%.3f,"manifest_2writer_sec_per_batch":${mfcSec / math.max(1, concBatches)}%.3f,"speedup":${plainSec / bktSec}%.1f,"rows_plain":$a,"rows_bucketed":$b,"rows_manifest":$c,"manifest_data_files":$dataFiles,"file_bound":$fileBound}""")
     spark.stop()
   }
 }

@@ -88,6 +88,46 @@ class CdcJdbcBootstrapSpec extends SparkSpec {
     assert(view == Set(("a", "a v2"), ("c", "c v1")))
   }
 
+  test("normalizeJdbcSnapshot: golden schema + values for the Postgres type mapping") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    // Postgres-shaped frame, exactly as pgjdbc surfaces the reference
+    // schema (reference V1__init.sql): id BIGSERIAL -> LongType;
+    // TIMESTAMP and TIMESTAMPTZ both -> TimestampType (the instant is
+    // absolute either way under the engine's pinned UTC session), so
+    // a real Postgres deployment differs from Derby in url/driver only
+    val t1 = java.time.Instant.parse("2026-08-14T12:34:56.789Z")
+    val t2 = java.time.Instant.parse("2026-01-02T00:00:00Z")
+    val pg = Seq((42L, java.sql.Timestamp.from(t1), java.sql.Timestamp.from(t2),
+      "hello", "alice"))
+      .toDF("id", "create_time", "update_time", "message", "username")
+    val norm = CdcStream.normalizeJdbcSnapshot(pg)
+    val golden = Seq(
+      ("id", StringType), ("create_time", LongType), ("update_time", LongType),
+      ("message", StringType), ("username", StringType))
+    assert(norm.schema.map(f => (f.name, f.dataType)) == golden,
+      norm.schema.treeString)
+    val r = norm.head
+    assert(r.getString(0) == "42")
+    assert(r.getLong(1) == t1.toEpochMilli && r.getLong(2) == t2.toEpochMilli)
+
+    // uuid primary keys (pgjdbc surfaces uuid as StringType) pass
+    // through textually — the envelope's key type is already string
+    val uid = "123e4567-e89b-12d3-a456-426614174000"
+    val pgU = Seq((uid, java.sql.Timestamp.from(t1), java.sql.Timestamp.from(t1),
+      "m", "u")).toDF("id", "create_time", "update_time", "message", "username")
+    val ru = CdcStream.normalizeJdbcSnapshot(pgU)
+    assert(ru.schema.map(f => (f.name, f.dataType)) == golden)
+    assert(ru.head.getString(0) == uid)
+
+    // text-typed timestamps (a driver surfacing timestamptz as text)
+    // cast through TimestampType interpreted as UTC — same instant
+    val pgS = Seq((7L, "2026-08-14 12:34:56.789", "2026-01-02 00:00:00", "m", "u"))
+      .toDF("id", "create_time", "update_time", "message", "username")
+    val rs = CdcStream.normalizeJdbcSnapshot(pgS).head
+    assert(rs.getLong(1) == t1.toEpochMilli && rs.getLong(2) == t2.toEpochMilli)
+  }
+
   test("predicate-partitioned jdbc snapshot equals the single-reader snapshot") {
     val url = seedDb("boot3", seed)
     val root = Files.createTempDirectory("jdbcboot3").toString

@@ -130,5 +130,16 @@ class KafkaParitySpec extends SparkSpec {
     assert(lossy("failOnDataLoss") == "false")
     // subscribe, not subscribePattern/assign - exactly one topic key
     assert(opts.keySet.intersect(Set("subscribePattern", "assign")).isEmpty)
+    // GOLDEN MAP: the full option set, exact equality. This is the
+    // permanent closure of the real-broker e2e item (docs/OPERATORS.md
+    // R1): the image ships no Kafka artifact of any kind (connector,
+    // client, or broker) and has zero egress, so the only untested
+    // surface of runKafkaStream is this option wiring — pinned here in
+    // full so no stray or missing reader option can creep in unseen.
+    assert(opts == Map(
+      "kafka.bootstrap.servers" -> "broker:9092",
+      "subscribe" -> "messages.public.messages",
+      "startingOffsets" -> "latest",
+      "failOnDataLoss" -> "true"))
   }
 }

@@ -168,6 +168,48 @@ class PrefixScanSpec extends SparkSpec {
       "releaseAll should unpersist every tracked checkpoint")
   }
 
+  test("budget pre-check fails loudly BEFORE any fact-scale carry work on high-cardinality keys") {
+    import spark.implicits._
+    graft.operators.Checkpoints.releaseAll()
+    val before = spark.sparkContext.getPersistentRDDs.size
+    // 10k distinct keys, one row each: the carry frame would need
+    // >= 10k literal-map entries, 2.4x the 4096 budget — the cheap
+    // HLL estimate over the cached input must throw before the pid
+    // stamp materializes a second checkpoint or the carry agg runs
+    val df = (0 until 10000).map(i => (s"k$i", i.toLong, 1L)).toDF("k", "ord", "v")
+    val e = intercept[IllegalArgumentException] {
+      PrefixScan.scan(df, Seq("k"), "ord", "v", "cum", "sum", 32)
+    }
+    assert(e.getMessage.contains("pre-check"), e.getMessage)
+    assert(spark.sparkContext.getPersistentRDDs.size <= before,
+      "the failed pre-check must not leak the cached input checkpoint")
+  }
+
+  test("Checkpoints.release is scoped to the tracking thread") {
+    import spark.implicits._
+    graft.operators.Checkpoints.releaseAll() // drain earlier tests' pins
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val df = gen(5000L).toDF("k", "ord", "v")
+    // thread A builds (and thereby pins) a scan plan it has NOT yet consumed
+    @volatile var planned: org.apache.spark.sql.DataFrame = null
+    val tA = new Thread(() => {
+      planned = PrefixScan.scan(df, Seq("k"), "ord", "v", "cum", "sum", 8)
+    })
+    tA.start(); tA.join()
+    val pinned = spark.sparkContext.getPersistentRDDs.size
+    assert(pinned > before, "scan should pin its pid-stamped checkpoint")
+    // thread B releasing ITS scope must not yank thread A's blocks out
+    // from under A's still-unconsumed plan (the old process-global
+    // registry failure mode)
+    val tB = new Thread(() => graft.operators.Checkpoints.release())
+    tB.start(); tB.join()
+    assert(spark.sparkContext.getPersistentRDDs.size == pinned,
+      "another thread's release must not drop this plan's pins")
+    planned.count() // the plan is still executable over intact blocks
+    graft.operators.Checkpoints.releaseAll()
+    assert(spark.sparkContext.getPersistentRDDs.size <= before)
+  }
+
   test("null values: sum matches the window form (skip nulls, null only for all-null frames)") {
     // window sum SKIPS nulls and returns null only when the frame has
     // no non-null value; the decomposition must not null out a row

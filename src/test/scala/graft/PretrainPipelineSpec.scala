@@ -124,6 +124,39 @@ class PretrainPipelineSpec extends SparkSpec {
     assert(result.stages.select($"doc_id").distinct().count() == docs.count())
   }
 
+  test("attrition is a shared-frame aggregate of the SAME Result (no second funnel)") {
+    import spark.implicits._
+    // Result.attrition on an already-built Result must be the plain
+    // (source, stage) aggregate of its own stages frame — a production
+    // caller holding q166's Result pays one hash-agg + share window,
+    // not a funnel recomputation (the q169 catalog entry recomputes
+    // only because it is an independent query)
+    val att = result.attrition.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3),
+        r.getDouble(4)))
+    val recomputed = result.stages
+      .groupBy($"source", $"stage_no", $"stage").agg(count(lit(1)).as("n"))
+      .collect().map(r => ((r.getString(0), r.getLong(1)),
+        (r.getString(2), r.getLong(3)))).toMap
+    assert(att.nonEmpty)
+    att.foreach { case (src, no, name, n, frac) =>
+      val (gName, gN) = recomputed((src, no))
+      assert(name == gName && n == gN, s"($src, $no)")
+      assert(frac >= 0.0 && frac <= 1.0)
+    }
+    // per-source shares account for every doc of that source (sum to 1
+    // up to the 4-decimal rounding of each term)
+    att.groupBy(_._1).foreach { case (src, rows) =>
+      assert(math.abs(rows.map(_._5).sum - 1.0) <= rows.length * 5e-5, src)
+    }
+    // and the attrition totals reconcile with the manifest funnel
+    val byStage = att.groupBy(_._2).view.mapValues(_.map(_._4).sum).toMap
+    manifest.take(6).foreach { r =>
+      assert(byStage.getOrElse(r.getLong(0), 0L) == r.getLong(2) - r.getLong(3),
+        s"stage ${r.getString(1)}")
+    }
+  }
+
   test("incremental with empty history reproduces the batch funnel") {
     import spark.implicits._
     val evalDocs = docs.filter(pmod($"doc_id", lit(97L)) === 0)

@@ -53,6 +53,20 @@ class WeightedQuantileSpec extends SparkSpec {
       == got(rowLevel))
   }
 
+  test("exact keeps a null-keyed group (null-safe totals match, like Ntile/CumeDist)") {
+    import spark.implicits._
+    // groupBy keeps a null-keyed group and the window spelling scans
+    // it; the totals annotate-back must be `<=>`, or the null group
+    // silently vanishes from the output
+    val d = Seq((Some("g1"), 1.0, 1.0), (Some("g1"), 3.0, 1.0),
+      (None: Option[String], 2.0, 1.0), (None: Option[String], 4.0, 3.0))
+      .toDF("g", "v", "wt")
+    val out = WeightedQuantile.exact(d, Seq("g"), col("v"), col("wt"), 0.5)
+      .collect().map(r => Option(r.getString(0)) -> r.getDouble(1)).toMap
+    // null group: weights (2.0->1, 4.0->3), total 4, q=0.5 crosses at 4.0
+    assert(out == Map(Some("g1") -> 1.0, None -> 4.0))
+  }
+
   test("property: exact matches naive on randomized weighted data") {
     val rnd = new scala.util.Random(42)
     val rs = Seq.fill(400) {
