@@ -36,10 +36,25 @@ object ScaleSmoke {
       }.drop("__rep")
     }
     // cache the replicated inputs so the timings measure the query,
-    // not the on-the-fly data generation
-    val li = replicate(graft.sources.Tables.lineitem(spark, dir), Seq("l_orderkey")).cache()
-    val ord = replicate(graft.sources.Tables.orders(spark, dir), Seq("o_orderkey", "o_custkey")).cache()
-    println(s"SCALE inputs lineitem=${li.count()} orders=${ord.count()}")
+    // not the on-the-fly data generation. LAZY: a filtered run builds
+    // only the inputs its probes touch — at factor 100 eagerly caching
+    // every input (~150 M rows across six frames) creates exactly the
+    // block-manager pressure the canary exists to flag, and skews the
+    // few probes the filter selected (measured round 9: join_agg at
+    // 154 s under all-inputs pressure vs 27 s in the full round-8 run)
+    def cached(name: String)(build: => org.apache.spark.sql.DataFrame) = {
+      lazy val d = {
+        val df = build.cache()
+        println(s"SCALE inputs $name=${df.count()}")
+        df
+      }
+      () => d
+    }
+    val liF = cached("lineitem")(
+      replicate(graft.sources.Tables.lineitem(spark, dir), Seq("l_orderkey")))
+    val ordF = cached("orders")(
+      replicate(graft.sources.Tables.orders(spark, dir), Seq("o_orderkey", "o_custkey")))
+    def li = liF(); def ord = ordF()
 
     // Host-state canary (the bench's q02 discipline brought to the
     // probe tables): q02's scan+agg+exchange shape over the
@@ -116,9 +131,10 @@ object ScaleSmoke {
     }
     // IVF-probe shape — the SAME operator as q44 (operators.IvfAnn):
     // centroid build + broadcast-pruned candidate join, ~nprobe/nlist scan
-    val emb = replicate(graft.sources.Tables.embeddings(spark, dir), Seq("vec_id"))
-      .withColumn("label", pmod(xxhash64($"vec_id"), lit(10)).cast("int")).cache()
-    println(s"SCALE inputs embeddings=${emb.count()}")
+    val embF = cached("embeddings")(
+      replicate(graft.sources.Tables.embeddings(spark, dir), Seq("vec_id"))
+        .withColumn("label", pmod(xxhash64($"vec_id"), lit(10)).cast("int")))
+    def emb = embF()
     time(s"ivf_ann_${factor}x") {
       import graft.functions.{VectorFunctions => VF}
       graft.operators.IvfAnn.topK(
@@ -157,9 +173,9 @@ object ScaleSmoke {
     }
     // fuzzy-join shape — the SAME operator as q61 on a 10x supplier
     // dimension: candidate volume follows signature collisions, not n^2
-    val sup = replicate(
-      graft.sources.Tables(spark, dir, "supplier"), Seq("s_suppkey")).cache()
-    println(s"SCALE inputs supplier=${sup.count()}")
+    val supF = cached("supplier")(replicate(
+      graft.sources.Tables(spark, dir, "supplier"), Seq("s_suppkey")))
+    def sup = supF()
     time(s"fuzzy_join_${factor}x") {
       graft.operators.FuzzyJoin
         .editDistance1SelfJoin(sup, "s_suppkey", "s_name").count()
@@ -168,9 +184,9 @@ object ScaleSmoke {
     // one shuffle keyed by chunk text; replication multiplies the
     // duplicate rate (every chunk now exists >= factor times), which
     // is the worst case for the survivorship window's skew
-    val docs = replicate(
-      graft.sources.Tables.documents(spark, dir), Seq("doc_id")).cache()
-    println(s"SCALE inputs documents=${docs.count()}")
+    val docsF = cached("documents")(replicate(
+      graft.sources.Tables.documents(spark, dir), Seq("doc_id")))
+    def docs = docsF()
     time(s"chunk_dedup_${factor}x") {
       import org.apache.spark.sql.expressions.Window
       val ch = docs
@@ -275,14 +291,14 @@ object ScaleSmoke {
     // replica id: models corpus growth at CONSTANT block granularity
     // (the design lever at scale — block sizes stay bounded, total
     // pairs grow linearly with block count, never |corpus|^2)
-    val parts = {
+    val partsF = cached("part") {
       val p = graft.sources.Tables(spark, dir, "part")
         .withColumn("__rep", explode(sequence(lit(0), lit(factor - 1))))
       p.withColumn("p_partkey", $"p_partkey" + $"__rep" * lit(100000000L))
         .withColumn("p_brand", concat($"p_brand", lit("#r"), $"__rep"))
-        .drop("__rep").cache()
+        .drop("__rep")
     }
-    println(s"SCALE inputs part=${parts.count()}")
+    def parts = partsF()
     time(s"jw_block_${factor}x") {
       val blocked = parts.withColumn("blk",
         concat($"p_brand", lit("|"), split($"p_name", " ").getItem(0)))
@@ -297,10 +313,11 @@ object ScaleSmoke {
     // triangle shape — q140's oriented wedge join on a graph that
     // replicates as `factor` disjoint copies (order AND part keys
     // shifted): wedge volume scales with edges x degree, linear here
-    val lp2 = replicate(graft.sources.Tables.lineitem(spark, dir),
-                        Seq("l_orderkey", "l_partkey"))
-      .select($"l_orderkey".as("o"), $"l_partkey".as("p")).distinct().cache()
-    println(s"SCALE inputs lp=${lp2.count()}")
+    val lp2F = cached("lp")(
+      replicate(graft.sources.Tables.lineitem(spark, dir),
+                Seq("l_orderkey", "l_partkey"))
+        .select($"l_orderkey".as("o"), $"l_partkey".as("p")).distinct())
+    def lp2 = lp2F()
     time(s"triangles_${factor}x") {
       val e = lp2.as("a").join(lp2.as("b"), $"a.o" === $"b.o" && $"a.p" < $"b.p")
         .groupBy($"a.p".as("u"), $"b.p".as("v"))

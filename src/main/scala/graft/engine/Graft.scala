@@ -20,9 +20,20 @@ object Graft {
 
   val DefaultShufflePartitions = 32
 
+  /** Probed, not defaulted (round 9): raising AQE's pre-coalesce width
+    * (`spark.sql.adaptive.coalescePartitions.initialPartitionNum`,
+    * env `SPARK_GRAFT_INIT_PARTITIONS`) to 8× cores halves the
+    * spill-bound join+agg at the 100× probe (87 s → 51 s: AQE can only
+    * MERGE shuffle partitions, so the initial count floors partition
+    * size) but regresses the PrefixScan window shape ~5× on the single
+    * local disk. On a real cluster the same lever is sizing
+    * `shuffle.partitions` to ~2-3× total cores — per the scaling note
+    * below — where the reduce width spreads over many spindles instead
+    * of multiplying seeks on one.
+    */
   def builder(master: String = "local[*]",
-              shufflePartitions: Int = DefaultShufflePartitions): SparkSession.Builder =
-    SparkSession.builder()
+              shufflePartitions: Int = DefaultShufflePartitions): SparkSession.Builder = {
+    val b = SparkSession.builder()
       .master(master)
       .appName("graft")
       // SQL-callable registration of the engine's custom expressions
@@ -30,6 +41,9 @@ object Graft {
       .withExtensions(new GraftExtensions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+    sys.env.get("SPARK_GRAFT_INIT_PARTITIONS").foreach(n =>
+      b.config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", n))
+    b
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
@@ -44,6 +58,7 @@ object Graft {
       // live keys per executor" (SURVEY §4 streaming state row).
       .config("spark.sql.streaming.stateStore.providerClass",
               "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+  }
 
   def session(master: String = "local[*]",
               shufflePartitions: Int = DefaultShufflePartitions): SparkSession = {

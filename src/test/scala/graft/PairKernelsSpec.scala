@@ -124,7 +124,13 @@ class PairKernelsSpec extends SparkSpec {
         (i.toLong, (0 until sz).map(_ => "t" + rnd.nextInt(20)).distinct)
       }
       val df = docs.toDF("doc_id", "sh")
-      Seq(0.3, 0.5, 0.8, 1.0).foreach { thr =>
+      // 1/3, 2/3, 0.25 are the adversarial band for the positional
+      // filter: t/(1+t) is exactly rational (0.25, 0.4, 0.2), so
+      // t/(1+t)·(|A|+|B|) lands ON an integer for many size pairs —
+      // where the retired ceil-of-double spelling could round a ulp
+      // high and prune a true pair; the rational-comparison bound must
+      // keep exact recall there too
+      Seq(0.25, 0.3, 1.0 / 3, 0.5, 2.0 / 3, 0.8, 1.0).foreach { thr =>
         val naive = (for {
           (ia, sa) <- docs; (ib, sb) <- docs if ia < ib
           uni = (sa.toSet ++ sb.toSet).size if uni > 0
