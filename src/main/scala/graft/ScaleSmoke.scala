@@ -72,13 +72,30 @@ object ScaleSmoke {
         .agg(sum($"l_quantity"), avg($"l_extendedprice")).count()
       (System.nanoTime() - t0) / 1e9
     }
-    canaryOnce() // warm (janino)
+    // Second flavor: a WIDE-ROW repartition of the same cached base —
+    // every column travels through one real exchange (shuffle write +
+    // read of ~tens of MB), so this one senses DISK/shuffle-bandwidth
+    // contention that the cached-CPU agg canary is blind to (measured
+    // round 9: global-rank and window probes read 2× round-8 values
+    // while the agg canary sat at 0.88-1.11 — the host's disk, not
+    // the plans, had moved).
+    def canaryShuffleOnce(): Double = {
+      val t0 = System.nanoTime()
+      liBase.repartition(32, $"l_orderkey")
+        .groupBy($"l_linenumber").agg(count(lit(1))).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    canaryOnce(); canaryShuffleOnce() // warm (janino)
     var canaryMin = canaryOnce()
-    println(f"SCALE canary_base $canaryMin%.2f s")
+    var canaryShMin = canaryShuffleOnce()
+    println(f"SCALE canary_base $canaryMin%.2f s shuffle_base $canaryShMin%.2f s")
     def canaryCheck(): Unit = {
       val s = canaryOnce()
-      println(f"SCALE canary $s%.2f s ratio=${s / math.max(canaryMin, 1e-3)}%.2f")
+      val sh = canaryShuffleOnce()
+      println(f"SCALE canary $s%.2f s ratio=${s / math.max(canaryMin, 1e-3)}%.2f " +
+        f"shuffle $sh%.2f s ratio=${sh / math.max(canaryShMin, 1e-3)}%.2f")
       canaryMin = math.min(canaryMin, s)
+      canaryShMin = math.min(canaryShMin, sh)
     }
 
     // Single-shot timer — used directly for stateful merges, where a
