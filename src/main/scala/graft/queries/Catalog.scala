@@ -2973,7 +2973,12 @@ object Catalog {
           .crossJoin(cstep.agg(count(lit(1)).as("n_click_1d")))
           .crossJoin(pstep.agg(count(lit(1)).as("n_purchase_1d")))
           .select($"n_view", $"n_click_1d", $"n_purchase_1d",
-            round($"n_purchase_1d".cast("double") / $"n_view", 4).as("conversion"))
+            // try_divide: == / when n_view > 0 (every non-degenerate
+            // corpus, so the oracle hash is unchanged); on an EMPTY
+            // events table it returns a NULL conversion instead of an
+            // ANSI DIVIDE_BY_ZERO crash (DegenerateInputsSpec)
+            round(try_divide($"n_purchase_1d".cast("double"), $"n_view"), 4)
+              .as("conversion"))
       },
       Some("""WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
              |           WHERE event_type = 'view' GROUP BY 1),
@@ -4449,8 +4454,14 @@ object Catalog {
           .withColumn("nt", sum($"nv").over(wp))
           .groupBy($"source")
           .agg(max($"ns").as("n_docs"),
+               // try_divide: == / whenever another source exists (every
+               // non-degenerate corpus, oracle hash unchanged); on a
+               // SINGLE-source corpus nt == ns and the drift-vs-others
+               // statistic is undefined — NULL, not a crash
+               // (DegenerateInputsSpec single-row lane)
                round(max(abs($"cs".cast("double") / $"ns" -
-                 ($"ct" - $"cs").cast("double") / ($"nt" - $"ns"))), 4).as("ks_r"))
+                 try_divide(($"ct" - $"cs").cast("double"), $"nt" - $"ns"))), 4)
+                 .as("ks_r"))
           .orderBy($"source")
       },
       Some("""WITH c AS (SELECT source, n_chars AS v, count(*) AS n FROM documents GROUP BY 1, 2),
@@ -5186,8 +5197,12 @@ object Catalog {
         val b = ev.agg(min($"tm").as("mnt"), max($"tm").as("mxt"),
                        min($"vc").as("mnv"), max($"vc").as("mxv"))
         val q = ev.crossJoin(broadcast(b))
-          .withColumn("xq", expr("((vc - mnv) * 255) div (mxv - mnv)"))
-          .withColumn("yq", expr("((tm - mnt) * 255) div (mxt - mnt)"))
+          // greatest(range, 1): when a column is CONSTANT (single-row
+          // or all-equal corpus) its range is 0 and every value
+          // quantizes to cell 0 instead of an integer-div-by-zero
+          // crash; range > 0 is bit-identical to the bare div
+          .withColumn("xq", expr("((vc - mnv) * 255) div greatest(mxv - mnv, 1)"))
+          .withColumn("yq", expr("((tm - mnt) * 255) div greatest(mxt - mnt, 1)"))
           .withColumn("zkey", graft.functions.ZOrder.zValue($"xq", $"yq", 8))
           .select($"event_id", $"xq", $"yq", $"zkey")
         graft.operators.GlobalRank.withRank(q, "rk", $"zkey", $"event_id")
@@ -5208,8 +5223,8 @@ object Catalog {
            |b AS (SELECT min(tm) AS mnt, max(tm) AS mxt,
            |             min(vc) AS mnv, max(vc) AS mxv FROM ev),
            |q AS (SELECT event_id,
-           |             ((vc - mnv) * 255) // (mxv - mnv) AS xq,
-           |             ((tm - mnt) * 255) // (mxt - mnt) AS yq
+           |             ((vc - mnv) * 255) // greatest(mxv - mnv, 1) AS xq,
+           |             ((tm - mnt) * 255) // greatest(mxt - mnt, 1) AS yq
            |      FROM ev CROSS JOIN b),
            |z AS (SELECT event_id, xq, yq, $zterms AS zkey FROM q),
            |r AS (SELECT event_id, xq, yq,
