@@ -129,6 +129,30 @@ object ScaleSmoke {
         .groupBy($"o_custkey").agg(sum($"rev"))
         .count()
     }
+    // Hot-key SKEW shapes (the brief's "skewed keys -> salting or AQE
+    // skew-join", measured): 20% of the fact side collapsed onto ONE
+    // order key, then (a) the direct fact⋈dim join — one SMJ partition
+    // would hold that 20% alone; AQE skew-join must split it at
+    // runtime — and (b) the same join through SkewJoin.saltedInner,
+    // the explicit spread for non-AQE contexts. Compare both against
+    // join_agg_<f>x for the absorbed-skew premium. The groupBy-first
+    // spelling is deliberately NOT probed as "skew": map-side partial
+    // aggregation already collapses a hot GROUP key before the
+    // shuffle, which is why agg skew needs no salting at all.
+    def hotLi = li.withColumn("l_orderkey",
+      when(pmod(xxhash64($"l_orderkey", $"l_linenumber"), lit(5)) === 0, lit(7L))
+        .otherwise($"l_orderkey"))
+    time(s"skew_join_aqe_${factor}x") {
+      hotLi.join(ord, $"l_orderkey" === $"o_orderkey")
+        .groupBy($"o_custkey").agg(sum($"l_extendedprice")).count()
+    }
+    time(s"skew_join_salted_${factor}x") {
+      graft.operators.SkewJoin.saltedInner(
+          hotLi.select($"l_orderkey", $"l_extendedprice"),
+          ord.select($"o_orderkey", $"o_custkey"),
+          "l_orderkey", "o_orderkey", buckets = 8)
+        .groupBy($"o_custkey").agg(sum($"l_extendedprice")).count()
+    }
     time(s"window_${factor}x") {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy($"o_custkey").orderBy($"o_totalprice".desc)

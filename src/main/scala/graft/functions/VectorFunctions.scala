@@ -83,9 +83,16 @@ object VectorFunctions {
     val packed = planes.foldLeft(lit(0L)) { (acc, plane) =>
       shiftleft(acc, 1).bitwiseOR(when(dot(v, plane) >= 0, lit(1L)).otherwise(lit(0L)))
     }
-    when(size(v) === dim, packed).otherwise(raise_error(concat(
-      lit(s"hyperplaneBucket: expected $dim-dim embedding, got "),
-      size(v).cast("string"), lit(" elements"))))
+    // NULL vector -> NULL bucket (no geometry, nothing to probe) —
+    // without the isNull branch the dim guard itself misfires:
+    // size(NULL) is NULL under ANSI, the when falls through, and
+    // raise_error(concat(.., NULL, ..)) throws an unreadable
+    // USER_RAISED_EXCEPTION(null) instead of excluding the row
+    when(v.isNull, lit(null).cast("long"))
+      .when(size(v) === dim, packed)
+      .otherwise(raise_error(concat(
+        lit(s"hyperplaneBucket: expected $dim-dim embedding, got "),
+        size(v).cast("string"), lit(" elements"))))
   }
 
   /** Multi-table LSH bucket array: `tables` independent hyperplane
@@ -107,9 +114,15 @@ object VectorFunctions {
   def hyperplaneBuckets(vec: Column, bits: Int, tables: Int,
                         dim: Int = 64): Column = {
     require(tables > 0 && tables <= 64, "tables must be in (0, 64]")
-    array((0 until tables).map { t =>
-      hyperplaneBucket(vec, bits, dim, seed = 42 + 7919 * t)
-        .bitwiseOR(lit(t.toLong << bits))
-    }: _*)
+    // NULL vector -> NULL ARRAY, not an array of null buckets: callers
+    // explode this column, and explode(NULL) emits ZERO rows — the
+    // vector is cleanly excluded — where an array of nulls would emit
+    // `tables` null-bucket rows per null vector that every such vector
+    // shares (a skew group in any bucket groupBy at scale)
+    when(vec.isNull, lit(null).cast("array<bigint>"))
+      .otherwise(array((0 until tables).map { t =>
+        hyperplaneBucket(vec, bits, dim, seed = 42 + 7919 * t)
+          .bitwiseOR(lit(t.toLong << bits))
+      }: _*))
   }
 }

@@ -28,13 +28,19 @@ object Multimodal {
                           features: Array[Float])
 
   /** Wrap a text table as media records (UTF-8 payloads) — the test
-    * stand-in for reading real image/audio blobs. */
+    * stand-in for reading real image/audio blobs. Rows with NULL text
+    * are EXCLUDED here: a media record without bytes is not a media
+    * record, and every downstream kernel (`decodeStub`, `avgHash64`,
+    * `sampleFrames`) reads `payload` unconditionally — admitting a
+    * null would NPE mid-task at fact scale instead of failing the one
+    * upstream row (DegenerateInputsSpec null lane). */
   def fromDocuments(documents: DataFrame): Dataset[MediaRecord] = {
     val spark = documents.sparkSession
     import spark.implicits._
     documents
       .select($"doc_id", lit("image").as("kind"),
               encode($"text", "UTF-8").as("payload"))
+      .filter($"payload".isNotNull)
       .as[MediaRecord]
   }
 

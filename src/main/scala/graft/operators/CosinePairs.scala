@@ -10,6 +10,12 @@ import graft.functions.{VectorFunctions => VF}
   * pair generator behind q21 (embed near-dup) and q103 (semantic
   * dedup).
   *
+  * NULL vectors carry no geometry and are EXCLUDED at every entry
+  * point (exact / exactBlocked / clustered) — mirroring SQL aggregate
+  * null semantics and WeightedQuantile's documented null exclusion;
+  * without the filter the primitive-array kernels would NPE mid-task
+  * on the first null payload (DegenerateInputsSpec null lane).
+  *
   * Replaces the broadcast nested-loop spelling (`a.join(broadcast(b),
   * id_a < id_b)` + per-row DotProduct): that plan materializes every
   * candidate ROW — two 64-double arrays copied into an UnsafeRow per
@@ -80,8 +86,9 @@ object CosinePairs {
     import spark.implicits._
     val nPairs = nBlocks * (nBlocks + 1) / 2
     // (blockPair, (blockOfVec, id, vec)) — every vector goes to each
-    // block pair its block participates in.
-    val routed = vecs.rdd.flatMap { case (id, v) =>
+    // block pair its block participates in. Null vectors excluded
+    // (object doc).
+    val routed = vecs.filter(_._2 != null).rdd.flatMap { case (id, v) =>
       val b = (math.abs(id.hashCode) % nBlocks + nBlocks) % nBlocks
       (0 until nBlocks).map { o =>
         val (i, j) = if (b <= o) (b, o) else (o, b)
@@ -185,7 +192,10 @@ object CosinePairs {
     // path whose point is cutting compute. Tracked (not released
     // here): the RETURNED plan reads it too, so release belongs to
     // the caller's quiesce point — Checkpoints.releaseAll().
+    // null vectors excluded (object doc) — and the codegen'd norm
+    // below would propagate null anyway, poisoning centroid means
     val e = Checkpoints.track(vecs.toDF("id", "v")
+      .filter(col("v").isNotNull)
       .withColumn("nrm", sqrt(VF.dot(col("v"), col("v"))))
       .localCheckpoint(eager = false))
     // Seedless init: k lowest-hash vectors. orderBy+limit compiles to
@@ -271,7 +281,8 @@ object CosinePairs {
   def exact(vecs: Dataset[(Long, Array[Double])], threshold: Double): DataFrame = {
     val spark = vecs.sparkSession
     import spark.implicits._
-    val matrix = vecs.collect().sortBy(_._1)
+    // null vectors excluded (object doc)
+    val matrix = vecs.filter(_._2 != null).collect().sortBy(_._1)
     val n = matrix.length
     val ids = matrix.map(_._1)
     val norms = matrix.map(m => selfNorm(m._2))

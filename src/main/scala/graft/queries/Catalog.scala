@@ -4441,9 +4441,16 @@ object Catalog {
         val c = docs.groupBy($"source", $"n_chars".as("v"))
           .agg(count(lit(1)).as("n"))
         val tot = c.groupBy($"v").agg(sum($"n").as("nv"))
+        // null-SAFE (<=>) count match: distinct/groupBy keep a NULL
+        // source, so a plain using-join would zero out that source's
+        // own counts (ns = 0 -> DIVIDE_BY_ZERO); with <=> the unknown-
+        // source stratum is a first-class row (same value on any
+        // corpus without null sources — oracle hash unchanged)
         val grid = docs.select($"source").distinct()
           .crossJoin(broadcast(tot))
-          .join(c, Seq("source", "v"), "left")
+          .join(c.select($"source".as("c_src"), $"v".as("c_v"), $"n"),
+            $"source" <=> $"c_src" && $"v" <=> $"c_v", "left")
+          .drop("c_src", "c_v")
           .na.fill(0L, Seq("n"))
         val wc = Window.partitionBy($"source").orderBy($"v")
         val wp = Window.partitionBy($"source")
@@ -4469,7 +4476,8 @@ object Catalog {
              |grid AS (SELECT s.source, t.v, t.nv, coalesce(c.n, 0) AS n
              |         FROM (SELECT DISTINCT source FROM documents) s
              |         CROSS JOIN tot t
-             |         LEFT JOIN c ON c.source = s.source AND c.v = t.v),
+             |         LEFT JOIN c ON c.source IS NOT DISTINCT FROM s.source
+             |                    AND c.v IS NOT DISTINCT FROM t.v),
              |cum AS (SELECT source, v,
              |               sum(n) OVER (PARTITION BY source ORDER BY v) AS cs,
              |               sum(nv) OVER (PARTITION BY source ORDER BY v) AS ct,

@@ -2,22 +2,40 @@ package graft
 
 import java.util.concurrent.Executors
 
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
 import graft.queries.Catalog
 import graft.sources.Tables
 
 /** Blanket robustness over the WHOLE declared query surface: every
-  * catalog query must plan and execute against fully EMPTY tables and
-  * against SINGLE-ROW tables — the shapes of a fresh deployment, a
-  * partition with no matching rows, a constant column (zero range), a
-  * single source (no "others" to compare against). "Work" means
-  * return a (possibly empty or NULL-carrying) result without
-  * crashing; a query that throws on degenerate input is a latent
-  * production incident, not an edge case. Found live by this spec's
-  * first runs, all fixed with value-identical-on-real-data spellings:
-  * q95's conversion ratio (ANSI DIVIDE_BY_ZERO at n_view = 0 →
-  * try_divide), q129's drift-vs-other-sources denominator (single
-  * source → try_divide, NULL statistic), q146's quantization range
-  * (constant column → `div greatest(range, 1)`, cell 0).
+  * catalog query must plan and execute against fully EMPTY tables,
+  * SINGLE-ROW tables, and NULL-BEARING tables — the shapes of a fresh
+  * deployment, a partition with no matching rows, a constant column
+  * (zero range), a single source (no "others" to compare against),
+  * and a feed whose upstream shipped null text/values/embeddings.
+  * "Work" means return a (possibly empty or NULL-carrying) result
+  * without crashing; a query that throws on degenerate input is a
+  * latent production incident, not an edge case. Found live by this
+  * spec's first runs, all fixed with value-identical-on-real-data
+  * spellings (sf0.01 oracle hashes unchanged):
+  *
+  *  - q95 conversion ratio: ANSI DIVIDE_BY_ZERO at n_view = 0 →
+  *    try_divide;
+  *  - q129 drift-vs-other-sources: single source → try_divide (the
+  *    statistic is undefined); null source zeroed its own counts
+  *    through the plain using-join → null-safe <=> grid match;
+  *  - q146 quantization: constant column (zero range) →
+  *    `div greatest(range, 1)`;
+  *  - null embeddings NPE'd the CosinePairs primitive-array kernels
+  *    (q21/q103) → excluded at every entry point, mirroring SQL
+  *    aggregate null semantics;
+  *  - null vectors made hyperplaneBucket's dim guard itself throw
+  *    USER_RAISED_EXCEPTION(null) (q22) → NULL bucket / NULL bucket
+  *    ARRAY, excluding the row via explode;
+  *  - null text produced a null media payload that NPE'd the decode
+  *    kernels mid-task (q164) → excluded at ingest (a media record
+  *    without bytes is not a media record).
   *
   * The one documented exception: q145's `Pca.fit` REQUIRES >= 2 rows
   * (a covariance fit has no meaningful output below that) and fails
@@ -26,26 +44,56 @@ import graft.sources.Tables
   */
 class DegenerateInputsSpec extends SparkSpec {
 
+  private def write(dir: String, name: String, df: DataFrame): Unit =
+    df.write.mode("overwrite").parquet(s"$dir/$name.parquet")
+
+  private def base(t: String): DataFrame =
+    // read through the engine's own readers so schema normalization
+    // (events' three shipped timestamp encodings) is applied once here
+    if (t == "events") Tables.events(spark, "/root/testdata/sf0.001")
+    else Tables(spark, "/root/testdata/sf0.001", t)
+
   private def shrunk(rows: Int): String = {
     val dir = java.nio.file.Files.createTempDirectory(s"sf_$rows").toString
-    // write through the engine's own readers so schema normalization
-    // (events' three shipped timestamp encodings) is applied once here
-    Tables.all.foreach { t =>
-      val src =
-        if (t == "events") Tables.events(spark, "/root/testdata/sf0.001")
-        else Tables(spark, "/root/testdata/sf0.001", t)
-      src.limit(rows).write.mode("overwrite").parquet(s"$dir/$t.parquet")
-    }
+    Tables.all.foreach(t => write(dir, t, base(t).limit(rows)))
     dir
   }
 
   private lazy val emptyDir: String = shrunk(0)
   private lazy val oneRowDir: String = shrunk(1)
 
-  private def runAll(dir: String, label: String): Unit = {
+  /** sf0.001 with nulls injected into every plausibly-null column: a
+    * fifth of document texts, sevenths of langs/event types, etc. —
+    * deterministic (keyed on ids), so failures reproduce. */
+  private lazy val nullDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("sf_nulls").toString
+    def nullify(df: DataFrame, col0: String, keyCol: String, mod: Int): DataFrame =
+      df.withColumn(col0,
+        when(col(keyCol) % mod === 0, lit(null)).otherwise(col(col0)))
+    Tables.all.foreach { t =>
+      val df = t match {
+        case "documents" =>
+          var d = base(t)
+          d = nullify(d, "text", "doc_id", 5)
+          d = nullify(d, "lang", "doc_id", 7)
+          nullify(d, "source", "doc_id", 11)
+        case "events" =>
+          var d = base(t)
+          d = nullify(d, "value", "event_id", 5)
+          nullify(d, "event_type", "event_id", 7)
+        case "embeddings" => nullify(base(t), "embedding", "vec_id", 5)
+        case other => base(other)
+      }
+      write(dir, t, df)
+    }
+    dir
+  }
+
+  private def runAll(dir: String, label: String,
+                     except: Set[String] = Set.empty): Unit = {
     val pool = Executors.newFixedThreadPool(4)
     val failures = new java.util.concurrent.ConcurrentLinkedQueue[String]
-    val tasks = Catalog.all.filterNot(_.name == "q145_pca_project").map { q =>
+    val tasks = Catalog.all.filterNot(q => except(q.name)).map { q =>
       pool.submit(new Runnable {
         override def run(): Unit = {
           try {
@@ -68,11 +116,15 @@ class DegenerateInputsSpec extends SparkSpec {
   }
 
   test("every catalog query executes on fully empty tables (q145's loud fit contract excepted)") {
-    runAll(emptyDir, "empty")
+    runAll(emptyDir, "empty", except = Set("q145_pca_project"))
   }
 
   test("every catalog query executes on single-row tables (constant columns, one source)") {
-    runAll(oneRowDir, "single-row")
+    runAll(oneRowDir, "single-row", except = Set("q145_pca_project"))
+  }
+
+  test("every catalog query executes on null-bearing tables (null text/source/values/embeddings)") {
+    runAll(nullDir, "null-bearing")
   }
 
   test("q145 (PCA fit) fails LOUDLY below 2 rows, per its contract") {
