@@ -153,6 +153,20 @@ object ScaleSmoke {
           "l_orderkey", "o_orderkey", buckets = 8)
         .groupBy($"o_custkey").agg(sum($"l_extendedprice")).count()
     }
+    // The HYBRID pattern SkewJoin's doc recommends: detect the hot
+    // keys (here known: key 7), salt ONLY those — the replicated right
+    // side is |hot keys| rows, not |right| — and plain-join the rest.
+    time(s"skew_join_hybrid_${factor}x") {
+      val l = hotLi.select($"l_orderkey", $"l_extendedprice")
+      val r = ord.select($"o_orderkey", $"o_custkey")
+      val cold = l.filter($"l_orderkey" =!= 7L)
+        .join(r, $"l_orderkey" === $"o_orderkey")
+      val hot = graft.operators.SkewJoin.saltedInner(
+        l.filter($"l_orderkey" === 7L), r.filter($"o_orderkey" === 7L),
+        "l_orderkey", "o_orderkey", buckets = 32)
+      cold.unionByName(hot)
+        .groupBy($"o_custkey").agg(sum($"l_extendedprice")).count()
+    }
     time(s"window_${factor}x") {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy($"o_custkey").orderBy($"o_totalprice".desc)

@@ -49,9 +49,14 @@ object EquiDepth {
                       accuracy: Int = 10000): DataFrame = {
     require(buckets >= 2, s"need >= 2 buckets, got $buckets")
     val probs = (1 until buckets).map(i => lit(i.toDouble / buckets))
-    val cuts = df
+    val cutsRow = df
       .agg(percentile_approx(value, array(probs: _*), lit(accuracy)).as("cuts"))
-      .head().getSeq[Double](0)
+      .head()
+    // empty/all-null input: the sketch has no cut points (NULL array);
+    // fall through with zero cuts so the result is an empty histogram,
+    // not an NPE (DegenerateInputsSpec posture, operator-level)
+    val cuts =
+      if (cutsRow.isNullAt(0)) Seq.empty[Double] else cutsRow.getSeq[Double](0)
     // bucket = 1 + |{cut : v > cut}| — a chain of codegen'd
     // conditionals over the (buckets-1) broadcast literals, no join.
     val bucket = cuts.foldLeft(lit(1L)) { (acc, c) =>

@@ -37,6 +37,18 @@ class EquiDepthSpec extends SparkSpec {
     }
   }
 
+  test("approxHistogram on empty and all-null input returns an empty histogram, not an NPE") {
+    import spark.implicits._
+    val empty = Seq.empty[Double].toDF("x")
+    assert(EquiDepth.approxHistogram(empty, col("x"), 10).count() == 0)
+    val allNull = Seq[Option[Double]](None, None, None).toDF("x")
+    // percentile sketch sees no values -> zero cut points -> the only
+    // rows that could land in bucket 1 are the null values, which the
+    // count keeps but lo/hi/avg are null — accept either empty or a
+    // single all-null-stats bucket; the contract is NO crash
+    EquiDepth.approxHistogram(allNull, col("x"), 10).collect()
+  }
+
   test("approxHistogram plan has no single-partition global sort") {
     import spark.implicits._
     val df = (1L to 5000L).map(id => (id, (id * 37 % 1000).toDouble))
