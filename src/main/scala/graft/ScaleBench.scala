@@ -1,0 +1,179 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Full-headline bench at a replication factor — converts the
+  * per-family ScaleSmoke extrapolation into PER-QUERY measurement:
+  * every headline catalog query, run end-to-end (noop sink) over a
+  * materialized factor-F copy of the sf0.1 tables, with the dual
+  * host-state canary (cached-CPU agg + shuffle-bandwidth) re-timed
+  * every few queries so each reading is self-describing about host
+  * contention.
+  *
+  * Scaling model (TPC-H-style): fact and scaling-dimension tables are
+  * replicated F× with keys shifted by rep·1e8 (the ScaleSmoke
+  * constant, far above every real key range) CONSISTENTLY across
+  * tables — a lineitem replica joins exactly its orders/part/supplier
+  * replica, so join selectivity and group grain scale the way a real
+  * F× corpus would. region/nation stay fixed (TPC-H's own contract).
+  * `events.ts` is NOT shifted: F× events per day is the honest scale
+  * behavior for every window/sessionize query. `documents.text` is
+  * NOT perturbed, so every doc gains F-1 exact replicas — dedup-family
+  * queries legitimately see an F× duplicate rate and their outputs
+  * grow accordingly (same caveat ScaleSmoke documents for
+  * chunk_dedup); that is a property of replicated inputs, not of the
+  * plans.
+  *
+  * Usage: runMain graft.ScaleBench [factor] [outRoot] [subset...]
+  * Materialization is idempotent (existing table dirs are reused), so
+  * a re-run or a subset run pays the write once.
+  */
+object ScaleBench {
+
+  private val Shift = 100000000L
+
+  private def materialize(spark: SparkSession, srcDir: String,
+                          outRoot: String, factor: Int): Unit = {
+    val shifts: Map[String, Seq[String]] = Map(
+      "region" -> Nil,
+      "nation" -> Nil,
+      "customer" -> Seq("c_custkey"),
+      "supplier" -> Seq("s_suppkey"),
+      "part" -> Seq("p_partkey"),
+      "orders" -> Seq("o_orderkey", "o_custkey"),
+      "lineitem" -> Seq("l_orderkey", "l_partkey", "l_suppkey"),
+      "events" -> Seq("event_id", "user_id"),
+      "documents" -> Seq("doc_id"),
+      "embeddings" -> Seq("vec_id"))
+    graft.sources.Tables.all.foreach { name =>
+      val dst = s"$outRoot/$name.parquet"
+      if (new java.io.File(dst, "_SUCCESS").exists()) {
+        println(s"SCALEBENCH reuse $name")
+      } else {
+        val src = graft.sources.Tables(spark, srcDir, name)
+        val keys = shifts(name)
+        val scaled =
+          if (keys.isEmpty && factor > 1 && (name == "region" || name == "nation")) src
+          else {
+            val rep = src.withColumn("__rep",
+              explode(sequence(lit(0), lit(factor - 1))))
+            keys.foldLeft(rep) { (d, k) =>
+              d.withColumn(k, (col(k).cast("long") + col("__rep") * Shift)
+                .cast(src.schema(k).dataType))
+            }.drop("__rep")
+          }
+        scaled.write.mode("overwrite").parquet(dst)
+        println(s"SCALEBENCH wrote $name x$factor")
+      }
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val factor = args.headOption.flatMap(a => scala.util.Try(a.toInt).toOption)
+      .getOrElse(10)
+    val rest =
+      (if (args.headOption.exists(a => scala.util.Try(a.toInt).isSuccess))
+         args.drop(1) else args).toSeq
+    val outRoot = rest.headOption.filter(_.startsWith("/"))
+      .getOrElse(s"/tmp/graft-scale$factor")
+    val subset: Set[String] = rest.filterNot(_.startsWith("/")).toSet
+    val srcDir = "/root/testdata/sf0.1"
+    val timeoutSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_TIMEOUT", "900").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = graft.engine.Graft.session(s"local[$cpus]", cpus.toInt)
+    import spark.implicits._
+
+    materialize(spark, srcDir, outRoot, factor)
+
+    def reclaim(): Unit = {
+      graft.operators.Checkpoints.releaseAll()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      spark.catalog.clearCache()
+    }
+
+    // Dual canary — constant work at every factor (UNreplicated sf0.1):
+    // cached-CPU agg senses CPU contention, the wide-row repartition
+    // senses disk/shuffle-bandwidth contention (the round-9 blind spot).
+    val liBase = graft.sources.Tables.lineitem(spark, srcDir).cache()
+    liBase.count()
+    def canaryCpu(): Double = {
+      val t0 = System.nanoTime()
+      liBase.groupBy($"l_returnflag", $"l_linestatus")
+        .agg(sum($"l_quantity"), avg($"l_extendedprice")).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    def canaryShuffle(): Double = {
+      val t0 = System.nanoTime()
+      liBase.repartition(32, $"l_orderkey")
+        .groupBy($"l_linenumber").agg(count(lit(1))).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    canaryCpu(); canaryShuffle() // warm (janino)
+    var cpuMin = canaryCpu(); var shMin = canaryShuffle()
+    var cpuLast = cpuMin; var shLast = shMin
+    println(f"SCALEBENCH canary_base cpu=$cpuMin%.2f shuffle=$shMin%.2f")
+    def canaryTick(): Unit = {
+      cpuLast = canaryCpu(); shLast = canaryShuffle()
+      cpuMin = math.min(cpuMin, cpuLast); shMin = math.min(shMin, shLast)
+      println(f"SCALEBENCH canary cpu=$cpuLast%.2f (r=${cpuLast / cpuMin}%.2f) " +
+        f"shuffle=$shLast%.2f (r=${shLast / shMin}%.2f)")
+    }
+
+    // Per-query run with a hard wall-clock budget: the action runs on
+    // a dedicated thread inside its own job group; on timeout the
+    // group is cancelled so one pathological query cannot eat the run.
+    def timedRun(name: String, df: => DataFrame): Double = {
+      val group = s"scalebench-$name"
+      @volatile var sec = -1.0
+      @volatile var err: Throwable = null
+      val th = new Thread(() => {
+        try {
+          spark.sparkContext.setJobGroup(group, name, interruptOnCancel = true)
+          val t0 = System.nanoTime()
+          df.write.format("noop").mode("overwrite").save()
+          sec = (System.nanoTime() - t0) / 1e9
+        } catch { case e: Throwable => err = e }
+      })
+      th.setDaemon(true); th.start()
+      th.join(timeoutSec * 1000L)
+      if (th.isAlive) {
+        spark.sparkContext.cancelJobGroup(group)
+        th.join(60000L)
+        println(s"""SCALEBENCH {"q":"$name","error":"timeout ${timeoutSec}s"}""")
+        -2.0
+      } else if (err != null) {
+        val msg = Option(err.getMessage).getOrElse(err.getClass.getName)
+          .replaceAll("[\"\\\\\n\r\t]", " ").take(160)
+        println(s"""SCALEBENCH {"q":"$name","error":"$msg"}""")
+        -1.0
+      } else sec
+    }
+
+    var sinceCanary = 0
+    val results = graft.queries.Catalog.headline
+      .filter(q => subset.isEmpty || subset(q.name))
+      .map { q =>
+        val a = timedRun(q.name, q.run(spark, outRoot)); reclaim()
+        // min-of-2 matches the sf0.1 bench protocol (amortizes one-time
+        // janino codegen); skip the re-run once a query is long enough
+        // that codegen noise is irrelevant to the 10x comparison
+        val sec =
+          if (a >= 0 && a < 120.0) {
+            val b = timedRun(q.name, q.run(spark, outRoot)); reclaim()
+            if (b >= 0) math.min(a, b) else a
+          } else a
+        if (sec >= 0)
+          println(f"""SCALEBENCH {"q":"${q.name}","sec":$sec%.3f,"canary_cpu_r":${cpuLast / cpuMin}%.2f,"canary_sh_r":${shLast / shMin}%.2f}""")
+        sinceCanary += 1
+        if (sinceCanary >= 10) { sinceCanary = 0; canaryTick() }
+        q.name -> sec
+      }
+    canaryTick()
+    val executed = results.count(_._2 >= 0)
+    val failed = results.size - executed
+    val total = results.map(_._2).filter(_ >= 0).sum
+    println(f"""{"metric":"scalebench_total","value":$total%.3f,"unit":"sec","factor":$factor,"executed":$executed,"failed":$failed,"canary_cpu_min":$cpuMin%.2f,"canary_sh_min":$shMin%.2f}""")
+    spark.stop()
+  }
+}

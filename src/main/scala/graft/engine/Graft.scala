@@ -20,20 +20,42 @@ object Graft {
 
   val DefaultShufflePartitions = 32
 
-  /** Probed, not defaulted (round 9): raising AQE's pre-coalesce width
-    * (`spark.sql.adaptive.coalescePartitions.initialPartitionNum`,
-    * env `SPARK_GRAFT_INIT_PARTITIONS`) to 8× cores halves the
-    * spill-bound join+agg at the 100× probe (87 s → 51 s: AQE can only
-    * MERGE shuffle partitions, so the initial count floors partition
-    * size) but regresses the PrefixScan window shape ~5× on the single
-    * local disk. On a real cluster the same lever is sizing
-    * `shuffle.partitions` to ~2-3× total cores — per the scaling note
-    * below — where the reduce width spreads over many spindles instead
-    * of multiplying seeks on one.
+  /** AQE pre-coalesce width policy (probed round 9, promoted to
+    * builder policy round 10): AQE can only MERGE shuffle partitions,
+    * so `initialPartitionNum` floors partition SIZE — at the 100×
+    * probe, raising it to 8× cores halves the spill-bound join+agg
+    * (87 s → 51 s) because each reduce partition fits in memory, but
+    * on local[32]'s SINGLE disk the extra reduce width multiplies
+    * seeks and regressed the PrefixScan window probe ~5×. Hence:
+    *  - non-local master (a real cluster, many spindles): default to
+    *    8× `shufflePartitions` — the measured anti-spill sizing, free
+    *    when AQE coalesces the width back down for small stages;
+    *  - local master (one disk): keep the floor at `shufflePartitions`
+    *    — the measured-best single-disk posture;
+    *  - `SPARK_GRAFT_INIT_PARTITIONS` overrides either, validated here
+    *    so a typo fails at session build with the env var named, not
+    *    as an opaque Spark failure at first execution.
+    * PrefixScan pins its own fact-scale exchange width explicitly
+    * (PrefixScan.scala), so it keeps its measured sizing under either
+    * policy value.
     */
+  def initialPartitionNum(master: String, shufflePartitions: Int): Int = {
+    val default =
+      if (master.startsWith("local")) shufflePartitions
+      else shufflePartitions * 8
+    sys.env.get("SPARK_GRAFT_INIT_PARTITIONS").map { raw =>
+      val n = scala.util.Try(raw.trim.toInt).getOrElse(
+        throw new IllegalArgumentException(
+          s"SPARK_GRAFT_INIT_PARTITIONS must be a positive integer, got '$raw'"))
+      require(n > 0,
+        s"SPARK_GRAFT_INIT_PARTITIONS must be a positive integer, got '$raw'")
+      n
+    }.getOrElse(default)
+  }
+
   def builder(master: String = "local[*]",
               shufflePartitions: Int = DefaultShufflePartitions): SparkSession.Builder = {
-    val b = SparkSession.builder()
+    SparkSession.builder()
       .master(master)
       .appName("graft")
       // SQL-callable registration of the engine's custom expressions
@@ -41,9 +63,8 @@ object Graft {
       .withExtensions(new GraftExtensions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
-    sys.env.get("SPARK_GRAFT_INIT_PARTITIONS").foreach(n =>
-      b.config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", n))
-    b
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+              initialPartitionNum(master, shufflePartitions).toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")

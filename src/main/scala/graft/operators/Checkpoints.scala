@@ -33,10 +33,18 @@ import org.apache.spark.sql.DataFrame
   */
 object Checkpoints {
 
-  private val live = new ConcurrentHashMap[Long, ConcurrentLinkedQueue[DataFrame]]
+  // Keyed on the Thread OBJECT, not Thread.getId: the JVM reuses
+  // numeric thread ids after a thread dies, so an id-keyed entry could
+  // be claimed by an unrelated new thread whose release() would yank
+  // checkpoint blocks out from under the dead thread's still-unconsumed
+  // returned plan — the exact hazard the per-thread scoping prevents.
+  // Object identity can never be reused while the map holds the
+  // reference; dead threads' queues drain at the next releaseAll()
+  // quiesce sweep, same as before.
+  private val live = new ConcurrentHashMap[Thread, ConcurrentLinkedQueue[DataFrame]]
 
   private[graft] def track(df: DataFrame): DataFrame = {
-    live.computeIfAbsent(Thread.currentThread().getId,
+    live.computeIfAbsent(Thread.currentThread(),
       _ => new ConcurrentLinkedQueue[DataFrame]).add(df)
     df
   }
@@ -53,7 +61,7 @@ object Checkpoints {
     * no-op.
     */
   def release(): Unit = {
-    val q = live.remove(Thread.currentThread().getId)
+    val q = live.remove(Thread.currentThread())
     if (q != null) drain(q)
   }
 

@@ -103,7 +103,16 @@ object PrefixScan {
     // on estimator noise; the exact post-collect require below stays
     // the authoritative guard for the |groups| ≤ budget < |groups|·P
     // band the estimate cannot decide.
-    if (keys.nonEmpty) {
+    //
+    // GATED on the optimizer's static size estimate of the input: the
+    // pre-check exists to avoid doing FACT-SCALE work before failing,
+    // so when the input itself is small (< 128 MB estimated) the
+    // "fact-scale work" it would save is cheaper than the extra HLL
+    // stage — the common tiny-cardinality callers skip straight to the
+    // exact post-collect guard. Unknown estimates (Catalyst defaults
+    // them to huge) keep the pre-check, which is the safe direction.
+    val inputBytesEst = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (keys.nonEmpty && inputBytesEst > (128L << 20)) {
       val estGroups = ckpt
         .select(approx_count_distinct(struct(keys.map(col): _*)).as("g"))
         .head.getLong(0)
@@ -126,7 +135,21 @@ object PrefixScan {
       .localCheckpoint(eager = false))
     val wLocal = frame(Window
       .partitionBy(keyCols :+ col("__ps_pid"): _*).orderBy(orderCols: _*))
-    val local = parts.withColumn("__ps_local", aggc(col(valueCol)).over(wLocal))
+    // Pin the fact-scale window exchange to the session's
+    // shuffle.partitions width: an explicit repartition(n, cols) hash-
+    // partitions on exactly the window's partition keys (so
+    // EnsureRequirements inserts NO second exchange) and a user-given
+    // numPartitions is exempt from AQE re-sizing — in particular from
+    // a raised `coalescePartitions.initialPartitionNum` (the Graft
+    // builder's anti-spill cluster policy), which was measured to
+    // regress this shape ~5× on a single local disk by multiplying
+    // reduce-side seeks. The scan's sizing is its own: ~|rows|/P per
+    // (keys, pid) slice by construction, already memory-bounded.
+    val pinnedWidth = df.sparkSession.conf
+      .get("spark.sql.shuffle.partitions", "32").toInt
+    val local = parts
+      .repartition(pinnedWidth, keyCols :+ col("__ps_pid"): _*)
+      .withColumn("__ps_local", aggc(col(valueCol)).over(wLocal))
     // composite (keys, pid) lookup key, length-prefix coded so it is
     // uniquely decodable for ANY key content: each component is "N"
     // for null or "<charlen>:<value>" otherwise. A value component

@@ -1240,7 +1240,9 @@ object Catalog {
     //
     // Recall is a property of the data, not the operator: on this
     // synthetic near-uniform corpus, recall@5 vs exact (q13) measures
-    // 0.32 at nprobe=2/nlist=10 (0.50 at nprobe=3) — real embedding
+    // 0.32 at nprobe=2/nlist=10 (0.42-0.50 at nprobe=3 across the
+    // sf0.01/sf0.001 corpora; AnnFrontierSpec pins the band and the
+    // nprobe=nlist==exact contract) — real embedding
     // distributions cluster far more sharply. nprobe is the
     // recall-vs-scan-fraction knob; the within-cell ranking itself is
     // exact and hash-verified against the DuckDB oracle.
@@ -4929,8 +4931,13 @@ object Catalog {
     // spelled as a triangular self-join AT DAY GRAIN — the recursion
     // collapses to ~90 rows after the one aggregation shuffle, so the
     // O(days^2) join is constant work regardless of corpus size (the
-    // same aggregate-then-window contract as q131/q137). Weighted
-    // sums are order-dependent doubles: rounded 4 dp both sides.
+    // same aggregate-then-window contract as q131/q137). BOUND: this
+    // spelling is O(days^2) in the SERIES length — fine at ~90 days
+    // (~8k joined rows), 13M joined rows per key at a 10-year daily
+    // grain. Multi-year or per-key series use the linear segmented
+    // spelling instead: operators.Ewma.linear (q171 is its oracle-
+    // gated twin on this exact series). Weighted sums are
+    // order-dependent doubles: rounded 4 dp both sides.
     Query(
       "q141_ewma",
       (s, dir) => {
@@ -6447,7 +6454,43 @@ object Catalog {
              |       sum(ntok)::BIGINT AS n_tokens,
              |       max(CASE WHEN pos = 1 THEN doc_id END) AS first_doc,
              |       arg_max(doc_id, pos) AS last_doc
-             |FROM p GROUP BY epoch, shard ORDER BY epoch, shard""".stripMargin))
+             |FROM p GROUP BY epoch, shard ORDER BY epoch, shard""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Q171: EWMA via the LINEAR segmented spelling (operators.Ewma) —
+    // q141's scale escape, oracle-gated on the same day-grain series.
+    // The oracle spells the closed form as the O(days^2) triangular
+    // join (fine for DuckDB at this grain); the engine side runs
+    // Ewma.linear's O(n) decomposition — segment-rescaled window
+    // cumsum + driver-folded carry — with segLen = 8 so even the
+    // ~30-day sf0.01 gate crosses multiple segment boundaries and the
+    // carry fold is exercised, not just the local window. Hash
+    // equality HERE is the proof the linear spelling is exact, not
+    // approximate. alpha = 0.2 (vs q141's 0.3) so the two queries
+    // pin different kernels; resid = n - ewma is the anomaly signal
+    // this query exists to produce.
+    Query(
+      "q171_ewma_linear",
+      (s, dir) => {
+        import s.implicits._
+        val d = t(s, dir, "events")
+          .groupBy(to_date($"ts").as("day"))
+          .agg(count(lit(1)).as("n"))
+        graft.operators.Ewma.linear(d, Nil, "day", "n", 0.2, "ewma", segLen = 8)
+          .select($"day".cast("string").as("day_s"), $"n",
+                  round($"ewma", 4).as("ewma_r"),
+                  round($"n" - $"ewma", 4).as("resid_r"))
+          .orderBy($"day_s")
+      },
+      Some("""WITH d AS (SELECT CAST(ts AS DATE) AS day, count(*) AS n FROM events GROUP BY 1),
+             |i AS (SELECT day, n, row_number() OVER (ORDER BY day) AS i FROM d)
+             |SELECT CAST(x.day AS VARCHAR) AS day_s, x.n,
+             |       round(sum(y.n * pow(0.8, x.i - y.i) *
+             |                 CASE WHEN y.i = 1 THEN 1.0 ELSE 0.2 END), 4) AS ewma_r,
+             |       round(x.n - sum(y.n * pow(0.8, x.i - y.i) *
+             |                 CASE WHEN y.i = 1 THEN 1.0 ELSE 0.2 END), 4) AS resid_r
+             |FROM i x JOIN i y ON y.i <= x.i
+             |GROUP BY x.day, x.n ORDER BY day_s""".stripMargin))
   )
 
   val byName: Map[String, Query] = all.map(q => q.name -> q).toMap

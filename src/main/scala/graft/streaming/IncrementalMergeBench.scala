@@ -102,9 +102,14 @@ object IncrementalMergeBench {
       finally s.close()
     }
     val dataFiles = countUnder(".parquet")
-    val fileBound = nBuckets.toLong * 2 // keepGenerations = 1 default
-    assert(dataFiles <= fileBound,
-      s"bucketed-state file count $dataFiles exceeds the GC bound $fileBound")
+    // bound derived from the same constant mergeBatch defaults to (a
+    // hardcoded 2 would silently encode the wrong bound if the default
+    // ever changed); a violation is reported IN-BAND before the metric
+    // line — the driver parses stdout, and an assert here would abort
+    // after all timing phases completed and lose the summary line
+    val fileBound = nBuckets.toLong * (1 + ManifestState.DefaultKeepGenerations)
+    if (dataFiles > fileBound)
+      println(s"""{"bench_error":"file_bound","msg":"bucketed-state file count $dataFiles exceeds the GC bound $fileBound"}""")
 
     println(f"""{"metric":"incremental_merge","state_keys":$stateKeys,"batches":$batches,"batch_size":$batchSize,"plain_sec_per_batch":${plainSec / batches}%.3f,"bucketed_sec_per_batch":${bktSec / batches}%.3f,"manifest_sec_per_batch":${mfSec / batches}%.3f,"manifest_2writer_sec_per_batch":${mfcSec / math.max(1, concBatches)}%.3f,"speedup":${plainSec / bktSec}%.1f,"rows_plain":$a,"rows_bucketed":$b,"rows_manifest":$c,"manifest_data_files":$dataFiles,"file_bound":$fileBound}""")
     spark.stop()

@@ -41,6 +41,12 @@ import graft.operators.CdcMerge
   */
 object ManifestState {
 
+  /** Superseded versions per bucket that survive GC. Shared constant so
+    * anything asserting the steady-state file bound (nBuckets ×
+    * (1 + keepGenerations), see IncrementalMergeBench) derives it from
+    * the same value mergeBatch defaults to, instead of hardcoding it. */
+  val DefaultKeepGenerations = 1
+
   final case class Manifest(epoch: Long, buckets: Map[Int, String])
 
   private val writerId = UUID.randomUUID().toString.take(8)
@@ -238,7 +244,8 @@ object ManifestState {
     * depth ([[readAt]]).
     */
   def mergeBatch(batch: DataFrame, root: String, nBuckets: Int,
-                 maxRetries: Int = 20, keepGenerations: Int = 1): Unit = {
+                 maxRetries: Int = 20,
+                 keepGenerations: Int = DefaultKeepGenerations): Unit = {
     require(nBuckets > 0)
     val spark = batch.sparkSession
     Files.createDirectories(Paths.get(root))
@@ -320,8 +327,13 @@ object ManifestState {
           case e: Exception => lastFailure = e; committed = false
         }
         if (!committed) {
-          // lost the race: drop our orphaned versions, retry on top of
-          // the winner's state
+          // lost the race: drop our orphaned versions AND the stage tmp
+          // dir (a heavy-phase exception can leave it mid-write — e.g.
+          // concurrent GC deleting a version dir this attempt was
+          // reading — and its orphaned parquet files would otherwise
+          // count against the steady-state file bound forever), then
+          // retry on top of the winner's state
+          CdcStream.deleteRecursively(Paths.get(s"$root/.stage-$version"))
           affected.foreach { k =>
             CdcStream.deleteRecursively(Paths.get(versionPath(root, k, version)))
           }
@@ -342,7 +354,7 @@ object ManifestState {
     * versions, the newest survives one more merge as a grace window
     * for readers holding the previous manifest. */
   private def gc(root: String, bucketsToScan: Seq[Int],
-                 keepGenerations: Int = 1): Unit = {
+                 keepGenerations: Int = DefaultKeepGenerations): Unit = {
     val m = readManifest(root)
     bucketsToScan.flatMap(k => m.buckets.get(k).map(k -> _)).foreach { case (k, live) =>
       val dir = Paths.get(s"$root/b=$k")

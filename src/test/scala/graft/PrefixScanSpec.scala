@@ -173,16 +173,36 @@ class PrefixScanSpec extends SparkSpec {
     graft.operators.Checkpoints.releaseAll()
     val before = spark.sparkContext.getPersistentRDDs.size
     // 10k distinct keys, one row each: the carry frame would need
-    // >= 10k literal-map entries, 2.4x the 4096 budget — the cheap
-    // HLL estimate over the cached input must throw before the pid
-    // stamp materializes a second checkpoint or the carry agg runs
-    val df = (0 until 10000).map(i => (s"k$i", i.toLong, 1L)).toDF("k", "ord", "v")
+    // >= 10k literal-map entries, 2.4x the 4096 budget. The HLL
+    // pre-check is GATED on the optimizer's size estimate (>128 MB),
+    // so route the input through an RDD: LogicalRDD's stats default to
+    // defaultSizeInBytes (huge), which is exactly the fact-scale-or-
+    // unknown regime the pre-check exists for — it must throw before
+    // the pid stamp materializes a second checkpoint or the carry runs
+    val rows = (0 until 10000).map(i => (s"k$i", i.toLong, 1L))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 8)).toDF("k", "ord", "v")
     val e = intercept[IllegalArgumentException] {
       PrefixScan.scan(df, Seq("k"), "ord", "v", "cum", "sum", 32)
     }
     assert(e.getMessage.contains("pre-check"), e.getMessage)
     assert(spark.sparkContext.getPersistentRDDs.size <= before,
       "the failed pre-check must not leak the cached input checkpoint")
+  }
+
+  test("small-by-stats inputs skip the HLL pre-check and still fail at the exact carry guard") {
+    import spark.implicits._
+    graft.operators.Checkpoints.releaseAll()
+    // Same over-budget key cardinality, but as a LocalRelation whose
+    // exact (tiny) size estimate gates the HLL pass OFF — the cost of
+    // the "saved" fact-scale work is trivial at this size, so the
+    // authoritative post-collect require is the one that fires.
+    val df = (0 until 10000).map(i => (s"k$i", i.toLong, 1L)).toDF("k", "ord", "v")
+    val e = intercept[IllegalArgumentException] {
+      PrefixScan.scan(df, Seq("k"), "ord", "v", "cum", "sum", 32)
+    }
+    assert(e.getMessage.contains("carry frame exceeds"), e.getMessage)
+    graft.operators.Checkpoints.releaseAll()
   }
 
   test("Checkpoints.release is scoped to the tracking thread") {
