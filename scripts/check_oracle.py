@@ -3,19 +3,48 @@
 sf0.01, then compare each query's parquet dump against its DuckDB oracle.
 
 Usage: python3 scripts/check_oracle.py [outDir]
-(run `sbt "runMain graft.Verify /root/testdata/sf0.01 /tmp/verify_out"` first,
-or pass --run to do it here)
+         [--sf DIR] [--exclude q1,q2,...] [--timeout SECONDS]
+(run `sbt "runMain graft.Verify <sfDir> <outDir>"` first, or pass --run)
+
+--sf       oracle table directory (default sf0.01) — pass the sf0.1 dir
+           to re-run the gate at 10x the driver's scale.
+--exclude  comma-separated query names to skip (the all-pairs oracle
+           twins whose DuckDB side is O(n^2)-hours at sf0.1).
+--timeout  per-ORACLE-query wall budget; a blown budget records
+           SKIP(timeout) instead of hanging the whole gate.
 
 Compare rule (mirrors the driver contract as documented in the builder
 prompt): sort columns by name, sort rows, compare values with doubles
 rounded to a tolerance-free canonical repr.
 """
-import sys, os, json, subprocess, math
+import sys, os, json, subprocess, math, threading
 import duckdb
 
 SF_DIR = "/root/testdata/sf0.01"
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def opt(flag, default):
+    if flag in sys.argv:
+        return sys.argv[sys.argv.index(flag) + 1]
+    return default
+
+
+def with_timeout(con, sql, seconds):
+    """Run one oracle query with a wall budget; duckdb's interrupt()
+    aborts the running statement from another thread."""
+    if not seconds:
+        return frame_rows(con.sql(sql))
+    done = threading.Event()
+    timer = threading.Timer(seconds, lambda: (None if done.is_set() else con.interrupt()))
+    timer.start()
+    try:
+        out = frame_rows(con.sql(sql))
+        done.set()
+        return out
+    finally:
+        timer.cancel()
 
 
 def canon(v):
@@ -39,17 +68,24 @@ def frame_rows(rel):
 
 def main():
     out_dir = sys.argv[1] if len(sys.argv) > 1 and not sys.argv[1].startswith("--") else "/tmp/verify_out"
+    sf_dir = opt("--sf", SF_DIR)
+    excluded = set(filter(None, opt("--exclude", "").split(",")))
+    timeout = float(opt("--timeout", "0"))
     if "--run" in sys.argv:
-        subprocess.run(["sbt", "-batch", f'runMain graft.Verify {SF_DIR} {out_dir}'],
+        subprocess.run(["sbt", "-batch", f'runMain graft.Verify {sf_dir} {out_dir}'],
                        check=True, capture_output=True, text=True)
 
     con = duckdb.connect()
     for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
-    n_pass = n_fail = 0
+    n_pass = n_fail = n_skip = 0
     for name in sorted(oracle):
+        if name in excluded:
+            print(f"SKIP {name}: excluded")
+            n_skip += 1
+            continue
         sql = oracle[name]
         pq = f"{out_dir}/{name}"
         if not os.path.isdir(pq):
@@ -63,8 +99,16 @@ def main():
             n_fail += 1
             continue
         try:
-            ocols, orows = frame_rows(con.sql(sql))
+            ocols, orows = with_timeout(con, sql, timeout)
+        except duckdb.InterruptException:
+            print(f"SKIP {name}: oracle exceeded {timeout:.0f}s budget")
+            n_skip += 1
+            continue
         except Exception as e:
+            if "INTERRUPT" in str(e).upper():
+                print(f"SKIP {name}: oracle exceeded {timeout:.0f}s budget")
+                n_skip += 1
+                continue
             print(f"FAIL {name}: oracle SQL error: {e}")
             n_fail += 1
             continue
@@ -94,7 +138,7 @@ def main():
             except Exception as e:
                 print(f"WARN {d}: unreadable: {e}")
 
-    print(f"\n{n_pass} pass / {n_fail} fail")
+    print(f"\n{n_pass} pass / {n_fail} fail / {n_skip} skip")
     sys.exit(1 if n_fail else 0)
 
 

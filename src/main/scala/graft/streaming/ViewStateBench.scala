@@ -100,7 +100,10 @@ object ViewStateBench {
     }
 
     def probeScd2(keys: Long): (Double, Double) = {
-      val dir = Files.createTempDirectory(s"vsb-scd2-$keys").toString
+      // state path must NOT pre-exist (an existing-but-empty dir reads
+      // as present state); naive output goes next to it, not inside
+      val root = Files.createTempDirectory(s"vsb-scd2-$keys").toString
+      val dir = s"$root/state"
       Scd2View.mergeBatch(cdcBatch(spark, 0, keys, keys), dir)
       val inc = secs {
         (1 to batches).foreach { i =>
@@ -116,7 +119,7 @@ object ViewStateBench {
           .partitionBy(col("id")).orderBy(col("lsn"), col("ts_ms"))
         ev.withColumn("valid_to", lead(col("update_time"), 1).over(w))
           .withColumn("version", row_number().over(w))
-          .write.mode("overwrite").parquet(s"$dir/naive")
+          .write.mode("overwrite").parquet(s"$root/naive")
       }
       (inc, naive)
     }
