@@ -53,6 +53,8 @@ def canon(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
+        if v == 0.0:
+            return "0.0"  # collapse signed zero: -0.0 == 0.0 numerically
         return repr(v)
     return str(v)
 
