@@ -136,19 +136,32 @@ object PrefixScan {
     val wLocal = frame(Window
       .partitionBy(keyCols :+ col("__ps_pid"): _*).orderBy(orderCols: _*))
     // Pin the fact-scale window exchange to the session's
-    // shuffle.partitions width: an explicit repartition(n, cols) hash-
-    // partitions on exactly the window's partition keys (so
-    // EnsureRequirements inserts NO second exchange) and a user-given
-    // numPartitions is exempt from AQE re-sizing — in particular from
-    // a raised `coalescePartitions.initialPartitionNum` (the Graft
-    // builder's anti-spill cluster policy), which was measured to
-    // regress this shape ~5× on a single local disk by multiplying
-    // reduce-side seeks. The scan's sizing is its own: ~|rows|/P per
-    // (keys, pid) slice by construction, already memory-bounded.
+    // shuffle.partitions width — but ONLY when AQE's pre-coalesce
+    // width is actually raised above it (the Graft builder's
+    // anti-spill cluster policy / SPARK_GRAFT_INIT_PARTITIONS), which
+    // was measured to regress this shape ~5× on a single local disk
+    // by multiplying reduce-side seeks. An explicit
+    // repartition(n, cols) hash-partitions on exactly the window's
+    // partition keys (so EnsureRequirements inserts NO second
+    // exchange) and a user-given numPartitions is exempt from AQE
+    // re-sizing, so the pin holds under any policy value. When the
+    // pre-coalesce width is NOT raised there is nothing to pin
+    // against, and pinning would only cost: it blocks AQE's normal
+    // DOWNWARD coalescing of this exchange, measured ~1.3× on the
+    // small-grain sf0.1 PrefixScan queries (q70/q157) whose carry
+    // inputs coalesce to a handful of partitions. The scan's sizing
+    // is its own either way: ~|rows|/P per (keys, pid) slice by
+    // construction, already memory-bounded.
     val pinnedWidth = df.sparkSession.conf
       .get("spark.sql.shuffle.partitions", "32").toInt
-    val local = parts
-      .repartition(pinnedWidth, keyCols :+ col("__ps_pid"): _*)
+    val initWidth = df.sparkSession.conf
+      .get("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+           pinnedWidth.toString).toInt
+    val pinned =
+      if (initWidth > pinnedWidth)
+        parts.repartition(pinnedWidth, keyCols :+ col("__ps_pid"): _*)
+      else parts
+    val local = pinned
       .withColumn("__ps_local", aggc(col(valueCol)).over(wLocal))
     // composite (keys, pid) lookup key, length-prefix coded so it is
     // uniquely decodable for ANY key content: each component is "N"
