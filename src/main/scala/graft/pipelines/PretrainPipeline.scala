@@ -114,9 +114,12 @@ object PretrainPipeline {
 
     // pinned: a tiny id frame whose lineage is the whole PPJoin — it
     // is consumed twice (survivor anti-join + manifest flag join)
+    // collapse = false: s3 is the EXACT-dedup survivor set, so
+    // identical shingle-sets are already gone and PPJoin's duplicate
+    // collapse would be pure overhead (measured ~30% at 30×)
     val nearDrop = pin(graft.operators.PPJoin.similarPairs(
         s3.select($"doc_id", array_distinct(TF.shingles($"text", 5)).as("sh")),
-        "doc_id", "sh", jaccardThr)
+        "doc_id", "sh", jaccardThr, collapse = false)
       .select($"doc_b".as("doc_id")).distinct())
     val s4 = s3.join(nearDrop, Seq("doc_id"), "left_anti")
 
@@ -336,9 +339,11 @@ object PretrainPipeline {
 
     // near: within-batch PPJoin over the exact survivors + cross
     // near-dups vs history
+    // collapse = false: same exact-dedup-survivor argument as the
+    // batch funnel's near stage
     val withinNear = graft.operators.PPJoin.similarPairs(
         s3.select($"doc_id", array_distinct(TF.shingles($"text", 5)).as("sh")),
-        "doc_id", "sh", jaccardThr)
+        "doc_id", "sh", jaccardThr, collapse = false)
       .select($"doc_b".as("doc_id"))
     val nearDrop = pin(withinNear
       .unionByName(cross.filter($"verdict" === "neardup").select($"doc_id"))
