@@ -3084,9 +3084,11 @@ object Catalog {
       // operators.PPJoin.similarPairs (unchanged logic, hash-verified)
       // so PretrainPipeline's near-dup stage reuses it. Measured at
       // sf0.1: 409k → 125k candidates before the exact-verify join.
-      // (localCheckpoint of the diamond-reused frames was tried and
-      // rejected: the materialization + lost stats cost more than the
-      // recomputed lineage here.)
+      // Round 10: identical shingle-sets collapse to one content
+      // fingerprint before candidate generation (pairs re-expand
+      // after) — on duplicate-heavy corpora candidate volume had
+      // grown with the SQUARE of the duplicate rate; measured 15× at
+      // 30× replicas, output hash-identical.
       (s, dir) => {
         import s.implicits._
         graft.operators.PPJoin.similarPairs(
