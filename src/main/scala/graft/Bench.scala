@@ -149,6 +149,9 @@ object Bench {
     // The driver parses the JSON line out of the LAST ~2000 chars of
     // output; round 4 (full names) and round 7 (160 queries x
     // "q103":0.55 = ~2090 chars) both overflowed it -> parsed:null.
+    // Margin check (round 10, 166 queries): 1891 chars at sf0.01 —
+    // ~5 more queries fit; past that, drop the "q" key prefix
+    // (~2 chars/query) and update BASELINE.md's id-mapping note.
     // Short ids ("q60_bloom_join" -> "q60") + integer milliseconds
     // ("q103":550) keep 160+ queries at ~10 chars each (~1750-char
     // line, fits with margin); the trailing "qunit":"ms" makes the
