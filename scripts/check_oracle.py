@@ -33,18 +33,36 @@ def opt(flag, default):
 
 def with_timeout(con, sql, seconds):
     """Run one oracle query with a wall budget; duckdb's interrupt()
-    aborts the running statement from another thread."""
+    aborts the running statement from another thread.
+
+    Each budgeted query runs on its OWN cursor: a timer that fires in
+    the window after the statement completes but before the flag flips
+    would otherwise interrupt the shared connection with nothing
+    running, aborting the NEXT query (which the caller then
+    misclassifies as a timeout). A stray interrupt on a per-query
+    cursor hits only that dead cursor. The lock closes the residual
+    close()-vs-interrupt() race on the cursor itself."""
     if not seconds:
         return frame_rows(con.sql(sql))
-    done = threading.Event()
-    timer = threading.Timer(seconds, lambda: (None if done.is_set() else con.interrupt()))
+    cur = con.cursor()
+    state = {"done": False}
+    lock = threading.Lock()
+
+    def fire():
+        with lock:
+            if not state["done"]:
+                cur.interrupt()
+
+    timer = threading.Timer(seconds, fire)
     timer.start()
     try:
-        out = frame_rows(con.sql(sql))
-        done.set()
+        out = frame_rows(cur.sql(sql))
         return out
     finally:
         timer.cancel()
+        with lock:
+            state["done"] = True
+            cur.close()
 
 
 def canon(v):

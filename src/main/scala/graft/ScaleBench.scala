@@ -138,8 +138,15 @@ object ScaleBench {
       th.setDaemon(true); th.start()
       th.join(timeoutSec * 1000L)
       if (th.isAlive) {
+        // cancelJobGroup only reaches Spark TASKS; driver-side work
+        // (PrefixScan/Ewma collect folds) needs the thread interrupt
+        // too, or the zombie keeps submitting jobs while reclaim()
+        // clears caches under it and contaminates later timings.
         spark.sparkContext.cancelJobGroup(group)
+        th.interrupt()
         th.join(60000L)
+        if (th.isAlive)
+          println(s"""SCALEBENCH {"q":"$name","warn":"zombie thread survived interrupt; discount subsequent timings"}""")
         println(s"""SCALEBENCH {"q":"$name","error":"timeout ${timeoutSec}s"}""")
         -2.0
       } else if (err != null) {

@@ -40,7 +40,10 @@ import org.apache.spark.sql.functions._
   * average decaying"). The input is expected at SERIES grain (e.g.
   * day-grain after a fact-scale pre-aggregation) — the carry map
   * holds |keys|·(n/segLen) entries and fails loudly above the same
-  * 4096-entry literal budget PrefixScan enforces.
+  * 4096-entry literal budget PrefixScan enforces. The driver fold
+  * itself groups those ≤ 4096 collected rows by coded key and walks
+  * each key's segments in order — O(budget · log budget) driver time
+  * and O(budget) memory, bounded by the constant, never by |input|.
   */
 object Ewma {
 
@@ -65,7 +68,23 @@ object Ewma {
     require(alpha > 0 && alpha <= 1, s"alpha must be in (0,1], got $alpha")
     require(segLen >= 2 && segLen <= 512,
       s"segLen must be in [2,512] (bounds the q^(-pos) rescale), got $segLen")
+    // alpha = 1 means no memory at all: ewma_i = x_i (0 for a null
+    // observation). Short-circuited BEFORE the rescale machinery —
+    // q = 0 makes q^(-pos) infinite, so the general path would turn an
+    // in-contract parameter into silent NaNs.
+    if (alpha == 1.0)
+      return df.withColumn(out, coalesce(col(valueCol).cast("double"), lit(0.0)))
     val q = 1.0 - alpha
+    // Joint (alpha, segLen) validation: the segment rescale peaks at
+    // q^(-(segLen-1)); if that overflows double, every row past a
+    // segment's first silently becomes 0·Inf = NaN. Fail loudly with
+    // the largest segLen this q admits instead.
+    val rescaleMax = math.pow(q, -(segLen - 1).toDouble)
+    require(java.lang.Double.isFinite(rescaleMax), {
+      val maxSeg = 1 + (math.log(Double.MaxValue) / -math.log(q)).toInt
+      s"alpha=$alpha with segLen=$segLen overflows the q^(-(segLen-1)) " +
+        s"rescale (q=$q); use segLen <= ${math.min(512, maxSeg)}"
+    })
     val keyCols = keys.map(col)
     val wKey = Window.partitionBy(keyCols: _*).orderBy(col(orderCol))
     val z = when(col(valueCol).isNull, lit(0.0))

@@ -71,6 +71,39 @@ class EwmaSpec extends SparkSpec {
     got.zip(want).foreach { case (g, w) => assert(math.abs(g - w) < 1e-9) }
   }
 
+  test("alpha = 1 short-circuits to the identity (null -> 0), no NaNs") {
+    import spark.implicits._
+    val df = Seq((0L, Some(10.0)), (1L, None), (2L, Some(4.0)))
+      .toDF("i", "x")
+    val got = Ewma.linear(df, Nil, "i", "x", 1.0, "e", segLen = 2)
+      .orderBy($"i").select($"e").as[Double].collect()
+    assert(got.toSeq == Seq(10.0, 0.0, 4.0))
+  }
+
+  test("joint (alpha, segLen) guard: an overflowing rescale fails loudly") {
+    import spark.implicits._
+    val df = (0 until 10).map(i => (i.toLong, 1.0)).toDF("i", "x")
+    // q = 0.01 -> q^-511 ~ 1e1022, past double
+    val e = intercept[IllegalArgumentException] {
+      Ewma.linear(df, Nil, "i", "x", 0.99, "e", segLen = 512)
+    }
+    assert(e.getMessage.contains("overflows"), e.getMessage)
+    assert(e.getMessage.contains("segLen <= 155"), e.getMessage)
+  }
+
+  test("carry budget boundary: exactly 4096 segment entries pass") {
+    import spark.implicits._
+    val alpha = 0.3
+    // 2048 keys x 4 rows at segLen=2 -> exactly 2 segments each = 4096
+    val rows = for (k <- 0 until 2048; i <- 0 until 4)
+      yield (s"k$k", i.toLong, (i + 1).toDouble)
+    val df = rows.toDF("k", "i", "x")
+    val got = Ewma.linear(df, Seq("k"), "i", "x", alpha, "e", segLen = 2)
+      .filter($"k" === "k7").orderBy($"i").select($"e").as[Double].collect()
+    val want = reference(Seq(1.0, 2.0, 3.0, 4.0), alpha)
+    got.zip(want).foreach { case (g, w) => assert(math.abs(g - w) < 1e-9) }
+  }
+
   test("carry budget guard fails loudly on non-series-grain input") {
     import spark.implicits._
     val df = (0 until 5000).map(i => (s"k$i", 0L, 1.0)).toDF("k", "i", "x")
