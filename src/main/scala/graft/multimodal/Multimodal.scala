@@ -1,6 +1,9 @@
 package graft.multimodal
 
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
 import java.security.MessageDigest
+
+import javax.imageio.ImageIO
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
@@ -10,19 +13,39 @@ import org.apache.spark.sql.functions._
   * partition-sized batches via `mapPartitions` (the Scala analog of
   * `mapInPandas` — one iterator per partition, vectorizable inside).
   *
-  * The actual codec step is a STUB: this container has no image/audio
-  * libraries, so [[decodeStub]] derives deterministic fake dimensions
-  * and features from the bytes. Everything around it — schema, encoder,
-  * partitioning, batch iteration shape — is the real 100 TB design:
-  * payloads stay off the driver, decode is embarrassingly parallel per
-  * partition, and downstream ops see a typed Dataset.
+  * The IMAGE path is REAL: `javax.imageio` (JDK `java.desktop`, no
+  * extra dependency) decodes PNG/JPEG/BMP/GIF/WBMP headless —
+  * [[decode]] reports the true raster dimensions and an 8×8
+  * area-averaged grayscale feature grid, and [[avgHash64]] computes
+  * the genuine perceptual average-hash (8×8 resample → mean
+  * threshold) over decoded pixels. Payloads ImageIO cannot decode
+  * (text stand-ins, truncated blobs, codecs the JDK lacks) fall back
+  * to a clearly-marked deterministic byte-derived spelling instead of
+  * failing the task — at 100 TB one corrupt blob must cost one row,
+  * not a stage retry storm. Compressed AUDIO/VIDEO decode stays
+  * stubbed: the JDK ships no MP3/AAC/H.264 codec (javax.sound's WAV
+  * PCM reader is the one seam a real deployment would wire first);
+  * the Spark-side shape — schema, encoder, partition batching, row
+  * explosion — is the production design either way.
   */
-object Multimodal {
+object Multimodal extends Serializable {
+
+  // ImageIO defaults to a DISK-backed stream cache per decode call;
+  // payloads are already in memory, so that is pure NVMe churn on the
+  // executor. Headless is set defensively — raster decode needs no
+  // display, but some toolkit paths probe for one at class init.
+  locally {
+    System.setProperty("java.awt.headless", "true")
+    ImageIO.setUseCache(false)
+  }
 
   /** An ingested media row: opaque payload + typed metadata. */
   case class MediaRecord(doc_id: Long, kind: String, payload: Array[Byte])
 
-  /** Decoded media features (stub dims/features derived from bytes). */
+  /** Decoded media features. For a payload ImageIO decodes:
+    * `width`/`height` are the true raster dimensions and `features`
+    * the 8×8 area-averaged grayscale grid scaled to [0,1]. For an
+    * undecodable payload: byte-derived fallback dims/features. */
   case class DecodedMedia(doc_id: Long, kind: String, n_bytes: Long,
                           sha256: String, width: Int, height: Int,
                           features: Array[Float])
@@ -30,7 +53,7 @@ object Multimodal {
   /** Wrap a text table as media records (UTF-8 payloads) — the test
     * stand-in for reading real image/audio blobs. Rows with NULL text
     * are EXCLUDED here: a media record without bytes is not a media
-    * record, and every downstream kernel (`decodeStub`, `avgHash64`,
+    * record, and every downstream kernel (`decode`, `avgHash64`,
     * `sampleFrames`) reads `payload` unconditionally — admitting a
     * null would NPE mid-task at fact scale instead of failing the one
     * upstream row (DegenerateInputsSpec null lane). */
@@ -74,27 +97,119 @@ object Multimodal {
       .as[MediaRecord]
   }
 
-  /** Batch decode over partitions. STUB decode: real deployments swap
-    * `decodeOne` for an actual codec (JPEG decode, resample, frame
-    * sample); the Spark-side contract is unchanged. */
-  def decodeStub(media: Dataset[MediaRecord]): Dataset[DecodedMedia] = {
+  // ---- the real image kernel ------------------------------------------
+
+  /** ImageIO decode; None for anything the JDK cannot decode (wrong
+    * magic, truncated stream, unshipped codec). Exceptions are part of
+    * the "undecodable" contract: a corrupt blob downgrades that ROW to
+    * the fallback path instead of failing the task. */
+  private def tryDecodeImage(payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    try Option(ImageIO.read(new ByteArrayInputStream(payload)))
+    catch { case _: Exception => None }
+
+  /** Grayscale value of pixel (x, y) in [0, 255]. Single-band rasters
+    * read the RAW sample — `getRGB` on TYPE_BYTE_GRAY applies a
+    * linear-gray → sRGB conversion that silently distorts pixel
+    * values, so a gray PNG would NOT round-trip through it. Color
+    * images use integer ITU-R 601 luma, (299R + 587G + 114B)/1000
+    * with half-up rounding — exactly G when R=G=B, so the formula
+    * never perturbs an already-gray pixel. */
+  private def grayAt(img: java.awt.image.BufferedImage, x: Int, y: Int): Int =
+    if (img.getRaster.getNumBands == 1) img.getRaster.getSample(x, y, 0)
+    else {
+      val rgb = img.getRGB(x, y)
+      val r = (rgb >> 16) & 0xFF; val g = (rgb >> 8) & 0xFF; val b = rgb & 0xFF
+      (299 * r + 587 * g + 114 * b + 500) / 1000
+    }
+
+  /** Area-average grayscale resample to `w`×`h` (row-major). Each
+    * output cell averages its source box — the real downscale kernel
+    * (box filter), and the IDENTITY when the source is already
+    * `w`×`h`, which is what lets an oracle recompute the 8×8 hash
+    * from source pixels bit-for-bit. */
+  private[multimodal] def resampleGray(img: java.awt.image.BufferedImage,
+                                       w: Int, h: Int): Array[Double] = {
+    val sw = img.getWidth; val sh = img.getHeight
+    val out = new Array[Double](w * h)
+    var y = 0
+    while (y < h) {
+      val y0 = y * sh / h; val y1 = math.max(y0 + 1, (y + 1) * sh / h)
+      var x = 0
+      while (x < w) {
+        val x0 = x * sw / w; val x1 = math.max(x0 + 1, (x + 1) * sw / w)
+        var sum = 0L; var yy = y0
+        while (yy < y1) {
+          var xx = x0
+          while (xx < x1) { sum += grayAt(img, xx, yy); xx += 1 }
+          yy += 1
+        }
+        out(y * w + x) = sum.toDouble / ((y1 - y0) * (x1 - x0))
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** The real perceptual average-hash over a decoded image: 8×8
+    * area-average resample, bit i (row-major) set iff cell i is
+    * strictly above the 64-cell mean. */
+  private[multimodal] def aHashOf(img: java.awt.image.BufferedImage): Long = {
+    val g = resampleGray(img, 8, 8)
+    val mean = g.sum / 64
+    var hash = 0L; var i = 0
+    while (i < 64) { if (g(i) > mean) hash |= (1L << i); i += 1 }
+    hash
+  }
+
+  /** Encode an 8-bit grayscale pixel grid (row-major, values clamped
+    * to [0,255]) as a PNG — the test-data generator for the real
+    * decode path (PNG is lossless, so decode ∘ encode is the
+    * identity on pixels and an oracle can predict decoded values from
+    * the source grid). */
+  def encodeGrayPng(pixels: Array[Int], w: Int, h: Int): Array[Byte] = {
+    require(pixels.length == w * h, s"${pixels.length} pixels for ${w}x$h")
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    var i = 0
+    while (i < pixels.length) {
+      img.getRaster.setSample(i % w, i / w, 0, math.max(0, math.min(255, pixels(i))))
+      i += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Batch decode over partitions: REAL ImageIO decode for payloads
+    * the JDK can read (true dimensions, 8×8 grayscale feature grid in
+    * [0,1]); deterministic byte-derived fallback otherwise (marked by
+    * the stub dims formula). Per-partition setup allocates once — the
+    * `mapPartitions` shape real codecs need. */
+  def decode(media: Dataset[MediaRecord]): Dataset[DecodedMedia] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions { it =>
-      // Per-partition setup (real codecs allocate decoders here, once
-      // per partition — not per record).
       val md = MessageDigest.getInstance("SHA-256")
       it.map { rec =>
         md.reset()
         val digest = md.digest(rec.payload)
         val sha = digest.map(b => f"$b%02x").mkString
-        // STUB: deterministic fake decode derived from the bytes.
         val n = rec.payload.length
-        val width = 1 + (n % 640)
-        val height = 1 + (n % 480)
-        val features = rec.payload.take(8).map(b => (b & 0xFF) / 255.0f)
-        DecodedMedia(rec.doc_id, rec.kind, n.toLong, sha, width, height,
-          if (features.nonEmpty) features else Array(0.0f))
+        tryDecodeImage(rec.payload) match {
+          case Some(img) =>
+            val feats = resampleGray(img, 8, 8).map(g => (g / 255.0).toFloat)
+            DecodedMedia(rec.doc_id, rec.kind, n.toLong, sha,
+              img.getWidth, img.getHeight, feats)
+          case None =>
+            // FALLBACK (undecodable payload): deterministic fake dims/
+            // features derived from the bytes.
+            val width = 1 + (n % 640)
+            val height = 1 + (n % 480)
+            val features = rec.payload.take(8).map(b => (b & 0xFF) / 255.0f)
+            DecodedMedia(rec.doc_id, rec.kind, n.toLong, sha, width, height,
+              if (features.nonEmpty) features else Array(0.0f))
+        }
       }
     }
   }
@@ -106,9 +221,10 @@ object Multimodal {
 
   /** Frame sampling: every `stride` bytes becomes one "frame" whose
     * features are the following `window` bytes scaled to [0,1).
-    * STUB for a real codec's keyframe extraction; the row-explosion
-    * shape (1 media row -> N frame rows, computed per partition,
-    * never on the driver) is the real design.
+    * STUB for a real video codec's keyframe extraction (no H.264/VP9
+    * decoder ships with the JDK); the row-explosion shape (1 media
+    * row -> N frame rows, computed per partition, never on the
+    * driver) is the real design.
     */
   def sampleFrames(media: Dataset[MediaRecord], stride: Int, window: Int = 4): Dataset[Frame] = {
     require(stride > 0 && window > 0)
@@ -127,9 +243,10 @@ object Multimodal {
     }
   }
 
-  /** Feature "resize" (dimension change) via linear interpolation —
-    * STUB for a real image resample; runs inside the same typed
-    * Dataset plan. */
+  /** Feature "resize" (dimension change) via linear interpolation
+    * over an already-extracted feature vector; pixel-grid resampling
+    * happens upstream in [[decode]] via [[resampleGray]]. Runs inside
+    * the same typed Dataset plan. */
   def resizeFeatures(decoded: Dataset[DecodedMedia], dim: Int): Dataset[DecodedMedia] = {
     require(dim > 0)
     val spark = decoded.sparkSession
@@ -149,27 +266,33 @@ object Multimodal {
 
   /** End-to-end: documents -> payloads -> decoded features table. */
   def pipeline(spark: SparkSession, documents: DataFrame): DataFrame =
-    decodeStub(fromDocuments(documents)).toDF()
+    decode(fromDocuments(documents)).toDF()
 
-  /** Perceptual average-hash (aHash) of a media payload: 64 evenly-
-    * spaced samples, bit i = sample i above the sample mean. STUB for
-    * a real DCT pHash over decoded pixels, but the dedup contract is
-    * the real one: near-identical payloads land within a small
-    * Hamming distance, so image near-dup dedup reuses the SimHash
-    * machinery unchanged (16-bit block bucketing + `graft_hamming64`
-    * verify, exactly q17's plan over `phash` instead of `simhash`).
+  /** Perceptual average-hash (aHash) of a media payload. Decodable
+    * image → the REAL aHash (8×8 grayscale area-average, mean
+    * threshold) over decoded pixels. Undecodable payload → fallback:
+    * 64 evenly-spaced BYTE samples through the same mean-threshold
+    * spelling (deterministic, near-identical payloads still land
+    * within a small Hamming distance). Either way the dedup contract
+    * downstream is unchanged: image near-dup dedup reuses the SimHash
+    * machinery (16-bit block bucketing + `graft_hamming64` verify,
+    * exactly q17's plan over `phash` instead of `simhash`).
     */
   def avgHash64(media: Dataset[MediaRecord]): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
     media.map { rec =>
-      val n = rec.payload.length
-      val samples = Array.tabulate(64) { i =>
-        if (n == 0) 0 else rec.payload(((i.toLong * n) / 64).toInt) & 0xFF
-      }
-      val mean = samples.sum.toDouble / 64
-      val hash = samples.zipWithIndex.foldLeft(0L) { case (acc, (s, i)) =>
-        if (s > mean) acc | (1L << i) else acc
+      val hash = tryDecodeImage(rec.payload) match {
+        case Some(img) => aHashOf(img)
+        case None =>
+          val n = rec.payload.length
+          val samples = Array.tabulate(64) { i =>
+            if (n == 0) 0 else rec.payload(((i.toLong * n) / 64).toInt) & 0xFF
+          }
+          val mean = samples.sum.toDouble / 64
+          samples.zipWithIndex.foldLeft(0L) { case (acc, (s, i)) =>
+            if (s > mean) acc | (1L << i) else acc
+          }
       }
       (rec.doc_id, hash)
     }.toDF("doc_id", "phash")

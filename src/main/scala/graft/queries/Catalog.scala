@@ -6492,7 +6492,56 @@ object Catalog {
              |       round(x.n - sum(y.n * pow(0.8, x.i - y.i) *
              |                 CASE WHEN y.i = 1 THEN 1.0 ELSE 0.2 END), 4) AS resid_r
              |FROM i x JOIN i y ON y.i <= x.i
-             |GROUP BY x.day, x.n ORDER BY day_s""".stripMargin))
+             |GROUP BY x.day, x.n ORDER BY day_s""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Q172: the REAL image codec end-to-end, oracle-gated. Each
+    // document's bytes become a deterministic 8x8 grayscale grid
+    // (q164's byte sampling), PNG-encoded ON THE EXECUTORS
+    // (Multimodal.encodeGrayPng), then run through the genuine
+    // javax.imageio decode path: true raster dimensions + the real
+    // pixel aHash (8x8 area-average resample -> mean threshold) over
+    // DECODED pixels. PNG is lossless and the 8x8 resample is the
+    // identity at 8x8, so DuckDB can predict the decoded result from
+    // the SOURCE text — the oracle recomputes the hash from character
+    // ordinals, which hash-matches only if encode -> ImageIO decode ->
+    // grayscale extraction -> resample -> threshold are ALL bit-exact.
+    // (Hash parity relies on the ASCII corpus: UTF-8 byte k = char
+    // k+1, and bit 63 is spelled as -2^63 — q164's conventions.)
+    Query(
+      "q172_image_decode",
+      (s, dir) => {
+        import s.implicits._
+        val M = graft.multimodal.Multimodal
+        val media = t(s, dir, "documents")
+          .select($"doc_id", encode($"text", "UTF-8").as("payload"))
+          .filter($"payload".isNotNull)
+          .as[(Long, Array[Byte])]
+          .map { case (id, b) =>
+            val n = b.length
+            val px = Array.tabulate(64)(i =>
+              if (n == 0) 0 else b(((i.toLong * n) / 64).toInt) & 0xFF)
+            M.MediaRecord(id, "png", M.encodeGrayPng(px, 8, 8))
+          }
+        val meta = M.decode(media).toDF()
+          .select($"doc_id", $"width".cast("long").as("width"),
+                  $"height".cast("long").as("height"))
+        meta.join(M.avgHash64(media), "doc_id")
+          .select($"doc_id", $"width", $"height", $"phash")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH s AS (SELECT doc_id, i,
+             |                  ord(substr(text, (i * length(text)) // 64 + 1, 1)) AS smp
+             |           FROM documents, generate_series(0, 63) g(i)),
+             |m AS (SELECT doc_id, sum(smp) / 64.0 AS mean FROM s GROUP BY 1),
+             |h AS (SELECT s.doc_id,
+             |             sum(CASE WHEN smp > mean THEN
+             |                   CASE WHEN i = 63 THEN -9223372036854775807 - 1
+             |                        ELSE 1::BIGINT << i END
+             |                 ELSE 0 END)::BIGINT AS phash
+             |      FROM s JOIN m USING (doc_id) GROUP BY 1)
+             |SELECT doc_id, 8::BIGINT AS width, 8::BIGINT AS height, phash
+             |FROM h ORDER BY doc_id""".stripMargin))
   )
 
   val byName: Map[String, Query] = all.map(q => q.name -> q).toMap

@@ -52,7 +52,7 @@ class MultimodalSpec extends SparkSpec {
     // plan, no collect, no re-encoding hop.
     val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
     val feats = graft.multimodal.Multimodal.resizeFeatures(
-      graft.multimodal.Multimodal.decodeStub(
+      graft.multimodal.Multimodal.decode(
         graft.multimodal.Multimodal.fromDocuments(docs)), 16).toDF()
     val input = feats.select($"doc_id".as("vec_id"),
       pmod(xxhash64($"doc_id"), lit(8)).cast("int").as("label"),
@@ -70,7 +70,7 @@ class MultimodalSpec extends SparkSpec {
   test("feature resize interpolates to the target dimension") {
     import spark.implicits._
     val docs = Seq((1L, "hello world")).toDF("doc_id", "text")
-    val decoded = Multimodal.decodeStub(Multimodal.fromDocuments(docs))
+    val decoded = Multimodal.decode(Multimodal.fromDocuments(docs))
     val resized = Multimodal.resizeFeatures(decoded, 16).collect().head
     assert(resized.features.length == 16)
     val src = decoded.collect().head.features
@@ -124,6 +124,76 @@ class MultimodalSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("real image decode: a known-pixel gray PNG round-trips bit-exactly") {
+    import spark.implicits._
+    // 8x8 grid with every value distinct mod 255 — PNG is lossless and
+    // the 8x8 resample is the identity, so decode must return EXACTLY
+    // these pixels (features = px/255) and the true dimensions.
+    val px = Array.tabulate(64)(i => (i * 4 + 3) % 256)
+    val png = Multimodal.encodeGrayPng(px, 8, 8)
+    val media = Seq(Multimodal.MediaRecord(1L, "png", png)).toDS()
+    val d = Multimodal.decode(media).collect().head
+    assert(d.width == 8 && d.height == 8, s"${d.width}x${d.height}")
+    assert(d.features.length == 64)
+    d.features.zip(px).zipWithIndex.foreach { case ((f, p), i) =>
+      assert(f == (p / 255.0).toFloat, s"pixel $i: got $f want ${p / 255.0}")
+    }
+    // non-square true dimensions survive too
+    val wide = Multimodal.encodeGrayPng(Array.fill(32 * 4)(7), 32, 4)
+    val dw = Multimodal.decode(
+      Seq(Multimodal.MediaRecord(2L, "png", wide)).toDS()).collect().head
+    assert(dw.width == 32 && dw.height == 4)
+  }
+
+  test("real image decode: color PNG uses ITU-R 601 luma, gray pixels unperturbed") {
+    import spark.implicits._
+    val img = new java.awt.image.BufferedImage(
+      2, 1, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, (200 << 16) | (100 << 8) | 50)  // luma = (299*200+587*100+114*50+500)/1000 = 124
+    img.setRGB(1, 0, (90 << 16) | (90 << 8) | 90)    // gray pixel -> exactly 90
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val d = Multimodal.decode(
+      Seq(Multimodal.MediaRecord(1L, "png", bos.toByteArray)).toDS()).collect().head
+    assert(d.width == 2 && d.height == 1)
+    // 8x8 upsample of a 2x1 image: each half replicates its source pixel
+    val feats = d.features
+    assert(feats.take(4).forall(_ == (124 / 255.0).toFloat), feats.take(4).toSeq)
+    assert(feats.slice(4, 8).forall(_ == (90 / 255.0).toFloat), feats.slice(4, 8).toSeq)
+  }
+
+  test("real aHash: decoded-pixel hash matches the independent mean-threshold reference") {
+    import spark.implicits._
+    val px = Array.tabulate(64)(i => if (i % 3 == 0) 200 else 20)
+    val png = Multimodal.encodeGrayPng(px, 8, 8)
+    val got = Multimodal.avgHash64(
+      Seq(Multimodal.MediaRecord(1L, "png", png)).toDS())
+      .as[(Long, Long)].collect().head._2
+    val mean = px.sum.toDouble / 64
+    var want = 0L
+    px.zipWithIndex.foreach { case (p, i) => if (p > mean) want |= (1L << i) }
+    assert(got == want, f"got $got%016x want $want%016x")
+    // and a LARGER image hashes through the real area-average resample:
+    // 16x16 where each 2x2 block replicates px -> identical hash
+    val big = Array.tabulate(256)(j => px((j / 32) * 8 + (j % 16) / 2))
+    val gotBig = Multimodal.avgHash64(
+      Seq(Multimodal.MediaRecord(2L, "png", Multimodal.encodeGrayPng(big, 16, 16))).toDS())
+      .as[(Long, Long)].collect().head._2
+    assert(gotBig == want, f"resampled hash drifted: $gotBig%016x")
+  }
+
+  test("undecodable payloads keep the byte-derived fallback (one bad blob = one row)") {
+    import spark.implicits._
+    val junk = Array.tabulate(100)(_.toByte)
+    val truncatedPng = Multimodal.encodeGrayPng(Array.fill(64)(1), 8, 8).take(20)
+    val media = Seq(
+      Multimodal.MediaRecord(1L, "bin", junk),
+      Multimodal.MediaRecord(2L, "png", truncatedPng)).toDS()
+    val rows = Multimodal.decode(media).collect().sortBy(_.doc_id)
+    assert(rows(0).width == 1 + 100 % 640 && rows(0).features.length == 8)
+    assert(rows(1).width == 1 + 20 % 640, "truncated PNG must fall back, not throw")
+  }
+
   test("binaryFile source ingests blobs with glob pruning and a size guard") {
     import java.nio.file.{Files, Paths}
     val dir = Files.createTempDirectory("blobs").toString
@@ -141,7 +211,7 @@ class MultimodalSpec extends SparkSpec {
     assert(rows.find(_.doc_id == 7L).get.payload.length == 300)
 
     // the ingested records feed the existing decode path unchanged
-    val decoded = graft.multimodal.Multimodal.decodeStub(media).collect()
+    val decoded = graft.multimodal.Multimodal.decode(media).collect()
     assert(decoded.map(_.doc_id).sorted.toSeq == Seq(7L, 12L))
     assert(decoded.forall(_.sha256.length == 64))
   }
