@@ -18,22 +18,14 @@ import org.apache.spark.sql.functions._
   * [[graft.pipelines.PretrainPipeline]]. Cross-corpus variants (batch
   * vs history) live in [[IncrementalDedup]].
   *
-  * DUPLICATE COLLAPSE (round 10): candidate generation and verify run
-  * over DISTINCT shingle-sets only — docs are grouped by a content
-  * fingerprint (xxhash64 of the sorted shingle array), one
-  * representative per group enters the pair machinery, and the pair
-  * set re-expands afterwards: cross-content pairs as a members×members
-  * join (every member pair shares its representatives' exact jaccard,
-  * because the SETS are identical), within-content pairs as the
-  * group's self-join at jaccard 1.0 (identical non-empty sets). On a
-  * duplicate-free corpus this costs one extra doc-grain hash-agg; on a
-  * duplicate-heavy corpus it removes the quadratic candidate blowup
-  * the factor-10/30 ScaleBench runs measured (every replica of a doc
-  * shares its rarest prefix shingles, so candidate volume grew with
-  * the SQUARE of the duplicate rate — now the dup rate only affects
-  * the output expansion, which is the answer itself). Fingerprint
-  * collisions merge distinct contents with probability ~n²/2⁶⁴ — the
-  * same accepted class as the xxhash64'd verify elements.
+  * DUPLICATE COLLAPSE (round 10; factored into [[DupCollapse]] in
+  * round 11, shared with q17's SimHash blocks and q33's MinHash
+  * bands): candidate generation and verify run over DISTINCT
+  * shingle-sets only — one representative per content group enters
+  * the pair machinery, cross-content pairs re-expand by membership
+  * joins (exact: the SETS are identical), within-content pairs are
+  * the group self-join at jaccard 1.0. Rationale, exactness argument,
+  * and measured quadratic blowup this removes: DupCollapse.scala.
   *
   * Scale shape: one doc-grain fingerprint agg; one df-ordered prefix
   * selection per DISTINCT content (doc-keyed window); one
@@ -62,45 +54,19 @@ object PPJoin {
   def similarPairs(docs: DataFrame, idCol: String, shCol: String,
                    thr: Double, collapse: Boolean = true): DataFrame = {
     require(thr > 0 && thr <= 1, s"threshold must be in (0, 1], got $thr")
-    if (!collapse)
-      return similarPairsDistinct(
-        docs.select(col(idCol).as("doc_id"), col(shCol).as("sh")), thr)
-    // ---- duplicate collapse: group docs by shingle-SET content ----
-    // (array_sort canonicalizes element order; a null/empty set never
-    // pairs — same contract as the all-pairs oracle, where an empty
-    // union makes jaccard undefined). ONE window over the fingerprint
-    // gives every row its group's representative (min doc_id) and
-    // size — a single fp-keyed shuffle instead of an agg plus
-    // rep→fp→member join chains. Checkpointed: the reps branch, the
-    // member expansion, and the within self-join all re-read this
-    // frame; tracked because the RETURNED plan reads it too.
-    val wFp = Window.partitionBy(col("__fp"))
-    val withRep = Checkpoints.track(
-      docs.select(col(idCol).as("doc_id"), col(shCol).as("sh"))
-        .withColumn("__fp", xxhash64(array_sort(col("sh"))))
-        .withColumn("__rep", min(col("doc_id")).over(wFp))
-        .withColumn("__m", count(lit(1)).over(wFp))
-        .localCheckpoint(eager = false))
-    val d = withRep.filter(col("doc_id") === col("__rep"))
-      .select(col("doc_id"), col("sh"))
-    val repPairs = similarPairsDistinct(d, thr)
-
-    // ---- re-expansion: representatives → all members ----
-    val members = withRep.select(col("__rep"), col("doc_id"))
-    val cross = repPairs
-      .join(members.select(col("__rep").as("doc_a"), col("doc_id").as("a")), "doc_a")
-      .join(members.select(col("__rep").as("doc_b"), col("doc_id").as("b")), "doc_b")
-      .select(least(col("a"), col("b")).as("doc_a"),
-              greatest(col("a"), col("b")).as("doc_b"), col("jaccard"))
-    // identical non-empty sets: jaccard exactly 1.0 ≥ any valid thr
-    val dupMembers = withRep
-      .filter(col("__m") >= 2 && size(col("sh")) > 0)
-      .select(col("__rep"), col("doc_id"))
-    val within = dupMembers.as("x").join(dupMembers.as("y"),
-        col("x.__rep") === col("y.__rep") && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-              lit(1.0).as("jaccard"))
-    cross.unionByName(within)
+    val base = docs.select(col(idCol).as("doc_id"), col(shCol).as("sh"))
+    if (!collapse) return similarPairsDistinct(base, thr)
+    // Content fingerprint: xxhash64 of the SORTED shingle array
+    // (canonical element order). An empty set never pairs — same
+    // contract as the all-pairs oracle, where an empty union makes
+    // jaccard undefined.
+    val annotated = DupCollapse.withRep(base, "doc_id",
+      xxhash64(array_sort(col("sh"))))
+    val repPairs = similarPairsDistinct(
+      DupCollapse.reps(annotated, "doc_id"), thr)
+    DupCollapse.expandCross(repPairs, annotated, "doc_id")
+      .unionByName(DupCollapse.withinPairs(annotated, "doc_id",
+        size(col("sh")) > 0, Seq("jaccard" -> lit(1.0))))
   }
 
   /** The pair machinery proper, over a frame of (doc_id, sh) whose

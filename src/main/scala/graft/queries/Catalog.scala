@@ -449,13 +449,23 @@ object Catalog {
     // ------------------------------------------------------------------
     // Q17: SimHash near-dup pairs — 64-bit signatures, 16-bit block
     // bucketing, Hamming <= 12 verify. xxhash64-based -> rows-only.
+    // Duplicate collapse (round 11): the fingerprint is the SIGNATURE
+    // itself — identical docs share it bit-for-bit, so before the
+    // collapse every replica collided in all four blocks and candidate
+    // volume grew with the square of the duplicate rate (measured
+    // 29.7x at 10x replicas). Collapsing on the signature is EXACT
+    // even for distinct texts that happen to share a signature:
+    // members carry their representatives' hamming (same sig), and
+    // within-group pairs are hamming 0 <= 12 by identity.
     Query(
       "q17_simhash_neardup",
       (s, dir) => {
         import s.implicits._
         val sigs = t(s, dir, "documents")
           .select($"doc_id", TF.simhash64($"text").as("sig"))
-        val blocks = sigs.select($"doc_id", $"sig",
+        val annotated = graft.operators.DupCollapse.withRep(sigs, "doc_id", $"sig")
+        val reps = graft.operators.DupCollapse.reps(annotated, "doc_id")
+        val blocks = reps.select($"doc_id", $"sig",
           explode(sequence(lit(0), lit(3))).as("blk"))
           .withColumn("blkval", expr("shiftrightunsigned(sig, blk * 16)").bitwiseAND(lit(0xFFFFL)))
         val cand = blocks.as("a").join(blocks.as("b"),
@@ -464,9 +474,12 @@ object Catalog {
           .select($"a.doc_id".as("doc_a"), $"a.sig".as("sig_a"),
                   $"b.doc_id".as("doc_b"), $"b.sig".as("sig_b"))
           .dropDuplicates("doc_a", "doc_b")
-        cand.withColumn("hamming", TF.hamming64($"sig_a", $"sig_b"))
+        val repPairs = cand.withColumn("hamming", TF.hamming64($"sig_a", $"sig_b"))
           .filter($"hamming" <= 12)
           .select($"doc_a", $"doc_b", $"hamming")
+        graft.operators.DupCollapse.expandCross(repPairs, annotated, "doc_id")
+          .unionByName(graft.operators.DupCollapse.withinPairs(
+            annotated, "doc_id", lit(true), Seq("hamming" -> lit(0L))))
           .orderBy($"doc_a", $"doc_b")
       },
       None),
@@ -930,7 +943,18 @@ object Catalog {
           threshold = 0.5, targetRecall = 0.9999, maxSignature = 128)
         val docs = t(s, dir, "documents")
           .select($"doc_id", array_distinct(TF.shingles($"text", 3)).as("sh"))
-        val sig = docs.select($"doc_id",
+        // Duplicate collapse (round 11, DupCollapse): identical
+        // shingle-sets produce identical signatures and hence collide
+        // in EVERY band — candidate volume grew with the square of the
+        // duplicate rate (measured 23.4x at 10x replicas). Signatures
+        // are computed for DISTINCT contents only (replicas also skip
+        // the minhash pass entirely); member pairs carry their
+        // representatives' exact jaccard, within-group non-empty sets
+        // pair at 1.0 >= any threshold.
+        val annotated = graft.operators.DupCollapse.withRep(
+          docs, "doc_id", xxhash64(array_sort($"sh")))
+        val d = graft.operators.DupCollapse.reps(annotated, "doc_id")
+        val sig = d.select($"doc_id",
           TF.minhashSignature($"sh", lsh.signatureLength).as("sig"))
         val bands = sig.select($"doc_id",
           explode(TF.minhashBands($"sig", lsh.bands, lsh.rowsPerBand)).as("band"))
@@ -941,13 +965,17 @@ object Catalog {
         // Verify on the string shingle sets directly: LSH emits few
         // candidates here (collision pairs only), so q98's hashed-
         // verify trick doesn't pay for its extra per-doc hash pass.
-        val sa = docs.select($"doc_id".as("doc_a"), $"sh".as("sha"))
-        val sb = docs.select($"doc_id".as("doc_b"), $"sh".as("shb"))
-        cand.join(sa, "doc_a").join(sb, "doc_b")
+        val sa = d.select($"doc_id".as("doc_a"), $"sh".as("sha"))
+        val sb = d.select($"doc_id".as("doc_b"), $"sh".as("shb"))
+        val repPairs = cand.join(sa, "doc_a").join(sb, "doc_b")
           .withColumn("jaccard",
             size(array_intersect($"sha", $"shb")).cast("double") /
             size(array_union($"sha", $"shb")))
           .filter($"jaccard" >= 0.5)
+          .select($"doc_a", $"doc_b", $"jaccard")
+        graft.operators.DupCollapse.expandCross(repPairs, annotated, "doc_id")
+          .unionByName(graft.operators.DupCollapse.withinPairs(
+            annotated, "doc_id", size($"sh") > 0, Seq("jaccard" -> lit(1.0))))
           .select($"doc_a", $"doc_b", round($"jaccard", 4).as("jaccard_r"))
           .orderBy($"doc_a", $"doc_b")
       },
@@ -4839,20 +4867,49 @@ object Catalog {
     // tradeoff (1612 of 1883 brand-only matches at sf0.01).
     // Identical names are excluded — exact duplicates are q12's
     // exact-dedup contract, this is the FUZZY residue.
+    //
+    // Round 11 scale hardening, both exact:
+    //  - NAME COLLAPSE (the DupCollapse discipline, keyed on the JW
+    //    input): JW is a function of the name PAIR alone, so the
+    //    quadratic kernel runs over DISTINCT (block, name) pairs and
+    //    re-expands by two membership joins. A duplicate-heavy corpus
+    //    (the replica model measured 66x at 10x) multiplies the
+    //    OUTPUT, which is the answer itself, not the JW calls.
+    //  - LOUD PER-BLOCK BUDGET on the remaining quadratic driver
+    //    (distinct names per block): a hot (brand, first-token) block
+    //    past 4096 distinct names (~8M JW calls) fails with the block
+    //    NAMED instead of going quadratic silently — refining the
+    //    blocking key is a recall decision the user must make, not
+    //    one the engine may take silently (PrefixScan's budget
+    //    discipline). sf0.1 max block = 128 distinct names.
     Query(
       "q138_entity_resolution",
       (s, dir) => {
         import s.implicits._
+        val blockCap = 4096
         val p = t(s, dir, "part")
           .withColumn("blk", concat($"p_brand", lit("|"),
                                     split($"p_name", " ").getItem(0)))
-        val a = p.select($"p_partkey".as("k1"), $"p_name".as("n1"), $"blk")
-        val b = p.select($"p_partkey".as("k2"), $"p_name".as("n2"),
-                         $"blk".as("blk2"))
-        a.join(b, $"blk" === $"blk2" && $"k1" < $"k2" && $"n1" =!= $"n2")
+        val names = p.select($"blk", $"p_name").distinct()
+        val guarded = names
+          .withColumn("__bn", count(lit(1)).over(Window.partitionBy($"blk")))
+          .filter(when($"__bn" <= blockCap, lit(true)).otherwise(
+            raise_error(concat(
+              lit("q138 block '"), $"blk", lit("' has "),
+              $"__bn".cast("string"),
+              lit(s" distinct names (budget $blockCap): refine the blocking key")))))
+          .drop("__bn")
+        val np = guarded.as("x").join(guarded.as("y"),
+            $"x.blk" === $"y.blk" && $"x.p_name" < $"y.p_name")
+          .select($"x.blk".as("blk"), $"x.p_name".as("n1"), $"y.p_name".as("n2"))
           .withColumn("jw", graft.functions.JaroWinkler($"n1", $"n2"))
           .filter($"jw" >= 0.88)
-          .select($"k1", $"k2", round($"jw", 4).as("jw_r"))
+        np.join(p.select($"blk", $"p_name".as("n1"), $"p_partkey".as("ka")),
+                Seq("blk", "n1"))
+          .join(p.select($"blk", $"p_name".as("n2"), $"p_partkey".as("kb")),
+                Seq("blk", "n2"))
+          .select(least($"ka", $"kb").as("k1"), greatest($"ka", $"kb").as("k2"),
+                  round($"jw", 4).as("jw_r"))
           .orderBy($"k1", $"k2")
       },
       Some("""SELECT a.p_partkey AS k1, b.p_partkey AS k2,
