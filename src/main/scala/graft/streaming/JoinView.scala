@@ -31,10 +31,12 @@ import graft.operators.CdcMerge
   *      broadcast.
   *
   * File-sink caveat (same as [[CdcStream.mergeBatch]]): the carryover
-  * rewrite is O(view) in this plain-parquet harness; a production
-  * deployment replaces the swap with MERGE INTO / the bucketed
-  * [[ManifestState]] layout so only Δ-touched buckets rewrite. The
-  * JOIN maintenance itself — steps 1-3 — is unchanged by the sink.
+  * rewrite is O(view) in the plain-parquet [[applyBatch]]; the
+  * production sink is [[applyBatchBucketed]] — the same steps 1-3 on
+  * the bucketed [[ManifestState]] layout, where only Δ-touched
+  * buckets rewrite (per-batch cost measured flat in state,
+  * ViewStateBench / docs/SCALE.md). The JOIN maintenance itself is
+  * unchanged by the sink.
   *
   * Side schema contract (what [[CdcStream.classify]] emits, renamed):
   * an id column, a join-key column, payload columns, `lsn`/`ts_ms`
@@ -108,6 +110,119 @@ object JoinView {
 
   def readView(spark: SparkSession, stateDir: String): DataFrame =
     spark.read.parquet(s"$stateDir/view")
+
+  // ---- bucketed mode: the production sink --------------------------
+
+  /** [[applyBatch]] with the [[ManifestState]] bucketed layout as the
+    * sink — the production answer to the plain-parquet caveat above:
+    * a batch rewrites ONLY the buckets its touched keys hash to, so
+    * the carryover term is O(touched buckets), not O(view).
+    *
+    * Layout under `stateRoot` (5 manifest states):
+    *  - `left_id/`, `right_id/`: the side states bucketed BY ID — the
+    *    latest-wins merge needs the old rows of touched ids, an
+    *    O(touched-bucket) lookup here;
+    *  - `left_jk/`, `right_jk/`: LIVE side rows bucketed BY JOIN KEY —
+    *    the secondary index that makes the recompute's
+    *    `live[jk ∈ Δ]` an O(touched-bucket) read instead of a full
+    *    side scan (the write amplification every keyed IVM pays for
+    *    key-sliced lookups);
+    *  - `view/`: the joined view bucketed by `jk`.
+    *
+    * Per batch, every term is O(touched slice): old/new rows of
+    * touched ids from the id buckets; Δ = their old ∪ new join keys;
+    * jk-copy patches remove touched ids' rows and insert their new
+    * live rows (both live in Δ-side buckets); the recompute joins the
+    * UPDATED jk copies restricted to Δ; the view patch swaps Δ's
+    * buckets. Single-writer per view (synchronized), matching
+    * [[applyBatch]]; the batch frames are cached because the patches
+    * commit between their reuses (version dirs stay readable through
+    * the keepGenerations grace window, but the cache also keeps the
+    * O(batch) slices from re-reading buckets four times).
+    *
+    * nBuckets is the flat-in-state knob: size it so a bucket stays
+    * roughly constant (state / targetBucketRows) — rewrite cost per
+    * batch is then (touched buckets) × (bucket size), independent of
+    * total state.
+    */
+  def applyBatchBucketed(spark: SparkSession,
+                         leftDelta: DataFrame, rightDelta: DataFrame,
+                         stateRoot: String, left: Side, right: Side,
+                         nBuckets: Int): Unit = synchronized {
+    def liveJk(df: DataFrame, side: Side): DataFrame =
+      live(df).withColumnRenamed(side.joinKeyCol, "jk").filter(col("jk").isNotNull)
+
+    // one side's id-grain maintenance; returns the side's Δjk (cached,
+    // materialized BEFORE the patches supersede the buckets it reads)
+    def sideBatch(delta: DataFrame, side: Side, idRoot: String,
+                  jkRoot: String): DataFrame = {
+      val ids = delta.select(side.idCol).distinct().cache()
+      val idBuckets = ManifestState.bucketsOf(ids, side.idCol, nBuckets)
+      val oldTouched = ManifestState
+        .readBucketsOf(spark, idRoot, idBuckets, delta)
+        .join(ids, Seq(side.idCol), "left_semi").cache()
+      val newTouched = CdcMerge.latestWins(
+        oldTouched.unionByName(delta), Seq(side.idCol), ordering).cache()
+      // affected join keys of THIS side: old values (deletes, moves
+      // away) ∪ new live values (inserts, moves toward)
+      val deltaJk = oldTouched.select(col(side.joinKeyCol).as("jk"))
+        .unionByName(liveJk(newTouched, side).select(col("jk")))
+        .filter(col("jk").isNotNull).distinct().cache()
+      deltaJk.count() // pin: its inputs' buckets get superseded below
+      // id copy: replace touched ids' rows (tombstones retained — they
+      // fence late replays, exactly the CdcStream state contract)
+      ManifestState.patchBuckets(idRoot, nBuckets, side.idCol, ids, delta) {
+        current => current.join(ids, Seq(side.idCol), "left_anti")
+          .unionByName(newTouched)
+      }
+      // jk copy: touched ids' old rows leave (they sit in deltaJk's
+      // buckets — their old jk is in deltaJk by construction), new
+      // LIVE rows enter
+      val jkTemplate = liveJk(delta, side)
+      ManifestState.patchBuckets(jkRoot, nBuckets, "jk", deltaJk, jkTemplate) {
+        current => current.join(ids, Seq(side.idCol), "left_anti")
+          .unionByName(liveJk(newTouched, side))
+      }
+      Seq(ids, oldTouched, newTouched).foreach(_.unpersist())
+      deltaJk
+    }
+
+    val lJk = sideBatch(leftDelta, left, s"$stateRoot/left_id", s"$stateRoot/left_jk")
+    val rJk = sideBatch(rightDelta, right, s"$stateRoot/right_id", s"$stateRoot/right_jk")
+    val delta = lJk.unionByName(rJk).distinct().cache()
+
+    // recompute from the UPDATED jk copies, restricted to Δ — an
+    // O(Δ-bucket) read per side, never a full side scan
+    val jkBuckets = ManifestState.bucketsOf(delta, "jk", nBuckets)
+    def liveSlice(jkRoot: String, template: DataFrame): DataFrame =
+      ManifestState.readBucketsOf(spark, jkRoot, jkBuckets, template)
+        .join(broadcast(delta), Seq("jk"), "left_semi")
+    val recompute = liveSlice(s"$stateRoot/left_jk", liveJk(leftDelta, left))
+      .join(liveSlice(s"$stateRoot/right_jk", liveJk(rightDelta, right)), Seq("jk"))
+      .drop("event_type", "lsn", "ts_ms")
+    ManifestState.patchBuckets(s"$stateRoot/view", nBuckets, "jk", delta, recompute) {
+      current => current.join(broadcast(delta), Seq("jk"), "left_anti")
+        .unionByName(recompute)
+    }
+    Seq(lJk, rJk, delta).foreach(_.unpersist())
+  }
+
+  /** The bucketed view's current snapshot (manifest-consistent). */
+  def readViewBucketed(spark: SparkSession, stateRoot: String): DataFrame =
+    ManifestState.read(spark, s"$stateRoot/view")
+
+  /** Executable spec for the bucketed mode: full re-join of the
+    * bucketed side states — what [[readViewBucketed]] must equal. */
+  def naiveViewBucketed(spark: SparkSession, stateRoot: String,
+                        left: Side, right: Side): DataFrame = {
+    def liveSide(root: String, side: Side): DataFrame =
+      ManifestState.read(spark, root)
+        .filter(col("event_type") =!= CdcStream.Delete)
+        .withColumnRenamed(side.joinKeyCol, "jk").filter(col("jk").isNotNull)
+    liveSide(s"$stateRoot/left_id", left)
+      .join(liveSide(s"$stateRoot/right_id", right), Seq("jk"))
+      .drop("event_type", "lsn", "ts_ms")
+  }
 
   /** The executable spec: the full re-join of the CURRENT live side
     * states — what the incremental view must always equal. */

@@ -248,102 +248,163 @@ object ManifestState {
                  keepGenerations: Int = DefaultKeepGenerations): Unit = {
     require(nBuckets > 0)
     val spark = batch.sparkSession
-    Files.createDirectories(Paths.get(root))
     val delta = batch.filter(col("event_type") =!= CdcStream.Malformed)
       .withColumn("b", pmod(xxhash64(col("id")), lit(nBuckets)).cast("int"))
       .cache()
     try {
       val affected = delta.select("b").distinct().collect().map(_.getInt(0)).sorted
       if (affected.isEmpty) return
+      // partitionBy strips `b` into the directory name, so files read
+      // back from a version dir do NOT carry it — merge on the bare
+      // change schema and re-derive the bucket before writing
+      val bare = delta.drop("b")
+      optimisticCommit(spark, root, affected.toIndexedSeq, nBuckets, "id",
+        bare, maxRetries, keepGenerations) { current =>
+        CdcMerge.latestWins(
+          current.unionByName(bare), Seq("id"),
+          Seq(col("lsn").desc_nulls_last, col("ts_ms").desc_nulls_last))
+      }
+    } finally delta.unpersist()
+  }
 
-      // distinguishes concurrent merges from the SAME writer object
-      // (threads sharing this JVM) — version/stage dirs must be unique
-      // per invocation, not per process
-      val callId = UUID.randomUUID().toString.take(8)
-      var attempt = 0
-      var committed = false
-      var lastFailure: Throwable = null
-      while (!committed) {
-        attempt += 1
-        if (attempt > maxRetries)
-          throw new IllegalStateException(
-            s"merge lost the commit race $maxRetries times", lastFailure)
-        val base = readManifest(root)
-        val version = s"v-${base.epoch + 1}-$callId-$attempt"
-        try {
-          // heavy phase — no lock held
-          val existing = affected.flatMap(k => base.buckets.get(k).map(v => (k, v)))
-          // partitionBy strips `b` into the directory name, so files read
-          // back from a version dir do NOT carry it — merge on the bare
-          // change schema and re-derive the bucket before writing
-          val bare = delta.drop("b")
-          val current =
-            if (existing.isEmpty) bare.limit(0)
-            else spark.read.parquet(existing.map { case (k, v) =>
-              versionPath(root, k, v) }.toIndexedSeq: _*)
-          val merged = CdcMerge.latestWins(
-            current.unionByName(bare), Seq("id"),
-            Seq(col("lsn").desc_nulls_last, col("ts_ms").desc_nulls_last))
-            .withColumn("b", pmod(xxhash64(col("id")), lit(nBuckets)).cast("int"))
-          // one writer task per touched bucket, one immutable version dir
-          // per bucket per commit
-          val tmp = s"$root/.stage-$version"
-          merged.repartition(col("b"))
-            .write.mode("overwrite").partitionBy("b").parquet(tmp)
-          // a bucket with no surviving rows (cannot happen while
-          // tombstones are retained, but don't bake that in) leaves the
-          // manifest instead of committing an unreadable empty dir
-          val written = affected.filter { k =>
-            val src = Paths.get(s"$tmp/b=$k")
-            val dst = Paths.get(versionPath(root, k, version))
-            Files.createDirectories(dst.getParent)
-            if (Files.exists(src)) {
-              Files.move(src, dst, StandardCopyOption.ATOMIC_MOVE); true
-            } else false
-          }
-          val emptied = affected.diff(written)
-          CdcStream.deleteRecursively(Paths.get(tmp))
+  /** Generic bucketed PATCH — the schema-agnostic core the IVM views
+    * (JoinView, Scd2View) use as their production sink: rewrite ONLY
+    * the buckets that `touchedKeys` (single-column frame named
+    * `keyCol`, O(batch) rows by contract) hash to, committing through
+    * the same manifest/lock/GC protocol as [[mergeBatch]].
+    *
+    * `buildMerged` receives the CURRENT full content of the affected
+    * buckets (the `template`'s empty frame when the state is new) and
+    * must return their full NEW content — typically
+    * `current.anti(touched) ∪ replacement`. It is re-invoked against
+    * the fresh snapshot on every commit retry, so a lost race
+    * recomputes instead of clobbering. CONTRACT: every returned row's
+    * `keyCol` must hash into the affected buckets (i.e. replacement
+    * keys ⊆ touchedKeys) — a row outside them would be silently
+    * dropped from the state, since only affected buckets commit.
+    */
+  def patchBuckets(root: String, nBuckets: Int, keyCol: String,
+                   touchedKeys: DataFrame, template: DataFrame,
+                   maxRetries: Int = 20,
+                   keepGenerations: Int = DefaultKeepGenerations)
+                  (buildMerged: DataFrame => DataFrame): Unit = {
+    require(nBuckets > 0)
+    val affected = bucketsOf(touchedKeys, keyCol, nBuckets)
+    if (affected.isEmpty) return
+    optimisticCommit(touchedKeys.sparkSession, root, affected, nBuckets,
+      keyCol, template, maxRetries, keepGenerations)(buildMerged)
+  }
 
-          // commit phase — lock guards only the manifest compare+swap.
-          // Conflict detection is PER-BUCKET: a concurrent commit to
-          // disjoint buckets does not invalidate this one (a global
-          // epoch compare would make disjoint writers livelock under
-          // load). stillHolds closes the lease-theft edge (withLock doc).
-          committed = withLock(root) { token =>
-            val now = readManifest(root)
-            val conflict = affected.exists(k =>
-              now.buckets.get(k) != base.buckets.get(k))
-            if (!conflict && stillHolds(root, token)) {
-              writeManifest(root,
-                Manifest(now.epoch + 1,
-                  now.buckets ++ written.map(k => k -> version) -- emptied))
-              true
-            } else false
-          }
-        } catch {
-          // the heavy phase reads version dirs that concurrent GC may
-          // delete once their grace window closes — that's a lost race,
-          // not a caller-visible failure; recompute on the new manifest
-          case e: Exception => lastFailure = e; committed = false
+  /** The buckets `keys` hash to — O(distinct buckets) driver memory,
+    * bounded by min(nBuckets, |keys|). */
+  def bucketsOf(keys: DataFrame, keyCol: String, nBuckets: Int): IndexedSeq[Int] =
+    keys.select(pmod(xxhash64(col(keyCol)), lit(nBuckets)).cast("int").as("b"))
+      .distinct().collect().map(_.getInt(0)).sorted.toIndexedSeq
+
+  /** Read ONLY the given buckets' current content — the O(touched)
+    * lookup the bucketed layout exists for. Version dirs are immutable
+    * and `keepGenerations ≥ 1` keeps the superseded generation through
+    * the next commit, so the returned frame stays readable across one
+    * subsequent patch of the same buckets (the reader grace window).
+    */
+  def readBucketsOf(spark: SparkSession, root: String, buckets: Seq[Int],
+                    template: DataFrame): DataFrame = {
+    val m = readManifest(root)
+    val paths = buckets.flatMap(k => m.buckets.get(k).map(v => versionPath(root, k, v)))
+    if (paths.isEmpty) template.limit(0)
+    else spark.read.parquet(paths.toIndexedSeq: _*)
+  }
+
+  /** The shared optimistic heavy-phase + commit loop: read affected
+    * buckets, `buildMerged`, stage, per-bucket atomic move, manifest
+    * compare+swap under the lock, GC. */
+  private def optimisticCommit(spark: SparkSession, root: String,
+                               affected: IndexedSeq[Int], nBuckets: Int,
+                               keyCol: String, template: DataFrame,
+                               maxRetries: Int, keepGenerations: Int)
+                              (buildMerged: DataFrame => DataFrame): Unit = {
+    Files.createDirectories(Paths.get(root))
+    // distinguishes concurrent merges from the SAME writer object
+    // (threads sharing this JVM) — version/stage dirs must be unique
+    // per invocation, not per process
+    val callId = UUID.randomUUID().toString.take(8)
+    var attempt = 0
+    var committed = false
+    var lastFailure: Throwable = null
+    while (!committed) {
+      attempt += 1
+      if (attempt > maxRetries)
+        throw new IllegalStateException(
+          s"merge lost the commit race $maxRetries times", lastFailure)
+      val base = readManifest(root)
+      val version = s"v-${base.epoch + 1}-$callId-$attempt"
+      try {
+        // heavy phase — no lock held
+        val existing = affected.flatMap(k => base.buckets.get(k).map(v => (k, v)))
+        val current =
+          if (existing.isEmpty) template.limit(0)
+          else spark.read.parquet(existing.map { case (k, v) =>
+            versionPath(root, k, v) }.toIndexedSeq: _*)
+        val merged = buildMerged(current)
+          .withColumn("b", pmod(xxhash64(col(keyCol)), lit(nBuckets)).cast("int"))
+        // one writer task per touched bucket, one immutable version dir
+        // per bucket per commit
+        val tmp = s"$root/.stage-$version"
+        merged.repartition(col("b"))
+          .write.mode("overwrite").partitionBy("b").parquet(tmp)
+        // a bucket with no surviving rows (cannot happen while
+        // tombstones are retained, but don't bake that in) leaves the
+        // manifest instead of committing an unreadable empty dir
+        val written = affected.filter { k =>
+          val src = Paths.get(s"$tmp/b=$k")
+          val dst = Paths.get(versionPath(root, k, version))
+          Files.createDirectories(dst.getParent)
+          if (Files.exists(src)) {
+            Files.move(src, dst, StandardCopyOption.ATOMIC_MOVE); true
+          } else false
         }
-        if (!committed) {
-          // lost the race: drop our orphaned versions AND the stage tmp
-          // dir (a heavy-phase exception can leave it mid-write — e.g.
-          // concurrent GC deleting a version dir this attempt was
-          // reading — and its orphaned parquet files would otherwise
-          // count against the steady-state file bound forever), then
-          // retry on top of the winner's state
-          CdcStream.deleteRecursively(Paths.get(s"$root/.stage-$version"))
-          affected.foreach { k =>
-            CdcStream.deleteRecursively(Paths.get(versionPath(root, k, version)))
-          }
+        val emptied = affected.diff(written)
+        CdcStream.deleteRecursively(Paths.get(tmp))
+
+        // commit phase — lock guards only the manifest compare+swap.
+        // Conflict detection is PER-BUCKET: a concurrent commit to
+        // disjoint buckets does not invalidate this one (a global
+        // epoch compare would make disjoint writers livelock under
+        // load). stillHolds closes the lease-theft edge (withLock doc).
+        committed = withLock(root) { token =>
+          val now = readManifest(root)
+          val conflict = affected.exists(k =>
+            now.buckets.get(k) != base.buckets.get(k))
+          if (!conflict && stillHolds(root, token)) {
+            writeManifest(root,
+              Manifest(now.epoch + 1,
+                now.buckets ++ written.map(k => k -> version) -- emptied))
+            true
+          } else false
+        }
+      } catch {
+        // the heavy phase reads version dirs that concurrent GC may
+        // delete once their grace window closes — that's a lost race,
+        // not a caller-visible failure; recompute on the new manifest
+        case e: Exception => lastFailure = e; committed = false
+      }
+      if (!committed) {
+        // lost the race: drop our orphaned versions AND the stage tmp
+        // dir (a heavy-phase exception can leave it mid-write — e.g.
+        // concurrent GC deleting a version dir this attempt was
+        // reading — and its orphaned parquet files would otherwise
+        // count against the steady-state file bound forever), then
+        // retry on top of the winner's state
+        CdcStream.deleteRecursively(Paths.get(s"$root/.stage-$version"))
+        affected.foreach { k =>
+          CdcStream.deleteRecursively(Paths.get(versionPath(root, k, version)))
         }
       }
-      // only this commit's buckets can have gained a superseded
-      // version — scanning all buckets would pay nBuckets directory
-      // listings per merge for nothing
-      gc(root, affected, keepGenerations)
-    } finally delta.unpersist()
+    }
+    // only this commit's buckets can have gained a superseded
+    // version — scanning all buckets would pay nBuckets directory
+    // listings per merge for nothing
+    gc(root, affected, keepGenerations)
   }
 
   /** Drop version dirs at least two generations behind the manifest in

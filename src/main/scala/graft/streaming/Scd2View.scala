@@ -18,10 +18,12 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *
   * Per micro-batch the rebuild is O(touched-id slice): untouched ids
   * carry over by anti-join; only ids present in the batch re-run the
-  * (lead, running-count) window over their (state ∪ delta) events —
-  * at 100 TB the dimension is bucketed by id and a batch rewrites
-  * only its touched buckets (same discipline as
-  * [[CdcStream.mergeBatchBucketed]]).
+  * (lead, running-count) window over their (state ∪ delta) events.
+  * At 100 TB the dimension is bucketed by id and a batch rewrites
+  * only its touched buckets — [[mergeBatchBucketed]], the production
+  * sink (per-batch cost measured flat in state, ViewStateBench /
+  * docs/SCALE.md); [[mergeBatch]] is the plain-parquet harness whose
+  * carryover rewrite is O(state) by documented design.
   *
   * Dedup on (id, lsn, ts_ms) makes the merge idempotent under
   * at-least-once redelivery. Tombstone events stay in state (they
@@ -36,13 +38,7 @@ object Scd2View {
   def mergeBatch(batch: DataFrame, stateDir: String): Unit = synchronized {
     val spark = batch.sparkSession
     val statePath = Paths.get(stateDir)
-    val eventCols = Seq("id", "create_time", "update_time", "message",
-      "username", "lsn", "ts_ms", "is_delete").map(col)
-
-    val delta = batch
-      .filter(col("event_type") =!= CdcStream.Malformed)
-      .withColumn("is_delete", col("event_type") === CdcStream.Delete)
-      .select(eventCols: _*)
+    val delta = decodeDelta(batch)
 
     val (carryover, sliceEvents) =
       if (CdcStream.statePresent(statePath)) {
@@ -54,19 +50,65 @@ object Scd2View {
            .unionByName(delta))
       } else (emptyState(spark), delta)
 
-    // Rebuild only the touched slice: one (id)-clustered pass computes
-    // the interval chain AND the version numbers (all windows share
-    // the exchange). Replays dedup on the (lsn, ts_ms) change identity.
-    // valid_from is the event's update_time clamped to a running max
-    // along the (lsn, ts_ms) chain order: the chain is ordered by the
-    // WAL, and a source whose wall clock skews backwards across
-    // changes must not produce valid_to < valid_from — the skewed
-    // version instead starts where its predecessor started (a
-    // zero-length interval under point-in-time reads, which is the
-    // honest answer for an out-of-order clock).
+    val tmp = stateDir + ".tmp"
+    carryover.unionByName(rebuild(sliceEvents))
+      .write.mode("overwrite").parquet(tmp)
+    CdcStream.swapDirs(Paths.get(tmp), statePath)
+  }
+
+  /** [[mergeBatch]] with the [[ManifestState]] bucketed layout as the
+    * sink — the production answer to the O(state) carryover rewrite:
+    * only the buckets the batch's ids hash to are read and rewritten,
+    * so per-batch cost is (touched buckets) × (bucket size), flat in
+    * total state when nBuckets tracks state size (constant bucket
+    * rows). The SCD2 algebra — touched-slice rebuild, everything in
+    * [[rebuild]] — is byte-identical to the plain-sink path. */
+  def mergeBatchBucketed(batch: DataFrame, stateRoot: String,
+                         nBuckets: Int): Unit = synchronized {
+    val delta = decodeDelta(batch)
+    val ids = delta.select("id").distinct()
+    ManifestState.patchBuckets(stateRoot, nBuckets, "id", ids,
+      template = emptyState(batch.sparkSession)) { current =>
+      val slice = current.select(eventCols: _*)
+        .join(ids, Seq("id"), "left_semi")
+        .unionByName(delta)
+      current.join(ids, Seq("id"), "left_anti")
+        .unionByName(rebuild(slice))
+    }
+  }
+
+  /** The queryable bucketed dimension ([[readDim]] over the manifest
+    * snapshot). */
+  def readDimBucketed(spark: SparkSession, stateRoot: String): DataFrame = {
+    val s = ManifestState.read(spark, stateRoot)
+    if (s.columns.isEmpty) spark.emptyDataFrame
+    else s.filter(!col("is_delete"))
+      .select("id", "message", "username", "valid_from", "valid_to",
+        "version", "is_current")
+  }
+
+  private val eventCols = Seq("id", "create_time", "update_time", "message",
+    "username", "lsn", "ts_ms", "is_delete").map(col)
+
+  private def decodeDelta(batch: DataFrame): DataFrame = batch
+    .filter(col("event_type") =!= CdcStream.Malformed)
+    .withColumn("is_delete", col("event_type") === CdcStream.Delete)
+    .select(eventCols: _*)
+
+  /** Rebuild the touched slice: one (id)-clustered pass computes the
+    * interval chain AND the version numbers (all windows share the
+    * exchange). Replays dedup on the (lsn, ts_ms) change identity.
+    * valid_from is the event's update_time clamped to a running max
+    * along the (lsn, ts_ms) chain order: the chain is ordered by the
+    * WAL, and a source whose wall clock skews backwards across
+    * changes must not produce valid_to < valid_from — the skewed
+    * version instead starts where its predecessor started (a
+    * zero-length interval under point-in-time reads, which is the
+    * honest answer for an out-of-order clock). */
+  private def rebuild(sliceEvents: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("id"))
       .orderBy(col("lsn"), col("ts_ms"))
-    val rebuilt = sliceEvents
+    sliceEvents
       .dropDuplicates("id", "lsn", "ts_ms")
       .withColumn("valid_from",
         max(timestamp_millis(coalesce(col("update_time"), col("ts_ms"))))
@@ -76,10 +118,6 @@ object Scd2View {
         sum(when(col("is_delete"), 0L).otherwise(1L))
           .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .withColumn("is_current", col("valid_to").isNull && !col("is_delete"))
-
-    val tmp = stateDir + ".tmp"
-    carryover.unionByName(rebuilt).write.mode("overwrite").parquet(tmp)
-    CdcStream.swapDirs(Paths.get(tmp), statePath)
   }
 
   private def emptyState(spark: SparkSession): DataFrame = {

@@ -124,12 +124,49 @@ object ViewStateBench {
       (inc, naive)
     }
 
+    /** Bucketed-sink variants: nBuckets tracks state size (~1000 rows
+      * per bucket), the flat-in-state discipline — per-batch rewrite
+      * is (touched buckets) × (constant bucket size) regardless of
+      * total state, which is exactly the sink term the plain-parquet
+      * probes isolate at 10M keys. */
+    def nBucketsFor(keys: Long): Int = math.max(64L, keys / 1000L).toInt
+
+    def probeJoinBucketed(keys: Long): Double = {
+      val root = Files.createTempDirectory(s"vsb-joinb-$keys").toString
+      val nb = nBucketsFor(keys)
+      JoinView.applyBatchBucketed(spark, empBatch(spark, 0, keys, keys),
+        dptBatch(spark, 0), root, left, right, nb)
+      secs {
+        (1 to batches).foreach { i =>
+          JoinView.applyBatchBucketed(spark,
+            empBatch(spark, keys + i * batchSize, batchSize, keys),
+            dptBatch(spark, 0).limit(0), root, left, right, nb)
+        }
+      } / batches
+    }
+
+    def probeScd2Bucketed(keys: Long): Double = {
+      val root = Files.createTempDirectory(s"vsb-scd2b-$keys").toString
+      val nb = nBucketsFor(keys)
+      Scd2View.mergeBatchBucketed(cdcBatch(spark, 0, keys, keys), root, nb)
+      secs {
+        (1 to batches).foreach { i =>
+          Scd2View.mergeBatchBucketed(
+            cdcBatch(spark, keys + i * batchSize, batchSize, keys), root, nb)
+        }
+      } / batches
+    }
+
     val (j1, jn1) = probeJoin(stateKeys)
     val (j10, jn10) = probeJoin(stateKeys * 10)
     val (s1, sn1) = probeScd2(stateKeys)
     val (s10, sn10) = probeScd2(stateKeys * 10)
+    val jb1 = probeJoinBucketed(stateKeys)
+    val jb10 = probeJoinBucketed(stateKeys * 10)
+    val sb1 = probeScd2Bucketed(stateKeys)
+    val sb10 = probeScd2Bucketed(stateKeys * 10)
 
-    println(f"""{"metric":"view_state","state_keys":$stateKeys,"batches":$batches,"batch_size":$batchSize,"join_sec_per_batch":$j1%.3f,"join_sec_per_batch_10x":$j10%.3f,"join_naive_sec":$jn1%.3f,"join_naive_sec_10x":$jn10%.3f,"scd2_sec_per_batch":$s1%.3f,"scd2_sec_per_batch_10x":$s10%.3f,"scd2_naive_sec":$sn1%.3f,"scd2_naive_sec_10x":$sn10%.3f}""")
+    println(f"""{"metric":"view_state","state_keys":$stateKeys,"batches":$batches,"batch_size":$batchSize,"join_sec_per_batch":$j1%.3f,"join_sec_per_batch_10x":$j10%.3f,"join_naive_sec":$jn1%.3f,"join_naive_sec_10x":$jn10%.3f,"scd2_sec_per_batch":$s1%.3f,"scd2_sec_per_batch_10x":$s10%.3f,"scd2_naive_sec":$sn1%.3f,"scd2_naive_sec_10x":$sn10%.3f,"join_bucketed_sec_per_batch":$jb1%.3f,"join_bucketed_sec_per_batch_10x":$jb10%.3f,"scd2_bucketed_sec_per_batch":$sb1%.3f,"scd2_bucketed_sec_per_batch_10x":$sb10%.3f}""")
     spark.stop()
   }
 }

@@ -89,6 +89,52 @@ class JoinViewSpec extends SparkSpec {
     assert(!v.exists(_.getAs[Long]("uid") == 3L), "tombstoned employee still joined")
   }
 
+  test("bucketed sink: random interleavings equal the naive re-join AND the plain sink") {
+    import graft.streaming.ManifestState
+    val rnd = new Random(7)
+    val depts = Vector("a", "b", "c", "d")
+    val plainDir = Files.createTempDirectory("jvb-plain").toString
+    val bRoot = Files.createTempDirectory("jvb-bucketed").toString
+    var lsn = 0L
+    def nextLsn(): Long = { lsn += 1; lsn }
+
+    for (batch <- 1 to 8) {
+      val lRows = (0 until rnd.nextInt(5)).map { _ =>
+        val uid = rnd.nextInt(6).toLong
+        if (rnd.nextDouble() < 0.2) emp(uid, null, null, nextLsn(), del = true)
+        else emp(uid, depts(rnd.nextInt(depts.size)), s"n$uid", nextLsn())
+      }
+      val rRows = (0 until rnd.nextInt(3)).map { _ =>
+        val did = depts(rnd.nextInt(depts.size))
+        if (rnd.nextDouble() < 0.25) dpt(did, null, nextLsn(), del = true)
+        else dpt(did, s"D-$did-$lsn", nextLsn())
+      }
+      JoinView.applyBatch(spark, empDf(lRows), dptDf(rRows), plainDir, left, right)
+      JoinView.applyBatchBucketed(spark, empDf(lRows), dptDf(rRows),
+        bRoot, left, right, nBuckets = 16)
+
+      val got = JoinView.readViewBucketed(spark, bRoot)
+        .collect().map(_.toString).sorted.toSeq
+      val naive = JoinView.naiveViewBucketed(spark, bRoot, left, right)
+        .collect().map(_.toString).sorted.toSeq
+      val plain = JoinView.readView(spark, plainDir)
+        .collect().map(_.toString).sorted.toSeq
+      assert(got == naive, s"batch $batch: bucketed view != naive re-join")
+      assert(got == plain, s"batch $batch: bucketed view != plain-sink view")
+    }
+
+    // O(touched) rewrite: a single-id batch may supersede at most the
+    // buckets that one id + its jk hash to — not the whole state
+    val before = ManifestState.readManifest(s"$bRoot/left_id")
+    JoinView.applyBatch(spark, empDf(Seq.empty), dptDf(Seq.empty), plainDir, left, right)
+    JoinView.applyBatchBucketed(spark,
+      empDf(Seq(emp(1, "a", "solo", nextLsn()))), dptDf(Seq.empty),
+      bRoot, left, right, nBuckets = 16)
+    val after = ManifestState.readManifest(s"$bRoot/left_id")
+    val changed = after.buckets.filter { case (k, v) => before.buckets.get(k) != Some(v) }
+    assert(changed.size == 1, s"single-id batch rewrote ${changed.size} id buckets")
+  }
+
   test("property: random interleavings equal the naive re-join after every batch") {
     val rnd = new Random(42)
     val depts = Vector("a", "b", "c", "d")

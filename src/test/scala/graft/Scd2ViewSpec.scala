@@ -75,6 +75,31 @@ class Scd2ViewSpec extends SparkSpec {
     assert(!got.exists(_._5), "deleted id must have no current version")
   }
 
+  test("bucketed sink equals the plain sink after every batch (incl. deletes, resurrection)") {
+    val plainState = s"${Files.createTempDirectory("scd2bp").toString}/state"
+    val bRoot = Files.createTempDirectory("scd2bb").toString
+    val batches = Seq(
+      Seq(change("a", 1, "a-v1", "alice"), change("b", 2, "b-v1", "bob"),
+          change("c", 3, "c-v1", "cyd")),
+      Seq(change("a", 4, "a-v2", "alice"), change("b", 5, "", "", delete = true)),
+      Seq(change("b", 6, "b-v2", "bob"), change("c", 7, "c-v2", "cyd")))
+    batches.zipWithIndex.foreach { case (rows, i) =>
+      Scd2View.mergeBatch(toDf(rows), plainState)
+      Scd2View.mergeBatchBucketed(toDf(rows), bRoot, nBuckets = 8)
+      val plain = Scd2View.readDim(spark, plainState)
+        .collect().map(_.toString).sorted.toSeq
+      val bucketed = Scd2View.readDimBucketed(spark, bRoot)
+        .collect().map(_.toString).sorted.toSeq
+      assert(bucketed == plain, s"batch $i: bucketed dim != plain dim")
+    }
+    // O(touched) rewrite: one id -> at most one superseded bucket
+    val before = graft.streaming.ManifestState.readManifest(bRoot)
+    Scd2View.mergeBatchBucketed(toDf(Seq(change("a", 8, "a-v3", "alice"))), bRoot, 8)
+    val after = graft.streaming.ManifestState.readManifest(bRoot)
+    val changed = after.buckets.filter { case (k, v) => before.buckets.get(k) != Some(v) }
+    assert(changed.size == 1, s"single-id batch rewrote ${changed.size} buckets")
+  }
+
   test("incremental merge equals one-shot rebuild; replay is idempotent") {
     val rootInc = Files.createTempDirectory("scd2i").toString
     val rootAll = Files.createTempDirectory("scd2a").toString
