@@ -149,17 +149,18 @@ object Bench {
     // The driver parses the JSON line out of the LAST ~2000 chars of
     // output; round 4 (full names) and round 7 (160 queries x
     // "q103":0.55 = ~2090 chars) both overflowed it -> parsed:null.
-    // Margin check (round 10, 166 queries): 1891 chars at sf0.01 —
-    // ~5 more queries fit; past that, drop the "q" key prefix
-    // (~2 chars/query) and update BASELINE.md's id-mapping note.
-    // Short ids ("q60_bloom_join" -> "q60") + integer milliseconds
-    // ("q103":550) keep 160+ queries at ~10 chars each (~1750-char
-    // line, fits with margin); the trailing "qunit":"ms" makes the
-    // unit self-describing, and sitting at the END of the line it
-    // survives any front-truncation of the tail window. BASELINE.md
-    // maps ids back to full names and documents the unit.
+    // Round 10 measured 1891 chars at 166 queries (~5 of headroom),
+    // so round 11 takes the step the margin note named: the "q" key
+    // prefix is dropped ("q60_bloom_join" -> "60", "q09b" -> "09b" —
+    // still unique, BASELINE.md's id-mapping note updated). Short ids
+    // + integer milliseconds ("103":550) keep 167 queries at ~9 chars
+    // each (~1740-char line, ~25 queries of headroom); the trailing
+    // "qunit":"ms" makes the unit self-describing, and sitting at the
+    // END of the line it survives any front-truncation of the tail
+    // window. BASELINE.md maps ids back to full names and documents
+    // the unit.
     val qs = results.map { case (k, v) =>
-      "\"" + k.takeWhile(_ != '_') + "\":" +
+      "\"" + k.takeWhile(_ != '_').stripPrefix("q") + "\":" +
         (if (v < 0) "-1" else math.round(v * 1000).toString)
     }.mkString("{", ",", "}")
     // "executed"/"failed" make a partial run self-describing: a -1.0
