@@ -22,11 +22,20 @@ import org.apache.spark.sql.functions._
   * (text stand-ins, truncated blobs, codecs the JDK lacks) fall back
   * to a clearly-marked deterministic byte-derived spelling instead of
   * failing the task — at 100 TB one corrupt blob must cost one row,
-  * not a stage retry storm. Compressed AUDIO/VIDEO decode stays
-  * stubbed: the JDK ships no MP3/AAC/H.264 codec (javax.sound's WAV
-  * PCM reader is the one seam a real deployment would wire first);
-  * the Spark-side shape — schema, encoder, partition batching, row
-  * explosion — is the production design either way.
+  * not a stage retry storm.
+  *
+  * The AUDIO path is real for what the JDK actually ships:
+  * `javax.sound.sampled` parses WAV/AIFF/AU containers headless, so
+  * [[decodeAudio]] decodes PCM_SIGNED 16-bit payloads to true sample
+  * arrays (rate, channels, frame count from the container; verified
+  * bit-exact round-trip in MultimodalSpec) and derives integer-exact
+  * features (sum |amplitude|, zero crossings, a 64-bit energy
+  * fingerprint that feeds q17's dedup machinery like [[avgHash64]]
+  * does). COMPRESSED audio/video (MP3/AAC/H.264/VP9) stays stubbed —
+  * the JDK genuinely ships no codec for those — with the same
+  * fallback-not-fail contract; the Spark-side shape (schema, encoder,
+  * partition batching, row explosion) is the production design
+  * either way.
   */
 object Multimodal extends Serializable {
 
@@ -209,6 +218,118 @@ object Multimodal extends Serializable {
             val features = rec.payload.take(8).map(b => (b & 0xFF) / 255.0f)
             DecodedMedia(rec.doc_id, rec.kind, n.toLong, sha, width, height,
               if (features.nonEmpty) features else Array(0.0f))
+        }
+      }
+    }
+  }
+
+  // ---- the real audio kernel (WAV/AIFF/AU PCM via javax.sound) --------
+
+  /** Decoded audio features, all integer-exact so an oracle can
+    * recompute them from source samples with no float drift:
+    * `n_samples` from the container's frame count, `sum_abs` =
+    * Σ|sample| over the decoded 16-bit values, `zero_cross` = count of
+    * strict sign flips between consecutive samples (a zero sample
+    * breaks the flip, product semantics), `afp` = 64-bit energy
+    * fingerprint (64 evenly-spaced |sample| probes, mean-thresholded —
+    * the audio analog of [[avgHash64]], same bit conventions). */
+  case class DecodedAudio(doc_id: Long, kind: String, sample_rate: Long,
+                          channels: Int, n_samples: Long, sum_abs: Long,
+                          zero_cross: Long, afp: Long)
+
+  /** Encode signed 16-bit mono PCM as a WAV container — the test-data
+    * generator for the real audio path (PCM is lossless, so
+    * decode ∘ encode is the identity on samples and an oracle can
+    * predict every decoded feature from the source array). */
+  def encodePcm16Wav(samples: Array[Short], sampleRate: Int): Array[Byte] = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val data = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      data(2 * i) = (samples(i) & 0xFF).toByte
+      data(2 * i + 1) = ((samples(i) >> 8) & 0xFF).toByte
+      i += 1
+    }
+    val fmt = new AudioFormat(sampleRate.toFloat, 16, 1, true, false)
+    val bos = new ByteArrayOutputStream()
+    AudioSystem.write(
+      new AudioInputStream(new ByteArrayInputStream(data), fmt, samples.length.toLong),
+      AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** javax.sound decode; Some((rate, channels, interleaved samples))
+    * for containers the JDK parses to PCM_SIGNED 16-bit (WAV/AIFF/AU,
+    * either endianness, any channel count); None otherwise — same
+    * row-downgrade contract as [[tryDecodeImage]]. Other PCM widths
+    * exist in the wild but not in this engine's ingest contract, so
+    * they take the fallback rather than a silently-lossy widen. */
+  private def tryDecodeAudio(payload: Array[Byte]): Option[(Int, Int, Array[Short])] =
+    try {
+      import javax.sound.sampled.{AudioFormat, AudioSystem}
+      val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(payload))
+      try {
+        val f = in.getFormat
+        if (f.getEncoding != AudioFormat.Encoding.PCM_SIGNED ||
+            f.getSampleSizeInBits != 16) None
+        else {
+          val bytes = in.readAllBytes()
+          val n = bytes.length / 2
+          val out = new Array[Short](n)
+          var i = 0
+          if (f.isBigEndian)
+            while (i < n) {
+              out(i) = (((bytes(2 * i) & 0xFF) << 8) | (bytes(2 * i + 1) & 0xFF)).toShort
+              i += 1
+            }
+          else
+            while (i < n) {
+              out(i) = (((bytes(2 * i + 1) & 0xFF) << 8) | (bytes(2 * i) & 0xFF)).toShort
+              i += 1
+            }
+          Some((f.getSampleRate.round, f.getChannels, out))
+        }
+      } finally in.close()
+    } catch { case _: Exception => None }
+
+  private def audioFeatures(id: Long, kind: String, rate: Int, channels: Int,
+                            samples: Array[Short]): DecodedAudio = {
+    val n = samples.length
+    var sumAbs = 0L; var zc = 0L; var i = 0
+    while (i < n) {
+      sumAbs += math.abs(samples(i).toLong)
+      if (i > 0 && samples(i).toInt * samples(i - 1).toInt < 0) zc += 1
+      i += 1
+    }
+    // 64 evenly-spaced |sample| probes, mean threshold — bit i set iff
+    // probe i is strictly above the 64-probe mean (q172's conventions)
+    var afp = 0L
+    if (n > 0) {
+      val probes = Array.tabulate(64)(i => math.abs(samples(((i.toLong * n) / 64).toInt).toLong))
+      val mean = probes.sum.toDouble / 64
+      i = 0
+      while (i < 64) { if (probes(i) > mean) afp |= (1L << i); i += 1 }
+    }
+    DecodedAudio(id, kind, rate.toLong, channels, n.toLong, sumAbs, zc, afp)
+  }
+
+  /** Batch audio decode over partitions: REAL javax.sound decode for
+    * PCM payloads (true rate/channels/frame count + integer-exact
+    * features over decoded samples); deterministic byte-derived
+    * fallback otherwise (bytes re-centered to [-128,127] and scaled
+    * ×256 — the same affine a 16-bit mono source would apply, so the
+    * fallback stays comparable across near-identical payloads). */
+  def decodeAudio(media: Dataset[MediaRecord]): Dataset[DecodedAudio] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.map { rec =>
+        tryDecodeAudio(rec.payload) match {
+          case Some((rate, channels, samples)) =>
+            audioFeatures(rec.doc_id, rec.kind, rate, channels, samples)
+          case None =>
+            val samples = rec.payload.map(b => (((b & 0xFF) - 128) * 256).toShort)
+            audioFeatures(rec.doc_id, rec.kind, 0, 0, samples)
         }
       }
     }

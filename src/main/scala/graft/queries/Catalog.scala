@@ -6598,7 +6598,64 @@ object Catalog {
              |                 ELSE 0 END)::BIGINT AS phash
              |      FROM s JOIN m USING (doc_id) GROUP BY 1)
              |SELECT doc_id, 8::BIGINT AS width, 8::BIGINT AS height, phash
-             |FROM h ORDER BY doc_id""".stripMargin))
+             |FROM h ORDER BY doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Q173: REAL audio decode end-to-end — the WAV twin of q172.
+    // Each document's bytes become signed 16-bit mono PCM
+    // ((byte-79)*256 — centered inside the printable-ASCII range so
+    // the waveform actually crosses zero), WAV-encoded on the
+    // executors, then decoded by Multimodal.decodeAudio via the JDK's
+    // javax.sound WAV parser: container-reported rate/channels/frame
+    // count plus integer-exact features over the DECODED samples
+    // (sum |amplitude|, strict sign flips, 64-probe energy
+    // fingerprint). PCM is lossless, so DuckDB predicts every column
+    // from character ordinals — the hash matches only if WAV encode ->
+    // javax.sound parse -> PCM reassembly -> feature extraction are
+    // ALL bit-exact. (ASCII corpus + q172's bit-63 conventions.)
+    Query(
+      "q173_audio_decode",
+      (s, dir) => {
+        import s.implicits._
+        val M = graft.multimodal.Multimodal
+        val media = t(s, dir, "documents")
+          .select($"doc_id", encode($"text", "UTF-8").as("payload"))
+          .filter($"payload".isNotNull)
+          .as[(Long, Array[Byte])]
+          .map { case (id, b) =>
+            val samples = b.map(x => (((x & 0xFF) - 79) * 256).toShort)
+            M.MediaRecord(id, "wav", M.encodePcm16Wav(samples, 8000))
+          }
+        M.decodeAudio(media).toDF()
+          .select($"doc_id", $"sample_rate",
+                  $"channels".cast("long").as("channels"),
+                  $"n_samples", $"sum_abs", $"zero_cross", $"afp")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH b AS (SELECT doc_id, i, ord(substr(text, i + 1, 1)) - 79 AS v
+             |           FROM documents, generate_series(0, 4095) g(i)
+             |           WHERE i < length(text)),
+             |lagged AS (SELECT doc_id, i, v,
+             |                  lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv
+             |           FROM b),
+             |agg AS (SELECT doc_id, count(*)::BIGINT AS n_samples,
+             |               (sum(abs(v)) * 256)::BIGINT AS sum_abs,
+             |               sum(CASE WHEN i > 0 AND v * pv < 0 THEN 1 ELSE 0 END)::BIGINT AS zero_cross
+             |        FROM lagged GROUP BY 1),
+             |p AS (SELECT doc_id, i,
+             |             abs(ord(substr(text, (i * length(text)) // 64 + 1, 1)) - 79) * 256 AS smp
+             |      FROM documents, generate_series(0, 63) g(i)),
+             |m AS (SELECT doc_id, sum(smp) / 64.0 AS mean FROM p GROUP BY 1),
+             |h AS (SELECT p.doc_id,
+             |             sum(CASE WHEN smp > mean THEN
+             |                   CASE WHEN i = 63 THEN -9223372036854775807 - 1
+             |                        ELSE 1::BIGINT << i END
+             |                 ELSE 0 END)::BIGINT AS afp
+             |      FROM p JOIN m USING (doc_id) GROUP BY 1)
+             |SELECT d.doc_id, 8000::BIGINT AS sample_rate, 1::BIGINT AS channels,
+             |       agg.n_samples, agg.sum_abs, agg.zero_cross, h.afp
+             |FROM documents d JOIN agg USING (doc_id) JOIN h USING (doc_id)
+             |ORDER BY d.doc_id""".stripMargin))
   )
 
   val byName: Map[String, Query] = all.map(q => q.name -> q).toMap

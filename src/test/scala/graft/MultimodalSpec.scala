@@ -194,6 +194,55 @@ class MultimodalSpec extends SparkSpec {
     assert(rows(1).width == 1 + 20 % 640, "truncated PNG must fall back, not throw")
   }
 
+  test("audio: WAV PCM decode is bit-exact on known samples, both endiannesses") {
+    import spark.implicits._
+    // a waveform with known hand-computable features: two sign flips,
+    // a zero sample that breaks one flip
+    val samples = Array[Short](1000, -2000, 0, 3000, -100)
+    val wav = Multimodal.encodePcm16Wav(samples, 8000)
+    val got = Multimodal.decodeAudio(
+      Seq(Multimodal.MediaRecord(1L, "wav", wav)).toDS()).collect().head
+    assert(got.sample_rate == 8000L && got.channels == 1)
+    assert(got.n_samples == 5L)
+    assert(got.sum_abs == 1000L + 2000 + 0 + 3000 + 100)
+    // flips: 1000->-2000 yes; -2000->0 no (product 0); 0->3000 no;
+    // 3000->-100 yes
+    assert(got.zero_cross == 2L)
+
+    // big-endian branch via the JDK's AIFF writer (PCM_SIGNED 16-bit
+    // big-endian container) — identical features to the WAV spelling
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val be = new Array[Byte](samples.length * 2)
+    samples.zipWithIndex.foreach { case (s, i) =>
+      be(2 * i) = ((s >> 8) & 0xFF).toByte; be(2 * i + 1) = (s & 0xFF).toByte
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(
+      new AudioInputStream(new java.io.ByteArrayInputStream(be),
+        new AudioFormat(8000f, 16, 1, true, true), samples.length.toLong),
+      AudioFileFormat.Type.AIFF, bos)
+    val gotBe = Multimodal.decodeAudio(
+      Seq(Multimodal.MediaRecord(2L, "aiff", bos.toByteArray)).toDS()).collect().head
+    assert((gotBe.n_samples, gotBe.sum_abs, gotBe.zero_cross, gotBe.afp) ==
+           ((got.n_samples, got.sum_abs, got.zero_cross, got.afp)),
+      "big-endian AIFF decode drifted from little-endian WAV")
+  }
+
+  test("audio: undecodable payloads keep the byte-derived fallback") {
+    import spark.implicits._
+    val junk = Array.tabulate(10)(i => (i * 17).toByte)
+    val truncated = Multimodal.encodePcm16Wav(Array[Short](1, 2, 3), 8000).take(10)
+    val rows = Multimodal.decodeAudio(Seq(
+      Multimodal.MediaRecord(1L, "bin", junk),
+      Multimodal.MediaRecord(2L, "wav", truncated)).toDS())
+      .collect().sortBy(_.doc_id)
+    // fallback marks itself: rate 0 / channels 0, samples from bytes
+    assert(rows.forall(r => r.sample_rate == 0L && r.channels == 0))
+    assert(rows(0).n_samples == 10L)
+    assert(rows(0).sum_abs ==
+      junk.map(b => math.abs(((b & 0xFF) - 128) * 256).toLong).sum)
+  }
+
   test("binaryFile source ingests blobs with glob pruning and a size guard") {
     import java.nio.file.{Files, Paths}
     val dir = Files.createTempDirectory("blobs").toString
