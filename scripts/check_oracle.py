@@ -12,6 +12,9 @@ Usage: python3 scripts/check_oracle.py [outDir]
            twins whose DuckDB side is O(n^2)-hours at sf0.1).
 --timeout  per-ORACLE-query wall budget; a blown budget records
            SKIP(timeout) instead of hanging the whole gate.
+--scale-spellings  substitute the SCALE_SPELLINGS rewrites (equivalence
+           proven at sf0.01, see the dict) for oracles whose catalog
+           spelling is over budget at sf0.1.
 
 Compare rule (mirrors the driver contract as documented in the builder
 prompt): sort columns by name, sort rows, compare values with doubles
@@ -23,6 +26,43 @@ import duckdb
 SF_DIR = "/root/testdata/sf0.01"
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
+
+# --scale-spellings: semantically-identical rewrites of oracle queries
+# whose catalog spelling is over the wall budget at sf0.1. q67's pair
+# stage is all-pairs O(n^2) in the catalog (the honest executable
+# definition); here it is blocked on a shared shingle, which is
+# EXACT-recall for the same reason the engine's candidate generators
+# are: Jaccard >= 0.5 > 0 requires a nonempty shingle intersection, so
+# every qualifying pair shares at least one posting and survives the
+# block. Equivalence is not taken on faith: both spellings were run at
+# sf0.01 and returned identical rows (476/476), and the component /
+# survivor tail below is byte-identical to the catalog oracle's.
+SCALE_SPELLINGS = {
+    "q67_dedup_survivors": r"""WITH RECURSIVE
+tk AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM documents),
+sh AS (SELECT doc_id, list_distinct(list_transform(
+         generate_series(1, len(tk) - 2),
+         i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh FROM tk),
+post AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+         FROM post a JOIN post b ON a.s = b.s AND a.doc_id < b.doc_id),
+pairs AS (SELECT c.da, c.db FROM cand c
+          JOIN sh x ON x.doc_id = c.da JOIN sh y ON y.doc_id = c.db
+          WHERE len(list_intersect(x.sh, y.sh))::DOUBLE /
+                len(list_distinct(list_concat(x.sh, y.sh))) >= 0.5),
+sym AS (SELECT da AS s, db AS d FROM pairs
+        UNION SELECT db, da FROM pairs),
+reach(s, d) AS (
+  SELECT s, d FROM sym
+  UNION
+  SELECT r.s, e.d FROM reach r JOIN sym e ON r.d = e.s AND e.d <> r.s),
+lab AS (SELECT n.s AS node, least(n.s, min(r.d)) AS component
+        FROM (SELECT DISTINCT s FROM sym) n
+        LEFT JOIN reach r ON r.s = n.s GROUP BY n.s)
+SELECT d.doc_id, d.lang FROM documents d
+WHERE d.doc_id NOT IN (SELECT node FROM lab WHERE node <> component)
+ORDER BY d.doc_id""",
+}
 
 
 def opt(flag, default):
@@ -100,6 +140,11 @@ def main():
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    if "--scale-spellings" in sys.argv:
+        for name, sql in SCALE_SPELLINGS.items():
+            if name in oracle:
+                oracle[name] = sql
+                print(f"INFO {name}: using the blocked scale spelling")
     n_pass = n_fail = n_skip = 0
     for name in sorted(oracle):
         if name in excluded:
