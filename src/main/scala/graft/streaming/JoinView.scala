@@ -135,10 +135,21 @@ object JoinView {
     * live rows (both live in Δ-side buckets); the recompute joins the
     * UPDATED jk copies restricted to Δ; the view patch swaps Δ's
     * buckets. Single-writer per view (synchronized), matching
-    * [[applyBatch]]; the batch frames are cached because the patches
-    * commit between their reuses (version dirs stay readable through
-    * the keepGenerations grace window, but the cache also keeps the
-    * O(batch) slices from re-reading buckets four times).
+    * [[applyBatch]].
+    *
+    * Read fusion (the measured per-batch constant on a local disk is
+    * per-bucket FILE OPENS, not rows — docs/SCALE.md): each bucket
+    * slice is read from disk ONCE and cached through its reuses —
+    * the id-patch callback caches `current` so the old-row lookup and
+    * the rewrite share one read, and the jk-patch callback's merged
+    * output (the side's post-patch Δjk-bucket content, materialized
+    * by the patch write itself) is reused by the view recompute, which
+    * reads from disk only the Δ buckets the OTHER side contributed.
+    * Captures from a patch callback are safe under the retry contract:
+    * a retried attempt recomputes against the fresh snapshot and
+    * overwrites the capture, so only the winning attempt's frames
+    * survive; they stay readable because version dirs are immutable
+    * and the cache pins what the commit already materialized.
     *
     * nBuckets is the flat-in-state knob: size it so a bucket stays
     * roughly constant (state / targetBucketRows) — rewrite cost per
@@ -151,60 +162,81 @@ object JoinView {
                          nBuckets: Int): Unit = synchronized {
     def liveJk(df: DataFrame, side: Side): DataFrame =
       live(df).withColumnRenamed(side.joinKeyCol, "jk").filter(col("jk").isNotNull)
+    val pinned = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    def pin(df: DataFrame): DataFrame = { pinned += df; df.cache() }
 
-    // one side's id-grain maintenance; returns the side's Δjk (cached,
-    // materialized BEFORE the patches supersede the buckets it reads)
+    // one side's id-grain maintenance; returns (Δjk, post-patch live
+    // jk-bucket content over Δjk's own buckets) — both cached and
+    // materialized BEFORE later patches supersede what they read
     def sideBatch(delta: DataFrame, side: Side, idRoot: String,
-                  jkRoot: String): DataFrame = {
-      val ids = delta.select(side.idCol).distinct().cache()
-      val idBuckets = ManifestState.bucketsOf(ids, side.idCol, nBuckets)
-      val oldTouched = ManifestState
-        .readBucketsOf(spark, idRoot, idBuckets, delta)
-        .join(ids, Seq(side.idCol), "left_semi").cache()
-      val newTouched = CdcMerge.latestWins(
-        oldTouched.unionByName(delta), Seq(side.idCol), ordering).cache()
-      // affected join keys of THIS side: old values (deletes, moves
-      // away) ∪ new live values (inserts, moves toward)
-      val deltaJk = oldTouched.select(col(side.joinKeyCol).as("jk"))
-        .unionByName(liveJk(newTouched, side).select(col("jk")))
-        .filter(col("jk").isNotNull).distinct().cache()
-      deltaJk.count() // pin: its inputs' buckets get superseded below
+                  jkRoot: String): (DataFrame, DataFrame) = {
+      val emptyJk = delta.select(col(side.joinKeyCol).as("jk")).limit(0)
+      val ids = pin(delta.select(side.idCol).distinct())
+      if (ids.isEmpty) return (emptyJk, liveJk(delta, side).limit(0))
+
+      var newTouched: DataFrame = null
+      var deltaJk: DataFrame = null
       // id copy: replace touched ids' rows (tombstones retained — they
-      // fence late replays, exactly the CdcStream state contract)
-      ManifestState.patchBuckets(idRoot, nBuckets, side.idCol, ids, delta) {
-        current => current.join(ids, Seq(side.idCol), "left_anti")
-          .unionByName(newTouched)
+      // fence late replays, exactly the CdcStream state contract). The
+      // callback derives old/new rows and Δjk from the SAME `current`
+      // read the rewrite uses (cached: one disk read for both), and
+      // materializes them before this attempt commits.
+      ManifestState.patchBuckets(idRoot, nBuckets, side.idCol, ids, delta) { current =>
+        Seq(newTouched, deltaJk).filter(_ != null).foreach(_.unpersist())
+        val cur = pin(current)
+        val oldTouched = cur.join(ids, Seq(side.idCol), "left_semi")
+        newTouched = pin(CdcMerge.latestWins(
+          oldTouched.unionByName(delta), Seq(side.idCol), ordering))
+        // affected join keys of THIS side: old values (deletes, moves
+        // away) ∪ new live values (inserts, moves toward)
+        deltaJk = pin(oldTouched.select(col(side.joinKeyCol).as("jk"))
+          .unionByName(liveJk(newTouched, side).select(col("jk")))
+          .filter(col("jk").isNotNull).distinct())
+        deltaJk.count() // pin: its inputs' buckets get superseded below
+        cur.join(ids, Seq(side.idCol), "left_anti").unionByName(newTouched)
       }
+      if (deltaJk == null) return (emptyJk, liveJk(delta, side).limit(0))
+
       // jk copy: touched ids' old rows leave (they sit in deltaJk's
       // buckets — their old jk is in deltaJk by construction), new
-      // LIVE rows enter
-      val jkTemplate = liveJk(delta, side)
-      ManifestState.patchBuckets(jkRoot, nBuckets, "jk", deltaJk, jkTemplate) {
-        current => current.join(ids, Seq(side.idCol), "left_anti")
-          .unionByName(liveJk(newTouched, side))
+      // LIVE rows enter. The callback's merged output IS the side's
+      // post-patch Δjk-bucket content; the patch write materializes
+      // its cache, and the view recompute below reuses it instead of
+      // re-reading those buckets.
+      var jkLive: DataFrame = null
+      ManifestState.patchBuckets(jkRoot, nBuckets, "jk", deltaJk, liveJk(delta, side)) { current =>
+        if (jkLive != null) jkLive.unpersist()
+        jkLive = pin(current.join(ids, Seq(side.idCol), "left_anti")
+          .unionByName(liveJk(newTouched, side)))
+        jkLive
       }
-      Seq(ids, oldTouched, newTouched).foreach(_.unpersist())
-      deltaJk
+      (deltaJk, if (jkLive == null) liveJk(delta, side).limit(0) else jkLive)
     }
 
-    val lJk = sideBatch(leftDelta, left, s"$stateRoot/left_id", s"$stateRoot/left_jk")
-    val rJk = sideBatch(rightDelta, right, s"$stateRoot/right_id", s"$stateRoot/right_jk")
-    val delta = lJk.unionByName(rJk).distinct().cache()
+    try {
+      val (lJk, lLive) = sideBatch(leftDelta, left, s"$stateRoot/left_id", s"$stateRoot/left_jk")
+      val (rJk, rLive) = sideBatch(rightDelta, right, s"$stateRoot/right_id", s"$stateRoot/right_jk")
+      val delta = pin(lJk.unionByName(rJk).distinct())
 
-    // recompute from the UPDATED jk copies, restricted to Δ — an
-    // O(Δ-bucket) read per side, never a full side scan
-    val jkBuckets = ManifestState.bucketsOf(delta, "jk", nBuckets)
-    def liveSlice(jkRoot: String, template: DataFrame): DataFrame =
-      ManifestState.readBucketsOf(spark, jkRoot, jkBuckets, template)
-        .join(broadcast(delta), Seq("jk"), "left_semi")
-    val recompute = liveSlice(s"$stateRoot/left_jk", liveJk(leftDelta, left))
-      .join(liveSlice(s"$stateRoot/right_jk", liveJk(rightDelta, right)), Seq("jk"))
-      .drop("event_type", "lsn", "ts_ms")
-    ManifestState.patchBuckets(s"$stateRoot/view", nBuckets, "jk", delta, recompute) {
-      current => current.join(broadcast(delta), Seq("jk"), "left_anti")
-        .unionByName(recompute)
-    }
-    Seq(lJk, rJk, delta).foreach(_.unpersist())
+      // recompute from the UPDATED jk copies, restricted to Δ — an
+      // O(Δ-bucket) read per side, never a full side scan; each side's
+      // OWN Δjk buckets come from the cached patch output, so only the
+      // buckets the other side contributed are read from disk
+      val jkBuckets = ManifestState.bucketsOf(delta, "jk", nBuckets)
+      def liveSlice(jkRoot: String, ownJk: DataFrame, own: DataFrame,
+                    template: DataFrame): DataFrame = {
+        val missing = jkBuckets.diff(ManifestState.bucketsOf(ownJk, "jk", nBuckets))
+        own.unionByName(ManifestState.readBucketsOf(spark, jkRoot, missing, template))
+          .join(broadcast(delta), Seq("jk"), "left_semi")
+      }
+      val recompute = liveSlice(s"$stateRoot/left_jk", lJk, lLive, liveJk(leftDelta, left))
+        .join(liveSlice(s"$stateRoot/right_jk", rJk, rLive, liveJk(rightDelta, right)), Seq("jk"))
+        .drop("event_type", "lsn", "ts_ms")
+      ManifestState.patchBuckets(s"$stateRoot/view", nBuckets, "jk", delta, recompute) {
+        current => current.join(broadcast(delta), Seq("jk"), "left_anti")
+          .unionByName(recompute)
+      }
+    } finally pinned.foreach(_.unpersist())
   }
 
   /** The bucketed view's current snapshot (manifest-consistent). */

@@ -66,14 +66,24 @@ object Scd2View {
   def mergeBatchBucketed(batch: DataFrame, stateRoot: String,
                          nBuckets: Int): Unit = synchronized {
     val delta = decodeDelta(batch)
-    val ids = delta.select("id").distinct()
-    ManifestState.patchBuckets(stateRoot, nBuckets, "id", ids,
+    val ids = delta.select("id").distinct().cache()
+    var cur: DataFrame = null
+    try ManifestState.patchBuckets(stateRoot, nBuckets, "id", ids,
       template = emptyState(batch.sparkSession)) { current =>
-      val slice = current.select(eventCols: _*)
+      // the touched-slice lookup and the carryover rewrite both scan
+      // the same buckets — cache one read (per-bucket file opens are
+      // the measured per-batch constant, docs/SCALE.md); a retried
+      // attempt drops the stale cache and re-reads its fresh snapshot
+      if (cur != null) cur.unpersist()
+      cur = current.cache()
+      val slice = cur.select(eventCols: _*)
         .join(ids, Seq("id"), "left_semi")
         .unionByName(delta)
-      current.join(ids, Seq("id"), "left_anti")
+      cur.join(ids, Seq("id"), "left_anti")
         .unionByName(rebuild(slice))
+    } finally {
+      ids.unpersist()
+      if (cur != null) cur.unpersist()
     }
   }
 
