@@ -3831,6 +3831,11 @@ object Catalog {
     // heuristic, ≥1 per word). Entirely row-local (two regex scans +
     // one array fold per document, no shuffle at all) — at 100 TB this
     // is a pure map stage that fuses into whatever scan feeds it.
+    // The 2-dp presentation rounding is spelled floor(x*100 + 0.5)/100
+    // rather than round(x, 2): every step is a plain IEEE double op
+    // that both engines execute identically, so boundary doubles
+    // (85.16499999999999 at sf0.1) cannot split the engines the way
+    // their differing round() decimal semantics measurably did.
     Query(
       "q116_readability",
       (s, dir) => {
@@ -3844,10 +3849,10 @@ object Catalog {
           .withColumn("n_syll",
             graft.functions.SyllableCount(TF.tokens(lower($"text"))))
         d.select($"doc_id", $"n_sent", $"n_words", $"n_syll",
-            round(lit(206.835)
+            (floor((lit(206.835)
               - lit(1.015) * ($"n_words".cast("double") / $"n_sent")
-              - lit(84.6) * ($"n_syll".cast("double") / $"n_words"), 2)
-              .as("flesch_r"))
+              - lit(84.6) * ($"n_syll".cast("double") / $"n_words")) * 100 + 0.5)
+              / 100).as("flesch_r"))
           .orderBy($"doc_id")
       },
       Some("""WITH d AS (
@@ -3859,8 +3864,9 @@ object Catalog {
              |           w -> greatest(1, len(regexp_extract_all(w, '[aeiouy]+')))))::BIGINT AS n_syll
              |  FROM documents)
              |SELECT doc_id, n_sent, n_words, n_syll,
-             |       round(206.835 - 1.015 * (n_words::DOUBLE / n_sent)
-             |                     - 84.6 * (n_syll::DOUBLE / n_words), 2) AS flesch_r
+             |       floor((206.835 - 1.015 * (n_words::DOUBLE / n_sent)
+             |                      - 84.6 * (n_syll::DOUBLE / n_words)) * 100 + 0.5)
+             |         / 100 AS flesch_r
              |FROM d ORDER BY doc_id""".stripMargin)),
 
     // ------------------------------------------------------------------
