@@ -166,4 +166,22 @@ object Scd2View {
         mergeBatch(CdcStream.decodeFile(batch), stateDir)
       }
       .start()
+
+  /** [[run]] with the bucketed production sink — the same envelope
+    * stream drives [[mergeBatchBucketed]]; exactly-once comes from the
+    * stream checkpoint plus the merge's (id, lsn, ts_ms) idempotence,
+    * unchanged from the plain sink. */
+  def runBucketed(spark: SparkSession, inputDir: String, checkpointDir: String,
+                  stateRoot: String, nBuckets: Int,
+                  trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    spark.readStream
+      .schema(CdcStream.fileRecordSchema)
+      .json(inputDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        mergeBatchBucketed(CdcStream.decodeFile(batch), stateRoot, nBuckets)
+      }
+      .start()
 }

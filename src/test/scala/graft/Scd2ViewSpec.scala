@@ -170,6 +170,41 @@ class Scd2ViewSpec extends SparkSpec {
       ("n", "only", 1L, true)), s"got ${got.toSeq}")
   }
 
+  test("file-source stream drives the BUCKETED dimension end-to-end, resume included") {
+    val root = Files.createTempDirectory("scd2sb").toString
+    val in = s"$root/in"; Files.createDirectories(Paths.get(in))
+    def rec(id: String, lsn: Long, after: Option[(String, String)]): String = {
+      val img = after.map { case (m, u) =>
+        s"""{"id":"$id","create_time":$lsn,"update_time":$lsn,"message":"$m","username":"$u"}"""
+      }.getOrElse("null")
+      s"""{"key":{"id":"$id"},"value":{"before":null,"after":$img,"source":{"lsn":$lsn,"ts_ms":$lsn,"txId":$lsn},"op":"x","ts_ms":$lsn}}"""
+    }
+    Files.write(Paths.get(s"$in/b1.json"), Seq(
+      rec("m", 1, Some(("first", "alice"))),
+      rec("m", 2, Some(("second", "alice"))),
+      rec("n", 3, Some(("only", "bob")))).mkString("\n").getBytes("UTF-8"))
+
+    Scd2View.runBucketed(spark, in, s"$root/cp", s"$root/state", nBuckets = 8)
+      .awaitTermination()
+    def dim() = Scd2View.readDimBucketed(spark, s"$root/state")
+      .orderBy("id", "version").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(5), r.getBoolean(6)))
+    assert(dim().toSeq == Seq(
+      ("m", "first", 1L, false), ("m", "second", 2L, true),
+      ("n", "only", 1L, true)), s"got ${dim().toSeq}")
+
+    // resume from the SAME checkpoint: a delete and a resurrection in a
+    // later file — the checkpoint skips b1, the merge applies only b2
+    Files.write(Paths.get(s"$in/b2.json"), Seq(
+      rec("n", 4, None),
+      rec("n", 5, Some(("back", "bob")))).mkString("\n").getBytes("UTF-8"))
+    Scd2View.runBucketed(spark, in, s"$root/cp", s"$root/state", nBuckets = 8)
+      .awaitTermination()
+    assert(dim().toSeq == Seq(
+      ("m", "first", 1L, false), ("m", "second", 2L, true),
+      ("n", "only", 1L, false), ("n", "back", 2L, true)), s"got ${dim().toSeq}")
+  }
+
   test("clock-skewed update_time cannot invert validity intervals") {
     val root = Files.createTempDirectory("scd2skew").toString
     val state = s"$root/state"
