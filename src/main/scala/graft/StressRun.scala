@@ -137,7 +137,9 @@ object StressRun {
   def digest(rows: Array[Row]): String = {
     if (rows.isEmpty) return "empty"
     val perm = rows.head.schema.fieldNames.zipWithIndex.sortBy(_._1).map(_._2)
-    val lines = rows.map(r => perm.map(i => canon(r.get(i))).mkString(""))
+    // explicit unit-separator (u0001) between columns: boundary-
+    // shifted contamination ((1, 23) vs (12, 3)) must not hash equal
+    val lines = rows.map(r => perm.map(i => canon(r.get(i))).mkString("\u0001"))
     java.util.Arrays.sort(lines, java.util.Comparator.naturalOrder[String]())
     val md = MessageDigest.getInstance("MD5")
     lines.foreach { l => md.update(l.getBytes("UTF-8")); md.update(0: Byte) }

@@ -116,15 +116,20 @@ object Multimodal extends Serializable {
     try Option(ImageIO.read(new ByteArrayInputStream(payload)))
     catch { case _: Exception => None }
 
-  /** Grayscale value of pixel (x, y) in [0, 255]. Single-band rasters
-    * read the RAW sample — `getRGB` on TYPE_BYTE_GRAY applies a
-    * linear-gray → sRGB conversion that silently distorts pixel
-    * values, so a gray PNG would NOT round-trip through it. Color
-    * images use integer ITU-R 601 luma, (299R + 587G + 114B)/1000
-    * with half-up rounding — exactly G when R=G=B, so the formula
-    * never perturbs an already-gray pixel. */
+  /** Grayscale value of pixel (x, y) in [0, 255]. 8-bit GRAY rasters
+    * (TYPE_BYTE_GRAY) read the RAW sample — `getRGB` on them applies
+    * a linear-gray → sRGB conversion that silently distorts pixel
+    * values, so a gray PNG would NOT round-trip through it. Every
+    * OTHER decoded type goes through `getRGB`, which resolves what a
+    * raw sample would get wrong: palette images (GIF / indexed
+    * PNG/BMP also have a single band, but its sample is a palette
+    * INDEX, not luma) and 16-bit gray (raw samples in 0..65535 would
+    * break the [0,255] contract). Color values use integer ITU-R 601
+    * luma, (299R + 587G + 114B)/1000 with half-up rounding — exactly
+    * G when R=G=B, so the formula never perturbs a gray pixel. */
   private def grayAt(img: java.awt.image.BufferedImage, x: Int, y: Int): Int =
-    if (img.getRaster.getNumBands == 1) img.getRaster.getSample(x, y, 0)
+    if (img.getType == java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      img.getRaster.getSample(x, y, 0)
     else {
       val rgb = img.getRGB(x, y)
       val r = (rgb >> 16) & 0xFF; val g = (rgb >> 8) & 0xFF; val b = rgb & 0xFF
@@ -258,12 +263,16 @@ object Multimodal extends Serializable {
     bos.toByteArray
   }
 
-  /** javax.sound decode; Some((rate, channels, interleaved samples))
-    * for containers the JDK parses to PCM_SIGNED 16-bit (WAV/AIFF/AU,
-    * either endianness, any channel count); None otherwise — same
-    * row-downgrade contract as [[tryDecodeImage]]. Other PCM widths
-    * exist in the wild but not in this engine's ingest contract, so
-    * they take the fallback rather than a silently-lossy widen. */
+  /** javax.sound decode; Some((rate, channels, per-FRAME mono
+    * samples)) for containers the JDK parses to PCM_SIGNED 16-bit
+    * (WAV/AIFF/AU, either endianness, any channel count); None
+    * otherwise — same row-downgrade contract as [[tryDecodeImage]].
+    * Multi-channel frames are downmixed to mono by integer-average
+    * (floorDiv — deterministic, exact for mono), so `n_samples` is
+    * the container's FRAME count and zero-cross/fingerprint read one
+    * signal, never interleaved L/R values. Other PCM widths exist in
+    * the wild but not in this engine's ingest contract, so they take
+    * the fallback rather than a silently-lossy widen. */
   private def tryDecodeAudio(payload: Array[Byte]): Option[(Int, Int, Array[Short])] =
     try {
       import javax.sound.sampled.{AudioFormat, AudioSystem}
@@ -274,20 +283,20 @@ object Multimodal extends Serializable {
             f.getSampleSizeInBits != 16) None
         else {
           val bytes = in.readAllBytes()
-          val n = bytes.length / 2
-          val out = new Array[Short](n)
-          var i = 0
-          if (f.isBigEndian)
-            while (i < n) {
-              out(i) = (((bytes(2 * i) & 0xFF) << 8) | (bytes(2 * i + 1) & 0xFF)).toShort
-              i += 1
-            }
-          else
-            while (i < n) {
-              out(i) = (((bytes(2 * i + 1) & 0xFF) << 8) | (bytes(2 * i) & 0xFF)).toShort
-              i += 1
-            }
-          Some((f.getSampleRate.round, f.getChannels, out))
+          val ch = f.getChannels
+          def sampleAt(i: Int): Int =
+            if (f.isBigEndian) (((bytes(2 * i) & 0xFF) << 8) | (bytes(2 * i + 1) & 0xFF)).toShort.toInt
+            else (((bytes(2 * i + 1) & 0xFF) << 8) | (bytes(2 * i) & 0xFF)).toShort.toInt
+          val frames = bytes.length / (2 * ch)
+          val out = new Array[Short](frames)
+          var fr = 0
+          while (fr < frames) {
+            var sum = 0; var c = 0
+            while (c < ch) { sum += sampleAt(fr * ch + c); c += 1 }
+            out(fr) = math.floorDiv(sum, ch).toShort
+            fr += 1
+          }
+          Some((f.getSampleRate.round, ch, out))
         }
       } finally in.close()
     } catch { case _: Exception => None }
@@ -399,21 +408,47 @@ object Multimodal extends Serializable {
     * machinery (16-bit block bucketing + `graft_hamming64` verify,
     * exactly q17's plan over `phash` instead of `simhash`).
     */
+  /** Dims + aHash in ONE decode per payload — what a metadata+dedup
+    * pass should run instead of [[decode]] followed by [[avgHash64]]
+    * (each would pay its own codec invocation; the codec IS the cost).
+    * Same per-path semantics as those two: real decode → real dims and
+    * pixel aHash; undecodable → the byte-derived fallbacks of both. */
+  def imageSummary(media: Dataset[MediaRecord]): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.map { rec =>
+        tryDecodeImage(rec.payload) match {
+          case Some(img) => (rec.doc_id, img.getWidth.toLong, img.getHeight.toLong, aHashOf(img))
+          case None =>
+            val n = rec.payload.length
+            (rec.doc_id, (1 + (n % 640)).toLong, (1 + (n % 480)).toLong, byteSampledHash(rec.payload))
+        }
+      }
+    }.toDF("doc_id", "width", "height", "phash")
+  }
+
+  /** The undecodable-payload hash fallback: 64 evenly-spaced byte
+    * samples through the same mean-threshold spelling (deterministic;
+    * near-identical payloads land within a small Hamming distance). */
+  private def byteSampledHash(payload: Array[Byte]): Long = {
+    val n = payload.length
+    val samples = Array.tabulate(64) { i =>
+      if (n == 0) 0 else payload(((i.toLong * n) / 64).toInt) & 0xFF
+    }
+    val mean = samples.sum.toDouble / 64
+    samples.zipWithIndex.foldLeft(0L) { case (acc, (s, i)) =>
+      if (s > mean) acc | (1L << i) else acc
+    }
+  }
+
   def avgHash64(media: Dataset[MediaRecord]): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
     media.map { rec =>
       val hash = tryDecodeImage(rec.payload) match {
         case Some(img) => aHashOf(img)
-        case None =>
-          val n = rec.payload.length
-          val samples = Array.tabulate(64) { i =>
-            if (n == 0) 0 else rec.payload(((i.toLong * n) / 64).toInt) & 0xFF
-          }
-          val mean = samples.sum.toDouble / 64
-          samples.zipWithIndex.foldLeft(0L) { case (acc, (s, i)) =>
-            if (s > mean) acc | (1L << i) else acc
-          }
+        case None => byteSampledHash(rec.payload)
       }
       (rec.doc_id, hash)
     }.toDF("doc_id", "phash")

@@ -6586,10 +6586,9 @@ object Catalog {
               if (n == 0) 0 else b(((i.toLong * n) / 64).toInt) & 0xFF)
             M.MediaRecord(id, "png", M.encodeGrayPng(px, 8, 8))
           }
-        val meta = M.decode(media).toDF()
-          .select($"doc_id", $"width".cast("long").as("width"),
-                  $"height".cast("long").as("height"))
-        meta.join(M.avgHash64(media), "doc_id")
+        // one ImageIO decode per payload (imageSummary) — the codec IS
+        // the cost; decode(media) + avgHash64(media) would pay it twice
+        M.imageSummary(media)
           .select($"doc_id", $"width", $"height", $"phash")
           .orderBy($"doc_id")
       },
@@ -6618,7 +6617,11 @@ object Catalog {
     // fingerprint). PCM is lossless, so DuckDB predicts every column
     // from character ordinals — the hash matches only if WAV encode ->
     // javax.sound parse -> PCM reassembly -> feature extraction are
-    // ALL bit-exact. (ASCII corpus + q172's bit-63 conventions.)
+    // ALL bit-exact. (ASCII corpus + q172's bit-63 conventions.
+    // DuckDB's generate_series needs a constant bound, so the oracle
+    // samples the first 4096 chars; a corpus with longer docs FAILS
+    // the compare loudly — the cap can't silently pass — and the
+    // left joins keep zero-length docs comparable as all-zero rows.)
     Query(
       "q173_audio_decode",
       (s, dir) => {
@@ -6650,7 +6653,8 @@ object Catalog {
              |        FROM lagged GROUP BY 1),
              |p AS (SELECT doc_id, i,
              |             abs(ord(substr(text, (i * length(text)) // 64 + 1, 1)) - 79) * 256 AS smp
-             |      FROM documents, generate_series(0, 63) g(i)),
+             |      FROM documents, generate_series(0, 63) g(i)
+             |      WHERE length(text) > 0),
              |m AS (SELECT doc_id, sum(smp) / 64.0 AS mean FROM p GROUP BY 1),
              |h AS (SELECT p.doc_id,
              |             sum(CASE WHEN smp > mean THEN
@@ -6659,8 +6663,11 @@ object Catalog {
              |                 ELSE 0 END)::BIGINT AS afp
              |      FROM p JOIN m USING (doc_id) GROUP BY 1)
              |SELECT d.doc_id, 8000::BIGINT AS sample_rate, 1::BIGINT AS channels,
-             |       agg.n_samples, agg.sum_abs, agg.zero_cross, h.afp
-             |FROM documents d JOIN agg USING (doc_id) JOIN h USING (doc_id)
+             |       coalesce(agg.n_samples, 0) AS n_samples,
+             |       coalesce(agg.sum_abs, 0) AS sum_abs,
+             |       coalesce(agg.zero_cross, 0) AS zero_cross,
+             |       coalesce(h.afp, 0) AS afp
+             |FROM documents d LEFT JOIN agg USING (doc_id) LEFT JOIN h USING (doc_id)
              |ORDER BY d.doc_id""".stripMargin))
   )
 

@@ -137,13 +137,27 @@ object JoinView {
     * buckets. Single-writer per view (synchronized), matching
     * [[applyBatch]].
     *
+    * COMMIT ORDER = replay idempotence (the bucketed twin of
+    * [[applyBatch]]'s "view first, states last" swap order): the id
+    * states are the ONLY input the Δ derivation reads, and they commit
+    * LAST — derive (read-only) → jk patches → view patch → id patches.
+    * An at-least-once replay of the batch after a crash at any prefix
+    * therefore re-derives the SAME Δ (the id states are still
+    * pre-batch), and every jk/view patch is a deterministic rewrite of
+    * its buckets' full content given (pre-batch states, batch) — a
+    * second application reproduces byte-identical buckets. Once an id
+    * patch has committed, a replay's Δ for that side shrinks to
+    * new-value keys only, but every bucket the shrunken replay then
+    * rewrites was already correctly patched by the earlier attempt and
+    * the rewrite reproduces the same content — still idempotent. (Were
+    * the id states committed FIRST, a replay would lose the moved-away
+    * old join keys and leave stale view rows forever.)
+    *
     * Read fusion (the measured per-batch constant on a local disk is
-    * per-bucket FILE OPENS, not rows — docs/SCALE.md): each bucket
-    * slice is read from disk ONCE and cached through its reuses —
-    * the id-patch callback caches `current` so the old-row lookup and
-    * the rewrite share one read, and the jk-patch callback's merged
-    * output (the side's post-patch Δjk-bucket content, materialized
-    * by the patch write itself) is reused by the view recompute, which
+    * per-bucket FILE OPENS, not rows — docs/SCALE.md): the derivation
+    * caches its id-bucket read and the jk-patch callback's merged
+    * output (the side's post-patch Δjk-bucket content, materialized by
+    * the patch write itself) is reused by the view recompute, which
     * reads from disk only the Δ buckets the OTHER side contributed.
     * Captures from a patch callback are safe under the retry contract:
     * a retried attempt recomputes against the fresh snapshot and
@@ -156,6 +170,13 @@ object JoinView {
     * batch is then (touched buckets) × (bucket size), independent of
     * total state.
     */
+  /** Test seam: invoked after each manifest patch COMMITS inside
+    * [[applyBatchBucketed]]. JoinViewSpec's crash-prefix replay test
+    * throws from here to simulate a crash between any two commits of a
+    * batch — the only way to exercise the commit-order invariant above
+    * without a real kill. Production value: no-op. */
+  private[graft] var onPatchCommitted: () => Unit = () => ()
+
   def applyBatchBucketed(spark: SparkSession,
                          leftDelta: DataFrame, rightDelta: DataFrame,
                          stateRoot: String, left: Side, right: Side,
@@ -165,63 +186,68 @@ object JoinView {
     val pinned = scala.collection.mutable.ListBuffer.empty[DataFrame]
     def pin(df: DataFrame): DataFrame = { pinned += df; df.cache() }
 
-    // one side's id-grain maintenance; returns (Δjk, post-patch live
-    // jk-bucket content over Δjk's own buckets) — both cached and
-    // materialized BEFORE later patches supersede what they read
-    def sideBatch(delta: DataFrame, side: Side, idRoot: String,
-                  jkRoot: String): (DataFrame, DataFrame) = {
-      val emptyJk = delta.select(col(side.joinKeyCol).as("jk")).limit(0)
+    // per-side derived state, all cached and materialized before any
+    // patch supersedes the buckets it was read from
+    case class SideDelta(side: Side, idRoot: String, jkRoot: String,
+                         ids: DataFrame, newTouched: DataFrame,
+                         deltaJk: DataFrame, jkTemplate: DataFrame) {
+      def empty: Boolean = newTouched == null
+    }
+
+    // ---- phase 1 (read-only): old/new rows and Δjk from the PRE-batch
+    // id state ----------------------------------------------------------
+    def derive(delta: DataFrame, side: Side, idRoot: String,
+               jkRoot: String): SideDelta = {
       val ids = pin(delta.select(side.idCol).distinct())
-      if (ids.isEmpty) return (emptyJk, liveJk(delta, side).limit(0))
+      if (ids.isEmpty)
+        return SideDelta(side, idRoot, jkRoot, ids, null,
+          pin(delta.select(col(side.joinKeyCol).as("jk")).limit(0)),
+          liveJk(delta, side))
+      val idBuckets = ManifestState.bucketsOf(ids, side.idCol, nBuckets)
+      val oldTouched = pin(ManifestState
+        .readBucketsOf(spark, idRoot, idBuckets, delta)
+        .join(ids, Seq(side.idCol), "left_semi"))
+      val newTouched = pin(CdcMerge.latestWins(
+        oldTouched.unionByName(delta), Seq(side.idCol), ordering))
+      // affected join keys of THIS side: old values (deletes, moves
+      // away) ∪ new live values (inserts, moves toward)
+      val deltaJk = pin(oldTouched.select(col(side.joinKeyCol).as("jk"))
+        .unionByName(liveJk(newTouched, side).select(col("jk")))
+        .filter(col("jk").isNotNull).distinct())
+      deltaJk.count() // pin: its inputs' buckets get superseded below
+      SideDelta(side, idRoot, jkRoot, ids, newTouched, deltaJk, liveJk(delta, side))
+    }
 
-      var newTouched: DataFrame = null
-      var deltaJk: DataFrame = null
-      // id copy: replace touched ids' rows (tombstones retained — they
-      // fence late replays, exactly the CdcStream state contract). The
-      // callback derives old/new rows and Δjk from the SAME `current`
-      // read the rewrite uses (cached: one disk read for both), and
-      // materializes them before this attempt commits.
-      ManifestState.patchBuckets(idRoot, nBuckets, side.idCol, ids, delta) { current =>
-        Seq(newTouched, deltaJk).filter(_ != null).foreach(_.unpersist())
-        val cur = pin(current)
-        val oldTouched = cur.join(ids, Seq(side.idCol), "left_semi")
-        newTouched = pin(CdcMerge.latestWins(
-          oldTouched.unionByName(delta), Seq(side.idCol), ordering))
-        // affected join keys of THIS side: old values (deletes, moves
-        // away) ∪ new live values (inserts, moves toward)
-        deltaJk = pin(oldTouched.select(col(side.joinKeyCol).as("jk"))
-          .unionByName(liveJk(newTouched, side).select(col("jk")))
-          .filter(col("jk").isNotNull).distinct())
-        deltaJk.count() // pin: its inputs' buckets get superseded below
-        cur.join(ids, Seq(side.idCol), "left_anti").unionByName(newTouched)
-      }
-      if (deltaJk == null) return (emptyJk, liveJk(delta, side).limit(0))
-
-      // jk copy: touched ids' old rows leave (they sit in deltaJk's
-      // buckets — their old jk is in deltaJk by construction), new
-      // LIVE rows enter. The callback's merged output IS the side's
-      // post-patch Δjk-bucket content; the patch write materializes
-      // its cache, and the view recompute below reuses it instead of
-      // re-reading those buckets.
+    // ---- phase 2: jk copy — touched ids' old rows leave (they sit in
+    // Δjk's buckets: their old jk is in Δjk by construction), new LIVE
+    // rows enter. The callback's merged output IS the side's post-patch
+    // Δjk-bucket content; the patch write materializes its cache and
+    // the view recompute reuses it instead of re-reading those buckets.
+    def patchJk(sd: SideDelta): DataFrame = {
+      if (sd.empty) return sd.jkTemplate.limit(0)
       var jkLive: DataFrame = null
-      ManifestState.patchBuckets(jkRoot, nBuckets, "jk", deltaJk, liveJk(delta, side)) { current =>
+      ManifestState.patchBuckets(sd.jkRoot, nBuckets, "jk", sd.deltaJk, sd.jkTemplate) { current =>
         if (jkLive != null) jkLive.unpersist()
-        jkLive = pin(current.join(ids, Seq(side.idCol), "left_anti")
-          .unionByName(liveJk(newTouched, side)))
+        jkLive = pin(current.join(sd.ids, Seq(sd.side.idCol), "left_anti")
+          .unionByName(liveJk(sd.newTouched, sd.side)))
         jkLive
       }
-      (deltaJk, if (jkLive == null) liveJk(delta, side).limit(0) else jkLive)
+      onPatchCommitted()
+      if (jkLive == null) sd.jkTemplate.limit(0) else jkLive
     }
 
     try {
-      val (lJk, lLive) = sideBatch(leftDelta, left, s"$stateRoot/left_id", s"$stateRoot/left_jk")
-      val (rJk, rLive) = sideBatch(rightDelta, right, s"$stateRoot/right_id", s"$stateRoot/right_jk")
-      val delta = pin(lJk.unionByName(rJk).distinct())
+      val l = derive(leftDelta, left, s"$stateRoot/left_id", s"$stateRoot/left_jk")
+      val r = derive(rightDelta, right, s"$stateRoot/right_id", s"$stateRoot/right_jk")
+      val lLive = patchJk(l)
+      val rLive = patchJk(r)
+      val delta = pin(l.deltaJk.unionByName(r.deltaJk).distinct())
 
-      // recompute from the UPDATED jk copies, restricted to Δ — an
-      // O(Δ-bucket) read per side, never a full side scan; each side's
-      // OWN Δjk buckets come from the cached patch output, so only the
-      // buckets the other side contributed are read from disk
+      // ---- phase 3: view patch — recompute from the UPDATED jk
+      // copies, restricted to Δ: an O(Δ-bucket) read per side, never a
+      // full side scan; each side's OWN Δjk buckets come from the
+      // cached patch output, so only the buckets the other side
+      // contributed are read from disk
       val jkBuckets = ManifestState.bucketsOf(delta, "jk", nBuckets)
       def liveSlice(jkRoot: String, ownJk: DataFrame, own: DataFrame,
                     template: DataFrame): DataFrame = {
@@ -229,31 +255,54 @@ object JoinView {
         own.unionByName(ManifestState.readBucketsOf(spark, jkRoot, missing, template))
           .join(broadcast(delta), Seq("jk"), "left_semi")
       }
-      val recompute = liveSlice(s"$stateRoot/left_jk", lJk, lLive, liveJk(leftDelta, left))
-        .join(liveSlice(s"$stateRoot/right_jk", rJk, rLive, liveJk(rightDelta, right)), Seq("jk"))
+      val recompute = liveSlice(s"$stateRoot/left_jk", l.deltaJk, lLive, l.jkTemplate)
+        .join(liveSlice(s"$stateRoot/right_jk", r.deltaJk, rLive, r.jkTemplate), Seq("jk"))
         .drop("event_type", "lsn", "ts_ms")
       ManifestState.patchBuckets(s"$stateRoot/view", nBuckets, "jk", delta, recompute) {
         current => current.join(broadcast(delta), Seq("jk"), "left_anti")
           .unionByName(recompute)
       }
+      onPatchCommitted()
+
+      // ---- phase 4 (LAST): id copies — tombstones retained (they
+      // fence late replays, exactly the CdcStream state contract);
+      // latest-wins makes this patch idempotent on its own, and its
+      // position makes every EARLIER patch replayable (scaladoc)
+      Seq((l, leftDelta), (r, rightDelta)).foreach { case (sd, delta0) =>
+        if (!sd.empty) {
+          ManifestState.patchBuckets(sd.idRoot, nBuckets, sd.side.idCol, sd.ids, delta0) {
+            current => current.join(sd.ids, Seq(sd.side.idCol), "left_anti")
+              .unionByName(sd.newTouched)
+          }
+          onPatchCommitted()
+        }
+      }
     } finally pinned.foreach(_.unpersist())
   }
 
-  /** The bucketed view's current snapshot (manifest-consistent). */
+  /** The bucketed view's current snapshot (manifest-consistent).
+    * A never-written state reads as a zero-column empty frame (same
+    * contract as [[ManifestState.read]]). */
   def readViewBucketed(spark: SparkSession, stateRoot: String): DataFrame =
     ManifestState.read(spark, s"$stateRoot/view")
 
   /** Executable spec for the bucketed mode: full re-join of the
-    * bucketed side states — what [[readViewBucketed]] must equal. */
+    * bucketed side states — what [[readViewBucketed]] must equal.
+    * Guards the fresh/empty state (ManifestState.read returns a
+    * zero-column frame there, and filtering on event_type would
+    * otherwise fail analysis — the Scd2View.readDimBucketed guard). */
   def naiveViewBucketed(spark: SparkSession, stateRoot: String,
                         left: Side, right: Side): DataFrame = {
-    def liveSide(root: String, side: Side): DataFrame =
-      ManifestState.read(spark, root)
-        .filter(col("event_type") =!= CdcStream.Delete)
+    def liveSide(root: String, side: Side): DataFrame = {
+      val s = ManifestState.read(spark, root)
+      if (s.columns.isEmpty) s
+      else s.filter(col("event_type") =!= CdcStream.Delete)
         .withColumnRenamed(side.joinKeyCol, "jk").filter(col("jk").isNotNull)
-    liveSide(s"$stateRoot/left_id", left)
-      .join(liveSide(s"$stateRoot/right_id", right), Seq("jk"))
-      .drop("event_type", "lsn", "ts_ms")
+    }
+    val (l, r) = (liveSide(s"$stateRoot/left_id", left),
+                  liveSide(s"$stateRoot/right_id", right))
+    if (l.columns.isEmpty || r.columns.isEmpty) spark.emptyDataFrame
+    else l.join(r, Seq("jk")).drop("event_type", "lsn", "ts_ms")
   }
 
   /** The executable spec: the full re-join of the CURRENT live side

@@ -383,6 +383,13 @@ object ManifestState {
           } else false
         }
       } catch {
+        // a deterministic caller bug is not a race: buildMerged is
+        // caller-supplied since the patchBuckets refactor, and a
+        // schema/resolution error in it would otherwise re-run the
+        // heavy phase maxRetries times and surface as a misleading
+        // "lost the commit race" — analysis failures can't be healed
+        // by a fresh snapshot, so rethrow them immediately
+        case e: org.apache.spark.sql.AnalysisException => throw e
         // the heavy phase reads version dirs that concurrent GC may
         // delete once their grace window closes — that's a lost race,
         // not a caller-visible failure; recompute on the new manifest

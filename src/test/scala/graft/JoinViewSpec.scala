@@ -135,6 +135,53 @@ class JoinViewSpec extends SparkSpec {
     assert(changed.size == 1, s"single-id batch rewrote ${changed.size} id buckets")
   }
 
+  test("bucketed sink: replay converges after a crash at EVERY patch prefix") {
+    // A two-sided batch commits 5 manifest patches (left_jk, right_jk,
+    // view, left_id, right_id). For each prefix length, apply a batch
+    // that MOVES a join key, crash right after the Nth commit, replay
+    // the whole batch (the at-least-once contract), and require the
+    // view to equal the naive re-join. This is exactly the invariant
+    // the commit order (id states LAST) exists for: a view-stale
+    // moved-away key would survive forever if the id states committed
+    // first, because the replay could no longer derive the old key.
+    for (failAfter <- 1 to 5) {
+      val root = Files.createTempDirectory(s"jvb-crash-$failAfter").toString
+      // seed: u1 in dept a, u2 in dept b; both depts present
+      JoinView.applyBatchBucketed(spark,
+        empDf(Seq(emp(1, "a", "u1", 1), emp(2, "b", "u2", 2))),
+        dptDf(Seq(dpt("a", "DA", 3), dpt("b", "DB", 4))),
+        root, left, right, nBuckets = 16)
+
+      // the crashing batch: u1 moves a -> b, dept a renamed (touches
+      // both sides so all 5 patches run)
+      val lRows = Seq(emp(1, "b", "u1-moved", 5))
+      val rRows = Seq(dpt("a", "DA-renamed", 6))
+      var patches = 0
+      JoinView.onPatchCommitted = () => {
+        patches += 1
+        if (patches == failAfter) throw new RuntimeException(s"injected crash after patch $failAfter")
+      }
+      try {
+        intercept[RuntimeException] {
+          JoinView.applyBatchBucketed(spark, empDf(lRows), dptDf(rRows),
+            root, left, right, nBuckets = 16)
+        }
+      } finally JoinView.onPatchCommitted = () => ()
+
+      // replay the SAME batch in full
+      JoinView.applyBatchBucketed(spark, empDf(lRows), dptDf(rRows),
+        root, left, right, nBuckets = 16)
+      val got = JoinView.readViewBucketed(spark, root)
+        .collect().map(_.toString).sorted.toSeq
+      val naive = JoinView.naiveViewBucketed(spark, root, left, right)
+        .collect().map(_.toString).sorted.toSeq
+      assert(got == naive, s"failAfter=$failAfter: replay left a stale view\n got=$got\n naive=$naive")
+      // the moved-away key must be GONE: no u1 row joined to dept a
+      assert(!got.exists(s => s.contains("u1") && s.contains("DA")),
+        s"failAfter=$failAfter: stale moved-away row survived: $got")
+    }
+  }
+
   test("property: random interleavings equal the naive re-join after every batch") {
     val rnd = new Random(42)
     val depts = Vector("a", "b", "c", "d")

@@ -194,6 +194,50 @@ class MultimodalSpec extends SparkSpec {
     assert(rows(1).width == 1 + 20 % 640, "truncated PNG must fall back, not throw")
   }
 
+  test("palette and 16-bit gray images decode by resolved color, not raw sample") {
+    import spark.implicits._
+    import java.awt.image.{BufferedImage, IndexColorModel}
+    // an all-WHITE 2-color GIF whose palette puts white at INDEX 0: a
+    // raw-sample reading would call every pixel black (gray 0)
+    val cm = new IndexColorModel(1, 2,
+      Array(255.toByte, 0.toByte), Array(255.toByte, 0.toByte), Array(255.toByte, 0.toByte))
+    val gif = new BufferedImage(8, 8, BufferedImage.TYPE_BYTE_BINARY, cm)
+    // all pixels stay at sample 0 = palette white
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(gif, "gif", bos)
+    val rows = Multimodal.decode(
+      Seq(Multimodal.MediaRecord(1L, "gif", bos.toByteArray)).toDS()).collect()
+    assert(rows.head.width == 8 && rows.head.height == 8)
+    assert(rows.head.features.forall(f => f > 0.99f),
+      s"palette white read as ${rows.head.features.min} — palette index leaked through")
+
+    // 16-bit gray PNG: features must stay in [0,1], not 0..257
+    val us = new BufferedImage(8, 8, BufferedImage.TYPE_USHORT_GRAY)
+    (0 until 64).foreach(i => us.getRaster.setSample(i % 8, i / 8, 0, 65535))
+    val bos2 = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(us, "png", bos2)
+    val r2 = Multimodal.decode(
+      Seq(Multimodal.MediaRecord(2L, "png", bos2.toByteArray)).toDS()).collect().head
+    assert(r2.features.forall(f => f >= 0f && f <= 1f),
+      s"16-bit gray leaked raw samples: max ${r2.features.max}")
+    assert(r2.features.forall(_ > 0.9f), "white 16-bit gray must decode near 1.0")
+  }
+
+  test("imageSummary equals decode+avgHash64 on mixed decodable/undecodable payloads") {
+    import spark.implicits._
+    val media = Seq(
+      Multimodal.MediaRecord(1L, "png", Multimodal.encodeGrayPng(Array.tabulate(64)(i => i * 4), 8, 8)),
+      Multimodal.MediaRecord(2L, "bin", Array.tabulate(100)(_.toByte))).toDS()
+    val one = Multimodal.imageSummary(media).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).sortBy(_._1)
+    val meta = Multimodal.decode(media).collect().map(m => m.doc_id -> ((m.width.toLong, m.height.toLong))).toMap
+    val hash = Multimodal.avgHash64(media).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    one.foreach { case (id, w, h, p) =>
+      assert((w, h) == meta(id), s"dims drifted for $id")
+      assert(p == hash(id), s"phash drifted for $id")
+    }
+  }
+
   test("audio: WAV PCM decode is bit-exact on known samples, both endiannesses") {
     import spark.implicits._
     // a waveform with known hand-computable features: two sign flips,
@@ -226,6 +270,32 @@ class MultimodalSpec extends SparkSpec {
     assert((gotBe.n_samples, gotBe.sum_abs, gotBe.zero_cross, gotBe.afp) ==
            ((got.n_samples, got.sum_abs, got.zero_cross, got.afp)),
       "big-endian AIFF decode drifted from little-endian WAV")
+  }
+
+  test("audio: stereo WAV downmixes per frame — n_samples is the FRAME count") {
+    import spark.implicits._
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    // 3 frames of (L, R): L all positive, R all negative — a naive
+    // interleaved reading would report n_samples=6 and ~6 zero
+    // crossings for two signals that never cross zero
+    val frames = Array[(Short, Short)]((1000, -200), (2000, -400), (3000, -600))
+    val data = new Array[Byte](frames.length * 4)
+    frames.zipWithIndex.foreach { case ((l, r), i) =>
+      data(4 * i) = (l & 0xFF).toByte; data(4 * i + 1) = ((l >> 8) & 0xFF).toByte
+      data(4 * i + 2) = (r & 0xFF).toByte; data(4 * i + 3) = ((r >> 8) & 0xFF).toByte
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(
+      new AudioInputStream(new java.io.ByteArrayInputStream(data),
+        new AudioFormat(8000f, 16, 2, true, false), frames.length.toLong),
+      AudioFileFormat.Type.WAVE, bos)
+    val got = Multimodal.decodeAudio(
+      Seq(Multimodal.MediaRecord(1L, "wav", bos.toByteArray)).toDS()).collect().head
+    assert(got.channels == 2 && got.n_samples == 3L,
+      s"stereo frame count wrong: ${got.n_samples}")
+    // downmix = floorDiv(L+R, 2): (400, 800, 1200) — all positive
+    assert(got.zero_cross == 0L, s"cross-channel zero crossings leaked: ${got.zero_cross}")
+    assert(got.sum_abs == 400L + 800 + 1200, s"downmix drifted: ${got.sum_abs}")
   }
 
   test("audio: undecodable payloads keep the byte-derived fallback") {
