@@ -116,21 +116,36 @@ object Multimodal extends Serializable {
     try Option(ImageIO.read(new ByteArrayInputStream(payload)))
     catch { case _: Exception => None }
 
-  /** Grayscale value of pixel (x, y) in [0, 255]. 8-bit GRAY rasters
-    * (TYPE_BYTE_GRAY) read the RAW sample — `getRGB` on them applies
-    * a linear-gray → sRGB conversion that silently distorts pixel
-    * values, so a gray PNG would NOT round-trip through it. Every
-    * OTHER decoded type goes through `getRGB`, which resolves what a
-    * raw sample would get wrong: palette images (GIF / indexed
-    * PNG/BMP also have a single band, but its sample is a palette
-    * INDEX, not luma) and 16-bit gray (raw samples in 0..65535 would
-    * break the [0,255] contract). Color values use integer ITU-R 601
-    * luma, (299R + 587G + 114B)/1000 with half-up rounding — exactly
-    * G when R=G=B, so the formula never perturbs a gray pixel. */
+  /** True iff the decoded image is a non-indexed grayscale raster whose
+    * band-0 sample IS luma: gray COLOR SPACE (the ColorModel's space
+    * type, not the BufferedImage type constant — a gray PNG can decode
+    * to TYPE_USHORT_GRAY or a custom type), and NOT a palette image
+    * (GIF / indexed PNG/BMP also have one band, but its sample is a
+    * palette INDEX, not luma). */
+  private def isGrayRaster(img: java.awt.image.BufferedImage): Boolean = {
+    val cm = img.getColorModel
+    cm.getColorSpace.getType == java.awt.color.ColorSpace.TYPE_GRAY &&
+      !cm.isInstanceOf[java.awt.image.IndexColorModel]
+  }
+
+  /** Grayscale value of pixel (x, y) in [0, 255]. GRAY rasters of ANY
+    * depth read the RAW sample — `getRGB` on them applies a
+    * linear-gray → sRGB tone mapping that silently distorts mid-tone
+    * pixel values, so a gray PNG would NOT round-trip through it.
+    * Non-8-bit samples rescale linearly by the band's sample depth
+    * (65535 = 257·255, so 16-bit v·257 maps back to exactly v — the
+    * common 8→16-bit widening is lossless both ways). Everything else
+    * goes through `getRGB`: palette images (sample = palette index)
+    * and color, where integer ITU-R 601 luma (299R + 587G + 114B)/1000
+    * with half-up rounding is exactly G when R=G=B, so the formula
+    * never perturbs a gray pixel. */
   private def grayAt(img: java.awt.image.BufferedImage, x: Int, y: Int): Int =
-    if (img.getType == java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
-      img.getRaster.getSample(x, y, 0)
-    else {
+    if (isGrayRaster(img)) {
+      val bits = img.getColorModel.getComponentSize(0)
+      val s = img.getRaster.getSample(x, y, 0)
+      if (bits == 8) s
+      else ((s.toLong * 255 + ((1L << bits) - 1) / 2) / ((1L << bits) - 1)).toInt
+    } else {
       val rgb = img.getRGB(x, y)
       val r = (rgb >> 16) & 0xFF; val g = (rgb >> 8) & 0xFF; val b = rgb & 0xFF
       (299 * r + 587 * g + 114 * b + 500) / 1000

@@ -6133,7 +6133,8 @@ object Catalog {
       },
       Some("""WITH s AS (SELECT doc_id, i,
              |                  ord(substr(text, (i * length(text)) // 64 + 1, 1)) AS smp
-             |           FROM documents, generate_series(0, 63) g(i)),
+             |           FROM documents, generate_series(0, 63) g(i)
+             |           WHERE text IS NOT NULL),
              |m AS (SELECT doc_id, sum(smp) / 64.0 AS mean FROM s GROUP BY 1),
              |h AS (SELECT s.doc_id,
              |             sum(CASE WHEN smp > mean THEN
@@ -6570,7 +6571,10 @@ object Catalog {
     // ordinals, which hash-matches only if encode -> ImageIO decode ->
     // grayscale extraction -> resample -> threshold are ALL bit-exact.
     // (Hash parity relies on the ASCII corpus: UTF-8 byte k = char
-    // k+1, and bit 63 is spelled as -2^63 — q164's conventions.)
+    // k+1, and bit 63 is spelled as -2^63 — q164's conventions.
+    // NULL-text docs are excluded on BOTH sides by construction:
+    // engine payload.isNotNull ↔ oracle WHERE text IS NOT NULL —
+    // agreement must not depend on the corpus having no NULLs.)
     Query(
       "q172_image_decode",
       (s, dir) => {
@@ -6594,7 +6598,8 @@ object Catalog {
       },
       Some("""WITH s AS (SELECT doc_id, i,
              |                  ord(substr(text, (i * length(text)) // 64 + 1, 1)) AS smp
-             |           FROM documents, generate_series(0, 63) g(i)),
+             |           FROM documents, generate_series(0, 63) g(i)
+             |           WHERE text IS NOT NULL),
              |m AS (SELECT doc_id, sum(smp) / 64.0 AS mean FROM s GROUP BY 1),
              |h AS (SELECT s.doc_id,
              |             sum(CASE WHEN smp > mean THEN
@@ -6621,7 +6626,9 @@ object Catalog {
     // DuckDB's generate_series needs a constant bound, so the oracle
     // samples the first 4096 chars; a corpus with longer docs FAILS
     // the compare loudly — the cap can't silently pass — and the
-    // left joins keep zero-length docs comparable as all-zero rows.)
+    // left joins keep zero-length docs comparable as all-zero rows,
+    // while NULL-text docs are excluded on BOTH sides — engine
+    // payload.isNotNull ↔ oracle WHERE text IS NOT NULL.)
     Query(
       "q173_audio_decode",
       (s, dir) => {
@@ -6668,6 +6675,7 @@ object Catalog {
              |       coalesce(agg.zero_cross, 0) AS zero_cross,
              |       coalesce(h.afp, 0) AS afp
              |FROM documents d LEFT JOIN agg USING (doc_id) LEFT JOIN h USING (doc_id)
+             |WHERE d.text IS NOT NULL
              |ORDER BY d.doc_id""".stripMargin))
   )
 

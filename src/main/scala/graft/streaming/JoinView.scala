@@ -226,13 +226,17 @@ object JoinView {
     def patchJk(sd: SideDelta): DataFrame = {
       if (sd.empty) return sd.jkTemplate.limit(0)
       var jkLive: DataFrame = null
-      ManifestState.patchBuckets(sd.jkRoot, nBuckets, "jk", sd.deltaJk, sd.jkTemplate) { current =>
+      // committed=false means patchBuckets no-op'd (empty Δjk, e.g. a
+      // tombstone-only delta for never-seen ids) — the crash-prefix
+      // seam must only see REAL commit boundaries
+      val committed = ManifestState.patchBuckets(
+        sd.jkRoot, nBuckets, "jk", sd.deltaJk, sd.jkTemplate) { current =>
         if (jkLive != null) jkLive.unpersist()
         jkLive = pin(current.join(sd.ids, Seq(sd.side.idCol), "left_anti")
           .unionByName(liveJk(sd.newTouched, sd.side)))
         jkLive
       }
-      onPatchCommitted()
+      if (committed) onPatchCommitted()
       if (jkLive == null) sd.jkTemplate.limit(0) else jkLive
     }
 
@@ -258,11 +262,12 @@ object JoinView {
       val recompute = liveSlice(s"$stateRoot/left_jk", l.deltaJk, lLive, l.jkTemplate)
         .join(liveSlice(s"$stateRoot/right_jk", r.deltaJk, rLive, r.jkTemplate), Seq("jk"))
         .drop("event_type", "lsn", "ts_ms")
-      ManifestState.patchBuckets(s"$stateRoot/view", nBuckets, "jk", delta, recompute) {
+      val viewCommitted = ManifestState.patchBuckets(
+        s"$stateRoot/view", nBuckets, "jk", delta, recompute) {
         current => current.join(broadcast(delta), Seq("jk"), "left_anti")
           .unionByName(recompute)
       }
-      onPatchCommitted()
+      if (viewCommitted) onPatchCommitted()
 
       // ---- phase 4 (LAST): id copies — tombstones retained (they
       // fence late replays, exactly the CdcStream state contract);
@@ -270,11 +275,12 @@ object JoinView {
       // position makes every EARLIER patch replayable (scaladoc)
       Seq((l, leftDelta), (r, rightDelta)).foreach { case (sd, delta0) =>
         if (!sd.empty) {
-          ManifestState.patchBuckets(sd.idRoot, nBuckets, sd.side.idCol, sd.ids, delta0) {
+          val idCommitted = ManifestState.patchBuckets(
+            sd.idRoot, nBuckets, sd.side.idCol, sd.ids, delta0) {
             current => current.join(sd.ids, Seq(sd.side.idCol), "left_anti")
               .unionByName(sd.newTouched)
           }
-          onPatchCommitted()
+          if (idCommitted) onPatchCommitted()
         }
       }
     } finally pinned.foreach(_.unpersist())

@@ -287,12 +287,16 @@ object ManifestState {
                    touchedKeys: DataFrame, template: DataFrame,
                    maxRetries: Int = 20,
                    keepGenerations: Int = DefaultKeepGenerations)
-                  (buildMerged: DataFrame => DataFrame): Unit = {
+                  (buildMerged: DataFrame => DataFrame): Boolean = {
     require(nBuckets > 0)
     val affected = bucketsOf(touchedKeys, keyCol, nBuckets)
-    if (affected.isEmpty) return
+    // returns whether a commit actually happened — an empty delta is a
+    // no-op, and callers instrumenting commit boundaries (crash-prefix
+    // replay seams) must not count it as one
+    if (affected.isEmpty) return false
     optimisticCommit(touchedKeys.sparkSession, root, affected, nBuckets,
       keyCol, template, maxRetries, keepGenerations)(buildMerged)
+    true
   }
 
   /** The buckets `keys` hash to — O(distinct buckets) driver memory,
@@ -338,6 +342,17 @@ object ManifestState {
           s"merge lost the commit race $maxRetries times", lastFailure)
       val base = readManifest(root)
       val version = s"v-${base.epoch + 1}-$callId-$attempt"
+      // drop THIS attempt's on-disk artifacts: the stage tmp dir (a
+      // heavy-phase exception can leave it mid-write) and any version
+      // dirs already moved into place — orphans would otherwise count
+      // against the steady-state file bound forever. Shared by the
+      // lost-race retry and the fail-fast rethrow below.
+      def dropAttemptArtifacts(): Unit = {
+        CdcStream.deleteRecursively(Paths.get(s"$root/.stage-$version"))
+        affected.foreach { k =>
+          CdcStream.deleteRecursively(Paths.get(versionPath(root, k, version)))
+        }
+      }
       try {
         // heavy phase — no lock held
         val existing = affected.flatMap(k => base.buckets.get(k).map(v => (k, v)))
@@ -388,25 +403,22 @@ object ManifestState {
         // schema/resolution error in it would otherwise re-run the
         // heavy phase maxRetries times and surface as a misleading
         // "lost the commit race" — analysis failures can't be healed
-        // by a fresh snapshot, so rethrow them immediately
-        case e: org.apache.spark.sql.AnalysisException => throw e
+        // by a fresh snapshot, so rethrow them immediately. Cleanup
+        // still applies: a lazily-resolved caller plan can fail AFTER
+        // the stage dir / per-bucket version dirs were created (the
+        // write itself triggers analysis), so run the SAME artifact
+        // cleanup the lost-race path runs before propagating.
+        case e: org.apache.spark.sql.AnalysisException =>
+          dropAttemptArtifacts()
+          throw e
         // the heavy phase reads version dirs that concurrent GC may
         // delete once their grace window closes — that's a lost race,
         // not a caller-visible failure; recompute on the new manifest
         case e: Exception => lastFailure = e; committed = false
       }
-      if (!committed) {
-        // lost the race: drop our orphaned versions AND the stage tmp
-        // dir (a heavy-phase exception can leave it mid-write — e.g.
-        // concurrent GC deleting a version dir this attempt was
-        // reading — and its orphaned parquet files would otherwise
-        // count against the steady-state file bound forever), then
-        // retry on top of the winner's state
-        CdcStream.deleteRecursively(Paths.get(s"$root/.stage-$version"))
-        affected.foreach { k =>
-          CdcStream.deleteRecursively(Paths.get(versionPath(root, k, version)))
-        }
-      }
+      // lost the race: drop this attempt's artifacts, then retry on
+      // top of the winner's state
+      if (!committed) dropAttemptArtifacts()
     }
     // only this commit's buckets can have gained a superseded
     // version — scanning all buckets would pay nBuckets directory

@@ -182,6 +182,40 @@ class JoinViewSpec extends SparkSpec {
     }
   }
 
+  test("bucketed sink: the commit seam counts REAL commits only (no-op patches skipped)") {
+    // a tombstone-only delta for never-seen ids produces an EMPTY Δjk
+    // (no old rows to leave, no live rows to enter) — its jk patch and
+    // the view patch are no-ops, and the crash-prefix seam must not
+    // count them, or failAfter indices land on phantom boundaries
+    val root = Files.createTempDirectory("jvb-seam").toString
+    var patches = 0
+    JoinView.onPatchCommitted = () => patches += 1
+    try {
+      // full two-sided batch: all 5 patches (left_jk, right_jk, view,
+      // left_id, right_id) really commit
+      JoinView.applyBatchBucketed(spark,
+        empDf(Seq(emp(1, "a", "u1", 1))), dptDf(Seq(dpt("a", "DA", 2))),
+        root, left, right, nBuckets = 16)
+      assert(patches == 5, s"two-sided batch: expected 5 real commits, seam saw $patches")
+
+      // tombstone-only left delta for a NEVER-seen id, empty right:
+      // only the left_id patch commits (tombstone retained as fence);
+      // jk and view patches are empty-delta no-ops
+      patches = 0
+      JoinView.applyBatchBucketed(spark,
+        empDf(Seq(emp(99, null, null, 3, del = true))), dptDf(Seq.empty),
+        root, left, right, nBuckets = 16)
+      assert(patches == 1, s"tombstone-only batch: expected 1 real commit (left_id), seam saw $patches")
+    } finally JoinView.onPatchCommitted = () => ()
+
+    // and the view is still exactly the naive re-join
+    val got = JoinView.readViewBucketed(spark, root)
+      .collect().map(_.toString).sorted.toSeq
+    val naive = JoinView.naiveViewBucketed(spark, root, left, right)
+      .collect().map(_.toString).sorted.toSeq
+    assert(got == naive, s"seam test left a wrong view\n got=$got\n naive=$naive")
+  }
+
   test("property: random interleavings equal the naive re-join after every batch") {
     val rnd = new Random(42)
     val depts = Vector("a", "b", "c", "d")

@@ -185,6 +185,51 @@ class ManifestStateSpec extends SparkSpec {
     assert(cdf(3, 3) == Seq.empty)
   }
 
+  test("an analysis failure in the caller plan fails fast and leaves no orphan artifacts") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("mstate-af").toString
+    // seed real state so the failing patch has live buckets to orphan
+    ManifestState.mergeBatch(changes(Seq(up("a", 1), up("b", 2))), root, nBuckets = 4)
+    val epochBefore = ManifestState.readManifest(root).epoch
+
+    var calls = 0
+    val keys = Seq("a", "b").toDF("id")
+    val template = changes(Seq(up("a", 1))).limit(0)
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      ManifestState.patchBuckets(root, 4, "id", keys, template) { current =>
+        calls += 1
+        current.select(col("no_such_column")) // deterministic caller bug
+      }
+    }
+    // fail-FAST: a caller bug must not re-run the heavy phase
+    // maxRetries times and surface as "lost the commit race"
+    assert(calls == 1, s"analysis failure retried $calls times")
+    assert(e.getMessage.contains("no_such_column"))
+
+    // no stage tmp dirs, no version dirs beyond the manifest's live
+    // set — orphans would count against the steady-state file bound
+    val stray = Files.walk(Paths.get(root)).toArray.map(_.toString)
+      .filter(p => p.contains("/.stage-"))
+    assert(stray.isEmpty, s"orphan stage artifacts: ${stray.toSeq}")
+    val m = ManifestState.readManifest(root)
+    assert(m.epoch == epochBefore, "failed patch must not advance the epoch")
+    val liveDirs = m.buckets.map { case (k, v) => s"$root/b=$k/$v" }.toSet
+    val versionDirs = Files.walk(Paths.get(root), 2).toArray.map(_.toString)
+      .filter(p => p.matches(".*/b=\\d+/v-.*"))
+    val orphans = versionDirs.filterNot(liveDirs.contains)
+    // one superseded generation per bucket may remain (reader grace
+    // window — the gc contract), but nothing from the FAILED attempt,
+    // whose epoch would be epochBefore + 1
+    assert(!orphans.exists(_.contains(s"/v-${epochBefore + 1}-")),
+      s"failed attempt left version dirs: ${orphans.toSeq}")
+
+    // and the state is still writable + correct afterwards
+    ManifestState.mergeBatch(changes(Seq(up("c", 3))), root, nBuckets = 4)
+    val ids = ManifestState.readView(spark, root).select("id")
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(ids == Seq("a", "b", "c"))
+  }
+
   test("gc keeps one superseded generation per bucket") {
     val root = Files.createTempDirectory("mstate-gc").toString
     (1 to 6).foreach { lsn =>

@@ -194,7 +194,7 @@ class MultimodalSpec extends SparkSpec {
     assert(rows(1).width == 1 + 20 % 640, "truncated PNG must fall back, not throw")
   }
 
-  test("palette and 16-bit gray images decode by resolved color, not raw sample") {
+  test("palette images decode by resolved color; 16-bit gray stays in [0,1]") {
     import spark.implicits._
     import java.awt.image.{BufferedImage, IndexColorModel}
     // an all-WHITE 2-color GIF whose palette puts white at INDEX 0: a
@@ -221,6 +221,38 @@ class MultimodalSpec extends SparkSpec {
     assert(r2.features.forall(f => f >= 0f && f <= 1f),
       s"16-bit gray leaked raw samples: max ${r2.features.max}")
     assert(r2.features.forall(_ > 0.9f), "white 16-bit gray must decode near 1.0")
+  }
+
+  test("16-bit gray mid-tones are linear, not sRGB-mapped: 8-bit twin decodes identically") {
+    import spark.implicits._
+    import java.awt.image.BufferedImage
+    // the same image at both depths: v16 = v8 * 257 is the standard
+    // lossless 8->16 widening (65535 = 257 * 255), so every pixel must
+    // map back to EXACTLY v8. getRGB on a gray raster applies a
+    // linear-gray -> sRGB tone map that shifts mid-tones (e.g. raw 64
+    // reads as ~137) — this gradient catches that distortion where the
+    // white-only test above cannot.
+    val px = Array.tabulate(64)(i => i * 4) // 0..252 gradient, mid-tone heavy
+    val png8 = Multimodal.encodeGrayPng(px, 8, 8)
+    val us = new BufferedImage(8, 8, BufferedImage.TYPE_USHORT_GRAY)
+    px.zipWithIndex.foreach { case (v, i) =>
+      us.getRaster.setSample(i % 8, i / 8, 0, v * 257)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(us, "png", bos)
+    val media = Seq(
+      Multimodal.MediaRecord(1L, "png", png8),
+      Multimodal.MediaRecord(2L, "png", bos.toByteArray)).toDS()
+    val rows = Multimodal.decode(media).collect().sortBy(_.doc_id)
+    assert(rows(0).features.sameElements(rows(1).features),
+      s"8-bit vs 16-bit gray diverged: ${rows(0).features.toSeq.take(8)} vs ${rows(1).features.toSeq.take(8)}")
+    val hashes = Multimodal.avgHash64(media).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hashes(1L) == hashes(2L),
+      f"aHash depth-dependent: ${hashes(1L)}%016x vs ${hashes(2L)}%016x")
+    // and the features are the RAW linear values, not tone-mapped
+    assert(rows(1).features(16) == (px(16) / 255.0).toFloat,
+      s"mid-tone distorted: ${rows(1).features(16)} want ${px(16) / 255.0}")
   }
 
   test("imageSummary equals decode+avgHash64 on mixed decodable/undecodable payloads") {
