@@ -1,0 +1,71 @@
+#!/usr/bin/env python3
+"""Build a degenerate-document corpus for the ORACLE-side gate: the
+engine-side no-crash blanket (DegenerateInputsSpec) cannot see
+cross-ENGINE divergences — a query that returns different rows than
+its DuckDB oracle on a NULL or empty doc "passes by corpus luck" on
+the shipped testdata, which contains neither. This script augments a
+testdata sf dir with exactly those shapes so check_oracle.py can
+compare the two sides on them:
+
+  - one NULL-text document  (doc_id = first_doc + 100000, n_chars 0)
+  - one EMPTY-text document (doc_id = first_doc + 200000, n_chars 0)
+
+Everything else is copied as-is. Usage:
+
+  python3 scripts/make_degenerate_corpus.py [srcSfDir] [outDir]
+  # defaults: /root/testdata/sf0.001 -> /tmp/nulltest_sf
+  sbt "runMain graft.Verify <outDir> /tmp/nullverify_out"   # or direct java
+  python3 scripts/check_oracle.py /tmp/nullverify_out --sf <outDir>
+
+Round-12 findings from this gate (engine and oracles since aligned BY
+CONSTRUCTION, see the Catalog commit): q133 ANSI DIVIDE_BY_ZERO on an
+empty doc's 0 BPE tokens (a single empty document would have aborted
+the whole job at 100 TB); NULL-doc divergences in q24/q57/q109/q114/
+q152/q153/q157/q164/q169/q172/q173, several caused by DuckDB's
+null-skipping greatest()/list handling vs Spark's, one (q169) by the
+ORACLE's three-valued CASE letting a NULL-gated doc fall through to
+'kept'. Known residue: q127 — one 4-order group's average lands on a
+2058392.365 rounding knife-edge where cross-engine float summation
+order splits the 2-dp round (same artifact class as the documented
+q116 residue; verified by direct evaluation of the unrounded value).
+"""
+import os
+import shutil
+import sys
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "embeddings"]
+
+
+def main():
+    src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/nulltest_sf"
+    os.makedirs(out, exist_ok=True)
+    for t in TABLES:
+        shutil.copyfile(f"{src}/{t}.parquet", f"{out}/{t}.parquet")
+    con = duckdb.connect()
+    con.execute(f"""
+    COPY (
+      FROM read_parquet('{src}/documents.parquet')
+      UNION ALL BY NAME
+      (SELECT doc_id + 100000 AS doc_id, NULL AS text, lang, source,
+              0 AS n_chars
+       FROM read_parquet('{src}/documents.parquet')
+       ORDER BY doc_id LIMIT 1)
+      UNION ALL BY NAME
+      (SELECT doc_id + 200000 AS doc_id, '' AS text, lang, source,
+              0 AS n_chars
+       FROM read_parquet('{src}/documents.parquet')
+       ORDER BY doc_id LIMIT 1)
+    ) TO '{out}/documents.parquet' (FORMAT PARQUET)
+    """)
+    n, nt = con.execute(
+        f"SELECT count(*), count(text) "
+        f"FROM read_parquet('{out}/documents.parquet')").fetchone()
+    print(f"wrote {out}: {n} documents ({n - nt} null-text, 1 empty-text)")
+
+
+if __name__ == "__main__":
+    main()

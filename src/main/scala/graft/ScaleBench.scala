@@ -18,14 +18,36 @@ import org.apache.spark.sql.functions._
   * replica, so join selectivity and group grain scale the way a real
   * F× corpus would. region/nation stay fixed (TPC-H's own contract).
   * `events.ts` is NOT shifted: F× events per day is the honest scale
-  * behavior for every window/sessionize query. `documents.text` is
-  * NOT perturbed, so every doc gains F-1 exact replicas — dedup-family
-  * queries legitimately see an F× duplicate rate and their outputs
-  * grow accordingly (same caveat ScaleSmoke documents for
-  * chunk_dedup); that is a property of replicated inputs, not of the
-  * plans.
+  * behavior for every window/sessionize query. By default
+  * `documents.text` is NOT perturbed, so every doc gains F-1 exact
+  * replicas — dedup-family queries legitimately see an F× duplicate
+  * rate and their outputs grow accordingly (same caveat ScaleSmoke
+  * documents for chunk_dedup); that is a property of replicated
+  * inputs, not of the plans.
   *
-  * Usage: runMain graft.ScaleBench [factor] [outRoot] [subset...]
+  * `--mutate` materializes the DISTINCT-CONTENT variant instead: the
+  * model of "F× more documents/entities/vectors" rather than "every
+  * item duplicated F×". Deterministic, per-replica:
+  *   - documents.text: every token gains a replica prefix (`foo` →
+  *     `r3_foo` in replica 3; replica 0 keeps the original). Token
+  *     COUNT and per-doc structure are preserved — per-replica work
+  *     is the original corpus's — but shingle/signature sets are
+  *     disjoint across replicas, so near-dup candidate generation
+  *     and output scale as F independent corpora (linear), not as
+  *     C(F,2) duplicate pairs.
+  *   - part.p_name: same token prefix — q138's (brand, first-token)
+  *     blocks stay original-size per replica; F× as many blocks.
+  *   - embeddings.embedding: per-replica deterministic ±1 sign flip
+  *     per dimension (element i of replica r flips iff
+  *     xxhash64(r, i) is odd). A diagonal ±1 matrix is orthogonal,
+  *     so WITHIN-replica geometry — every pairwise dot product and
+  *     norm — is preserved EXACTLY, while cross-replica cosines
+  *     scramble toward 0: cluster structure scales as F independent
+  *     corpora with no F× exact-duplicate artifact.
+  * Mutated corpora land under `<outRoot>-mut` so the two variants
+  * coexist and both stay idempotent.
+  *
+  * Usage: runMain graft.ScaleBench [factor] [outRoot] [--mutate] [subset...]
   * Materialization is idempotent (existing table dirs are reused), so
   * a re-run or a subset run pays the write once.
   */
@@ -33,8 +55,32 @@ object ScaleBench {
 
   private val Shift = 100000000L
 
+  /** Replica-distinct content rewrites (see `--mutate` scaladoc).
+    * Applied to the exploded frame BEFORE `__rep` is dropped; replica
+    * 0 always keeps the original bytes so factor=1 mutate ==
+    * unmutated. The `r<rep>_` prefix is self-delimiting (rep digits
+    * cannot contain `_`), so no two replicas can collide on a token. */
+  private def mutateContent(name: String, d: DataFrame): DataFrame = name match {
+    case "documents" =>
+      d.withColumn("text", when(col("__rep") === 0 || col("text").isNull, col("text"))
+        .otherwise(regexp_replace(col("text"), lit("(\\S+)"),
+          concat(lit("r"), col("__rep"), lit("_$1")))))
+    case "part" =>
+      d.withColumn("p_name", when(col("__rep") === 0, col("p_name"))
+        .otherwise(regexp_replace(col("p_name"), lit("(\\S+)"),
+          concat(lit("r"), col("__rep"), lit("_$1")))))
+    case "embeddings" =>
+      // transform's lambda index is 0-based; xxhash64(rep, i) odd -> flip
+      d.withColumn("embedding", when(col("__rep") === 0, col("embedding"))
+        .otherwise(transform(col("embedding"),
+          (x, i) => when(pmod(xxhash64(col("__rep"), i), lit(2)) === 0, x)
+            .otherwise(-x))))
+    case _ => d
+  }
+
   private def materialize(spark: SparkSession, srcDir: String,
-                          outRoot: String, factor: Int): Unit = {
+                          outRoot: String, factor: Int,
+                          mutate: Boolean): Unit = {
     val shifts: Map[String, Seq[String]] = Map(
       "region" -> Nil,
       "nation" -> Nil,
@@ -58,13 +104,14 @@ object ScaleBench {
           else {
             val rep = src.withColumn("__rep",
               explode(sequence(lit(0), lit(factor - 1))))
-            keys.foldLeft(rep) { (d, k) =>
+            val shifted = keys.foldLeft(rep) { (d, k) =>
               d.withColumn(k, (col(k).cast("long") + col("__rep") * Shift)
                 .cast(src.schema(k).dataType))
-            }.drop("__rep")
+            }
+            (if (mutate) mutateContent(name, shifted) else shifted).drop("__rep")
           }
         scaled.write.mode("overwrite").parquet(dst)
-        println(s"SCALEBENCH wrote $name x$factor")
+        println(s"SCALEBENCH wrote $name x$factor" + (if (mutate) " (mutated)" else ""))
       }
     }
   }
@@ -72,11 +119,13 @@ object ScaleBench {
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.flatMap(a => scala.util.Try(a.toInt).toOption)
       .getOrElse(10)
-    val rest =
+    val rest0 =
       (if (args.headOption.exists(a => scala.util.Try(a.toInt).isSuccess))
          args.drop(1) else args).toSeq
+    val mutate = rest0.contains("--mutate")
+    val rest = rest0.filterNot(_ == "--mutate")
     val outRoot = rest.headOption.filter(_.startsWith("/"))
-      .getOrElse(s"/tmp/graft-scale$factor")
+      .getOrElse(s"/tmp/graft-scale$factor") + (if (mutate) "-mut" else "")
     val subset: Set[String] = rest.filterNot(_.startsWith("/")).toSet
     val srcDir = "/root/testdata/sf0.1"
     val timeoutSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_TIMEOUT", "900").toInt
@@ -84,7 +133,7 @@ object ScaleBench {
     val spark = graft.engine.Graft.session(s"local[$cpus]", cpus.toInt)
     import spark.implicits._
 
-    materialize(spark, srcDir, outRoot, factor)
+    materialize(spark, srcDir, outRoot, factor, mutate)
 
     def reclaim(): Unit = {
       graft.operators.Checkpoints.releaseAll()
@@ -180,7 +229,8 @@ object ScaleBench {
     val executed = results.count(_._2 >= 0)
     val failed = results.size - executed
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(f"""{"metric":"scalebench_total","value":$total%.3f,"unit":"sec","factor":$factor,"executed":$executed,"failed":$failed,"canary_cpu_min":$cpuMin%.2f,"canary_sh_min":$shMin%.2f}""")
+    val mutTag = if (mutate) ""","mutate":true""" else ""
+    println(f"""{"metric":"scalebench_total","value":$total%.3f,"unit":"sec","factor":$factor$mutTag,"executed":$executed,"failed":$failed,"canary_cpu_min":$cpuMin%.2f,"canary_sh_min":$shMin%.2f}""")
     spark.stop()
   }
 }

@@ -669,11 +669,12 @@ object Catalog {
           .orderBy($"doc_id")
       },
       Some("""SELECT doc_id,
+             |  CASE WHEN text IS NULL THEN NULL ELSE
              |  list_reduce(
              |    list_prepend(0::BIGINT,
              |      list_transform(string_split_regex(trim(text), '\s+'),
              |                     t -> ('0x' || substr(md5(t), 1, 8))::BIGINT)),
-             |    (acc, x) -> (acc * 31 + x) % 1000000007) AS rolling_fp
+             |    (acc, x) -> (acc * 31 + x) % 1000000007) END AS rolling_fp
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
     // ------------------------------------------------------------------
@@ -1732,8 +1733,8 @@ object Catalog {
       },
       Some("""WITH h AS (SELECT doc_id, regexp_extract_all(text, '\b(spark|window|merge)\b') AS hits
              |           FROM documents),
-             |e AS (SELECT doc_id, len(hits) AS nh,
-             |             CASE WHEN len(hits) = 0 THEN [NULL] ELSE hits END AS hits2
+             |e AS (SELECT doc_id, coalesce(len(hits), 0) AS nh,
+             |             CASE WHEN hits IS NULL OR len(hits) = 0 THEN [NULL] ELSE hits END AS hits2
              |      FROM h),
              |z AS (SELECT doc_id, nh,
              |             unnest(list_zip(hits2, generate_series(1, len(hits2)))) AS z
@@ -3580,7 +3581,11 @@ object Catalog {
         import s.implicits._
         val size_ = 50
         val stride = 25
+        // a missing (NULL) doc yields NO chunks on either side — without
+        // the filter, Spark's null-skipping greatest() manufactures one
+        // phantom chunk whose fp is md5 of the empty string
         t(s, dir, "documents")
+          .filter($"text".isNotNull)
           .select($"doc_id", TF.tokens($"text").as("tk"))
           .withColumn("n", size($"tk").cast("long"))
           .withColumn("nchunks",
@@ -3595,7 +3600,7 @@ object Catalog {
           .orderBy($"doc_id", $"chunk_id")
       },
       Some("""WITH tk AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
-             |            FROM documents),
+             |            FROM documents WHERE text IS NOT NULL),
              |c AS (SELECT doc_id, tk, len(tk) AS n,
              |             1 + ceil(greatest(len(tk) - 50, 0) / 25.0)::BIGINT AS nchunks
              |      FROM tk),
@@ -3780,9 +3785,11 @@ object Catalog {
           .orderBy($"doc_id")
       },
       Some("""WITH tk AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM documents),
-             |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
-             |         generate_series(1, len(tk) - 2),
-             |         i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS sh FROM tk),
+             |sh AS (SELECT doc_id, unnest(CASE WHEN len(tk) < 3
+             |         THEN [array_to_string(tk, ' ')]
+             |         ELSE list_distinct(list_transform(
+             |           generate_series(1, len(tk) - 2),
+             |           i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) END) AS sh FROM tk),
              |f AS (SELECT sh, min(doc_id) AS first_doc FROM sh GROUP BY 1)
              |SELECT s.doc_id, count(*) AS n_shingles,
              |       sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)::BIGINT AS n_novel,
@@ -4661,6 +4668,13 @@ object Catalog {
       "q133_tokenizer_fertility",
       (s, dir) => {
         import s.implicits._
+        // bpe = 0 (empty / whitespace-only doc) must be GUARDED, not
+        // divided by: ANSI Spark throws on /0 where DuckDB returns
+        // NULL, so without the explicit guard a single empty document
+        // aborts the whole job at 100 TB. ws >= 1 always (split of a
+        // non-null trimmed string emits at least one element), so only
+        // the bpe divisor needs it; both sides skip the degenerate doc
+        // in the averages while n_docs still counts it.
         t(s, dir, "documents")
           .select($"lang", $"n_chars",
                   TF.tokenCount($"text").as("ws"),
@@ -4668,7 +4682,8 @@ object Catalog {
           .groupBy($"lang")
           .agg(count(lit(1)).as("n_docs"),
                round(avg($"bpe".cast("double") / $"ws"), 4).as("fertility_r"),
-               round(avg($"n_chars".cast("double") / $"bpe"), 4).as("chars_per_tok_r"))
+               round(avg(when($"bpe" > 0, $"n_chars".cast("double") / $"bpe")), 4)
+                 .as("chars_per_tok_r"))
           .orderBy($"lang")
       },
       Some("""WITH d AS (SELECT lang, n_chars,
@@ -4678,7 +4693,7 @@ object Catalog {
              |           FROM documents)
              |SELECT lang, count(*) AS n_docs,
              |       round(avg(CAST(bpe AS DOUBLE) / ws), 4) AS fertility_r,
-             |       round(avg(CAST(n_chars AS DOUBLE) / bpe), 4) AS chars_per_tok_r
+             |       round(avg(CASE WHEN bpe > 0 THEN CAST(n_chars AS DOUBLE) / bpe END), 4) AS chars_per_tok_r
              |FROM d GROUP BY lang ORDER BY lang""".stripMargin)),
 
     // ------------------------------------------------------------------
@@ -5206,7 +5221,11 @@ object Catalog {
       "q145_pca_project",
       (s, dir) => {
         import s.implicits._
+        // NULL-text docs carry no token-count feature: excluded on BOTH
+        // sides, or the fit moments diverge (the oracle's null-skipping
+        // sums over count(*) rows would mix populations)
         val f = t(s, dir, "documents")
+          .filter($"text".isNotNull)
           .select($"doc_id",
             array(size(TF.tokens($"text")).cast("double"),
                   $"n_chars".cast("double")).as("vec"))
@@ -5219,7 +5238,7 @@ object Catalog {
       Some("""WITH f AS (SELECT doc_id,
              |                  len(string_split_regex(trim(text), '\s+'))::DOUBLE AS x,
              |                  n_chars::DOUBLE AS y
-             |           FROM documents),
+             |           FROM documents WHERE text IS NOT NULL),
              |s AS (SELECT count(*)::DOUBLE AS n, sum(x) AS sx, sum(y) AS sy,
              |             sum(x*x) AS sxx, sum(x*y) AS sxy, sum(y*y) AS syy
              |      FROM f),
@@ -5600,7 +5619,10 @@ object Catalog {
       "q152_boilerplate_prefix",
       (s, dir) => {
         import s.implicits._
+        // a NULL doc has no prefix: excluded on BOTH sides (concat_ws
+        // would silently fold it into the md5('') group otherwise)
         t(s, dir, "documents")
+          .filter($"text".isNotNull)
           .select($"doc_id", $"source",
                   md5(concat_ws(" ", slice(TF.tokens($"text"), 1, 4))).as("prefix_h"))
           .groupBy($"prefix_h")
@@ -5615,7 +5637,7 @@ object Catalog {
              |       count(*) AS n_docs,
              |       count(DISTINCT source) AS n_src,
              |       min(doc_id) AS example_doc
-             |FROM documents
+             |FROM documents WHERE text IS NOT NULL
              |GROUP BY 1 HAVING count(*) >= 2
              |ORDER BY n_docs DESC, prefix_h""".stripMargin)),
 
@@ -5645,7 +5667,7 @@ object Catalog {
           .orderBy($"source")
       },
       Some("""WITH toks AS (SELECT source, string_split_regex(trim(text), '\s+') AS tk
-             |              FROM documents),
+             |              FROM documents WHERE text IS NOT NULL),
              |grams AS (
              |  SELECT source, md5(CASE WHEN len(tk) < 3 THEN array_to_string(tk, ' ')
              |                          ELSE array_to_string(list_slice(tk, i, i + 2), ' ')
@@ -5796,7 +5818,11 @@ object Catalog {
         // the null-safe annotate-back); no |sources|-partition window
         // ever sees fact-scale rows.
         val toks = TF.tokens($"text")
+        // NULL-text docs have no uniqueness score: excluded on BOTH
+        // sides (engine ranks nulls first, DuckDB's cume_dist last —
+        // keeping them would split the decile boundaries cross-engine)
         val sc = t(s, dir, "documents")
+          .filter($"text".isNotNull)
           .select($"doc_id", $"source",
             (size(array_distinct(toks)).cast("double") / size(toks)).as("score"))
         graft.operators.CumeDist.annotate(
@@ -5810,7 +5836,7 @@ object Catalog {
       Some("""WITH sc AS (SELECT doc_id, source,
              |              len(list_distinct(string_split_regex(trim(text), '\s+')))::DOUBLE /
              |              len(string_split_regex(trim(text), '\s+')) AS score
-             |            FROM documents),
+             |            FROM documents WHERE text IS NOT NULL),
              |p AS (SELECT source, score,
              |             cume_dist() OVER (PARTITION BY source ORDER BY score) AS pct
              |      FROM sc)
@@ -6409,17 +6435,20 @@ object Catalog {
              |            FROM documents),
              |f AS (SELECT doc_id, source, text, tk,
              |        doc_id % 97 = 0 AS is_eval,
+             |        coalesce(
              |        (len(regexp_extract_all(lower(text), '\b(the|a|of|and|to)\b')) >=
              |           len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist)\b'))
              |         AND len(regexp_extract_all(lower(text), '\b(the|a|of|and|to)\b')) >=
              |           len(regexp_extract_all(lower(text), '\b(le|la|et|les|est)\b'))
-             |         AND len(regexp_extract_all(lower(text), '\b(the|a|of|and|to)\b')) > 0)
-             |          AS lang_ok,
+             |         AND len(regexp_extract_all(lower(text), '\b(the|a|of|and|to)\b')) > 0),
+             |        false) AS lang_ok,
+             |        coalesce(
              |        (len(tk) BETWEEN 20 AND 1000
              |         AND length(regexp_replace(text, '\s', '', 'g'))::DOUBLE / len(tk)
              |               BETWEEN 4.0 AND 6.5
              |         AND len(list_distinct(tk))::DOUBLE / len(tk) >= 0.45
-             |         AND len(list_intersect(tk, ['the','of','and','to','in'])) >= 1) AS q_ok
+             |         AND len(list_intersect(tk, ['the','of','and','to','in'])) >= 1),
+             |        false) AS q_ok
              |      FROM tk),
              |s2 AS (SELECT doc_id, text, tk FROM f WHERE NOT is_eval AND lang_ok AND q_ok),
              |ex AS (SELECT doc_id, text, tk, row_number() OVER (

@@ -64,7 +64,12 @@ class DegenerateInputsSpec extends SparkSpec {
 
   /** sf0.001 with nulls injected into every plausibly-null column: a
     * fifth of document texts, sevenths of langs/event types, etc. —
-    * deterministic (keyed on ids), so failures reproduce. */
+    * deterministic (keyed on ids), so failures reproduce. EMPTY and
+    * whitespace-only texts are injected too: they are a DIFFERENT
+    * failure class from NULL (NULL propagates through arithmetic,
+    * but an empty doc yields real ZEROS — 0 BPE tokens, 0 shingles —
+    * that reach divisors and ANSI-throw where NULL would quietly
+    * skip; q133's DIVIDE_BY_ZERO hid exactly there). */
   private lazy val nullDir: String = {
     val dir = java.nio.file.Files.createTempDirectory("sf_nulls").toString
     def nullify(df: DataFrame, col0: String, keyCol: String, mod: Int): DataFrame =
@@ -75,6 +80,10 @@ class DegenerateInputsSpec extends SparkSpec {
         case "documents" =>
           var d = base(t)
           d = nullify(d, "text", "doc_id", 5)
+          d = d.withColumn("text",
+            when(col("doc_id") % 13 === 1, lit(""))
+              .when(col("doc_id") % 17 === 2, lit("  \t "))
+              .otherwise(col("text")))
           d = nullify(d, "lang", "doc_id", 7)
           nullify(d, "source", "doc_id", 11)
         case "events" =>
