@@ -101,38 +101,8 @@ object AnnRefitProbe {
     timed(s"stale nlist=$nlistOld", nprobe = 2, e)
 
     // ---- 2. Lloyd refit at the corpus's own scale ---------------------
-    // hash-stable seed sample (no RNG: same seeds every run)
-    var centroids = e.withColumn("h", xxhash64($"vec_id"))
-      .orderBy($"h", $"vec_id").limit(nlistNew)
-      .select(row_number().over(Window.orderBy($"h", $"vec_id")).cast("long").as("c_label"),
-              $"v".as("cv"))
-    for (_ <- 1 to iters) {
-      val cb = broadcast(
-        centroids.withColumn("cnrm", sqrt(VF.dot($"cv", $"cv"))))
-      val wv = Window.partitionBy($"vec_id").orderBy($"csim".desc, $"c_label")
-      val assigned = e.withColumn("nrm", sqrt(VF.dot($"v", $"v")))
-        .join(cb)
-        .select($"vec_id", $"v",
-                $"c_label", (VF.dot($"v", $"cv") / ($"nrm" * $"cnrm")).as("csim"))
-        .withColumn("rn", row_number().over(wv)).filter($"rn" === 1)
-      centroids = assigned
-        .select($"c_label", posexplode($"v").as(Seq("pos", "x")))
-        .groupBy($"c_label", $"pos")
-        .agg(round(avg($"x"), 6).as("cx"))
-        .groupBy($"c_label")
-        .agg(array_sort(collect_list(struct($"pos", $"cx"))).as("pairs"))
-        .select($"c_label", expr("transform(pairs, p -> p.cx)").as("cv"))
-        .localCheckpoint() // truncate the per-iteration lineage
-    }
-    val cb = broadcast(centroids.withColumn("cnrm", sqrt(VF.dot($"cv", $"cv"))))
-    val wv = Window.partitionBy($"vec_id").orderBy($"csim".desc, $"c_label")
-    val refit = e.withColumn("nrm", sqrt(VF.dot($"v", $"v")))
-      .join(cb)
-      .select($"vec_id", $"v", $"c_label",
-              (VF.dot($"v", $"cv") / ($"nrm" * $"cnrm")).as("csim"))
-      .withColumn("rn", row_number().over(wv)).filter($"rn" === 1)
-      .select($"vec_id", $"c_label".as("label"), $"v")
-      .cache()
+    // (operators.IvfAnn.fitCells — the reusable deterministic refit)
+    val refit = graft.operators.IvfAnn.fitCells(e, nlistNew, iters).cache()
     val cells = refit.select($"label").distinct().count()
     println(s"""{"probe":"ann_refit","refit_cells":$cells,"iters":$iters}""")
 

@@ -19,8 +19,73 @@ import graft.functions.{VectorFunctions => VF}
   * side is filtered before any wide shuffle. Centroid components are
   * rounded to 6 dp so cross-engine/AQE partial-sum order cannot leak
   * into the ranking (same rationale as q31).
+  *
+  * Quantizer FRESHNESS is the caller's contract: cells fit on
+  * yesterday's corpus rot as the corpus grows (measured —
+  * docs/probes/ann_refit_r12.txt: stale cells hold 0.26–0.30
+  * recall@5 at 20% scan across 1×/10×/30× growth, a same-fraction
+  * refit reaches 0.46/0.68/0.80 AND retrieves faster). [[fitCells]]
+  * is the refit: Lloyd-in-DataFrames at the corpus's own scale,
+  * deterministic (hash-stable seeds, no RNG), so a scheduled
+  * re-quantization produces reproducible cell assignments.
   */
 object IvfAnn {
+
+  /** Fit `nlist` coarse-quantizer cells by cosine Lloyd iterations
+    * and return the corpus RE-LABELED with them: (vec_id, label, v)
+    * — exactly [[topK]]'s input shape, so
+    * `topK(fitCells(e, nlist), ...)` is the fresh-quantizer path.
+    *
+    * Deterministic by construction: seeds are the `nlist` corpus
+    * vectors minimizing xxhash64(vec_id) (ties by vec_id), each
+    * assignment breaks centroid-similarity ties by cell id, and
+    * centroid components round to 6 dp per iteration (the q31/q44
+    * rationale — partial-sum order cannot leak into the ranking).
+    * Null/zero-norm vectors are excluded from BOTH seeding and
+    * assignment (cosine is undefined there), mirroring the
+    * CosinePairs exclusion contract.
+    *
+    * Scale shape: per iteration, one broadcast of nlist·dim centroid
+    * doubles against a corpus scan (assignment is map-side; the only
+    * shuffle is the (cell, pos) mean), then a localCheckpoint
+    * truncates the per-iteration lineage so `iters` chains don't
+    * stack into one giant plan. Cost is O(iters · n · nlist · dim)
+    * dot products — the standard IVF training bill; at 100 TB fit on
+    * a sample (the cells only need the density shape), re-label the
+    * full corpus with one final broadcast assignment pass.
+    */
+  def fitCells(e: DataFrame, nlist: Int, iters: Int = 5): DataFrame = {
+    require(nlist > 0 && iters >= 0, s"nlist=$nlist iters=$iters")
+    val valid = e.filter(col("v").isNotNull && VF.dot(col("v"), col("v")) > 0)
+    var centroids = valid
+      .withColumn("h", xxhash64(col("vec_id")))
+      .orderBy(col("h"), col("vec_id")).limit(nlist)
+      .select(row_number().over(Window.orderBy(col("h"), col("vec_id")))
+                .cast("long").as("c_label"),
+              col("v").as("cv"))
+    def assign(corpus: DataFrame, cents: DataFrame): DataFrame = {
+      val cb = broadcast(cents.withColumn("cnrm", sqrt(VF.dot(col("cv"), col("cv")))))
+      val wv = Window.partitionBy(col("vec_id"))
+        .orderBy(col("csim").desc, col("c_label"))
+      corpus.withColumn("nrm", sqrt(VF.dot(col("v"), col("v"))))
+        .join(cb)
+        .select(col("vec_id"), col("v"), col("c_label"),
+                (VF.dot(col("v"), col("cv")) / (col("nrm") * col("cnrm"))).as("csim"))
+        .withColumn("rn", row_number().over(wv)).filter(col("rn") === 1)
+    }
+    for (_ <- 1 to iters) {
+      centroids = assign(valid, centroids)
+        .select(col("c_label"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("c_label"), col("pos"))
+        .agg(round(avg(col("x")), 6).as("cx"))
+        .groupBy(col("c_label"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("cx")))).as("pairs"))
+        .select(col("c_label"), expr("transform(pairs, p -> p.cx)").as("cv"))
+        .localCheckpoint()
+    }
+    assign(valid, centroids)
+      .select(col("vec_id"), col("c_label").as("label"), col("v"))
+  }
 
   /** @param e     (vec_id, label, v: array<double>) corpus
     * @param isQuery predicate over `e` rows selecting the query set

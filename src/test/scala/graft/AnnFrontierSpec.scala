@@ -94,6 +94,64 @@ class AnnFrontierSpec extends SparkSpec {
     } finally e.unpersist()
   }
 
+  test("fitCells: deterministic refit, planted clusters recovered, nprobe=ncells still exact") {
+    import spark.implicits._
+    // 4 well-separated planted clusters: axis-aligned centers ±8 with
+    // tiny seeded jitter — any sane Lloyd fit must recover them
+    val rnd = new scala.util.Random(11)
+    val centers = Seq(
+      Array.tabulate(8)(i => if (i < 2) 8.0 else 0.0),
+      Array.tabulate(8)(i => if (i >= 2 && i < 4) -8.0 else 0.0),
+      Array.tabulate(8)(i => if (i >= 4 && i < 6) 8.0 else 0.0),
+      Array.tabulate(8)(i => if (i >= 6) -8.0 else 0.0))
+    val rows = for (c <- centers.indices; j <- 0 until 50) yield
+      (c * 50L + j, c.toLong,
+       centers(c).map(x => x + rnd.nextGaussian() * 0.05))
+    val e = spark.createDataset(rows).toDF("vec_id", "planted", "v")
+      .withColumn("label", lit(0L)) // stale quantizer: ONE cell for everything
+      .select($"vec_id", $"label", $"planted", $"v").cache()
+    try {
+      val refit = IvfAnn.fitCells(e.select($"vec_id", $"label", $"v"), nlist = 4, iters = 5)
+        .cache()
+      // determinism: a second fit is bit-identical
+      val again = IvfAnn.fitCells(e.select($"vec_id", $"label", $"v"), nlist = 4, iters = 5)
+      val m1 = refit.select($"vec_id", $"label").as[(Long, Long)].collect().toMap
+      val m2 = again.select($"vec_id", $"label").as[(Long, Long)].collect().toMap
+      assert(m1 == m2, "fitCells must be deterministic (hash-stable seeds, no RNG)")
+
+      // planted recovery: every refit cell is PURE (one planted cluster)
+      val purity = refit.join(e.select($"vec_id", $"planted"), "vec_id")
+        .groupBy($"label").agg(countDistinct($"planted").as("nc"), count(lit(1)).as("n"))
+        .as[(Long, Long, Long)].collect()
+      assert(purity.length == 4, s"expected 4 live cells, got ${purity.toSeq}")
+      assert(purity.forall(_._2 == 1L), s"mixed cells: ${purity.toSeq}")
+
+      // with a GEOMETRIC quantizer, nprobe=1 finds the same-cluster
+      // neighbors exactly (they share the probed cell by construction)
+      val want = exactTopK(refit, 5)
+      val got1 = IvfAnn.topK(refit, $"vec_id" < 10, nprobe = 1, k = 5)
+        .select($"qid", $"nid").as[(Long, Long)].collect()
+        .groupBy(_._1).map { case (q, ns) => q -> ns.map(_._2).toSet }
+      assert(recall(got1, want) == 1.0,
+        "planted-cluster neighbors must be exact at nprobe=1 after refit")
+
+      // the routing contract survives the refit: nprobe = ncells exact
+      val gotAll = IvfAnn.topK(refit, $"vec_id" < 10, nprobe = 4, k = 5)
+        .select($"qid", $"nid").as[(Long, Long)].collect()
+        .groupBy(_._1).map { case (q, ns) => q -> ns.map(_._2).toSet }
+      assert(recall(gotAll, want) == 1.0, "nprobe=ncells must stay exact on refit labels")
+
+      // degenerate vectors: null and zero-norm rows are EXCLUDED, not a crash
+      val dirty = e.select($"vec_id", $"label", $"v")
+        .unionByName(Seq(
+          (9001L, 0L, null.asInstanceOf[Array[Double]]),
+          (9002L, 0L, Array.fill(8)(0.0))).toDF("vec_id", "label", "v"))
+      val fitted = IvfAnn.fitCells(dirty, nlist = 4, iters = 2)
+      assert(fitted.filter($"vec_id" >= 9000L).count() == 0,
+        "null/zero-norm vectors must be excluded from the refit output")
+    } finally e.unpersist()
+  }
+
   test("int8 scalar quantization reproduces the exact float top-5 on this corpus") {
     import spark.implicits._
     val want = exactTopK(corpus, 5)
