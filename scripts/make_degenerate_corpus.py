@@ -9,6 +9,12 @@ compare the two sides on them:
 
   - one NULL-text document  (doc_id = first_doc + 100000, n_chars 0)
   - one EMPTY-text document (doc_id = first_doc + 200000, n_chars 0)
+  - two degenerate EVENTS: NULL event_type + NULL value + NULL props
+    (event_id + 100000), and empty-string event_type with value 0
+    (event_id + 200000) — both at the first event's ts/user so they
+    land inside existing windows/sessions rather than extending the
+    time range
+  - one NULL-embedding row (vec_id + 100000)
 
 Everything else is copied as-is. Usage:
 
@@ -36,7 +42,7 @@ import sys
 import duckdb
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
-          "orders", "lineitem", "events", "embeddings"]
+          "orders", "lineitem"]
 
 
 def main():
@@ -61,10 +67,45 @@ def main():
        ORDER BY doc_id LIMIT 1)
     ) TO '{out}/documents.parquet' (FORMAT PARQUET)
     """)
+    # events.parquet may carry TIMESTAMP(NANOS) — rebuild the column
+    # as-is via DuckDB (it normalizes to TIMESTAMP, which the engine's
+    # reader also accepts; TESTDATA.md documents all three encodings)
+    con.execute(f"""
+    COPY (
+      FROM read_parquet('{src}/events.parquet')
+      UNION ALL BY NAME
+      (SELECT event_id + 100000 AS event_id, ts, user_id,
+              NULL AS event_type, NULL AS value, NULL AS props
+       FROM read_parquet('{src}/events.parquet')
+       ORDER BY event_id LIMIT 1)
+      UNION ALL BY NAME
+      (SELECT event_id + 200000 AS event_id, ts, user_id,
+              '' AS event_type, 0.0 AS value, props
+       FROM read_parquet('{src}/events.parquet')
+       ORDER BY event_id LIMIT 1)
+    ) TO '{out}/events.parquet' (FORMAT PARQUET)
+    """)
+    con.execute(f"""
+    COPY (
+      FROM read_parquet('{src}/embeddings.parquet')
+      UNION ALL BY NAME
+      (SELECT vec_id + 100000 AS vec_id, NULL AS embedding, label
+       FROM read_parquet('{src}/embeddings.parquet')
+       ORDER BY vec_id LIMIT 1)
+    ) TO '{out}/embeddings.parquet' (FORMAT PARQUET)
+    """)
     n, nt = con.execute(
         f"SELECT count(*), count(text) "
         f"FROM read_parquet('{out}/documents.parquet')").fetchone()
-    print(f"wrote {out}: {n} documents ({n - nt} null-text, 1 empty-text)")
+    ne, net = con.execute(
+        f"SELECT count(*), count(event_type) "
+        f"FROM read_parquet('{out}/events.parquet')").fetchone()
+    nv, nve = con.execute(
+        f"SELECT count(*), count(embedding) "
+        f"FROM read_parquet('{out}/embeddings.parquet')").fetchone()
+    print(f"wrote {out}: {n} documents ({n - nt} null-text, 1 empty-text), "
+          f"{ne} events ({ne - net} null-type, 1 empty-type), "
+          f"{nv} embeddings ({nv - nve} null)")
 
 
 if __name__ == "__main__":

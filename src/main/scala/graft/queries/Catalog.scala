@@ -332,6 +332,7 @@ object Catalog {
         // Norms once per row (500 sqrt+dot) instead of per pair; the
         // per-pair hot path is a single codegen'd dot product.
         val e = t(s, dir, "embeddings")
+          .filter($"embedding".isNotNull) // null vectors: no cosine, both sides
           .select($"vec_id", VF.asDouble($"embedding").as("v"))
           .withColumn("nrm", sqrt(VF.dot($"v", $"v")))
         val q = e.select($"vec_id".as("qid"), $"v".as("qv"), $"nrm".as("qnrm"))
@@ -346,7 +347,8 @@ object Catalog {
           .select($"qid", $"nid", $"rank", round($"sim", 4).as("sim_r"))
           .orderBy($"qid", $"rank")
       },
-      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+             |          WHERE embedding IS NOT NULL),
              |s AS (SELECT q.vec_id AS qid, c.vec_id AS nid,
              |             list_dot_product(q.v, c.v) /
              |               (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS sim
@@ -1014,8 +1016,12 @@ object Catalog {
             org.apache.spark.sql.types.StringType, org.apache.spark.sql.types.StringType)))
           .select($"event_id",
                   size(map_keys($"m")).cast("long").as("n_keys"),
-                  concat_ws(",", array_sort(map_keys($"m"))).as("keys_sorted"),
-                  concat_ws(",", array_sort(map_values($"m"))).as("vals_sorted"),
+                  // concat_ws never returns NULL — guard so a missing
+                  // props map reads NULL on BOTH sides, not '' vs NULL
+                  when($"m".isNull, lit(null))
+                    .otherwise(concat_ws(",", array_sort(map_keys($"m")))).as("keys_sorted"),
+                  when($"m".isNull, lit(null))
+                    .otherwise(concat_ws(",", array_sort(map_values($"m")))).as("vals_sorted"),
                   element_at($"m", "k").cast("long").as("k_value"))
           .filter($"event_id" % 50 === 0)
           .orderBy($"event_id")
@@ -3276,6 +3282,7 @@ object Catalog {
       (s, dir) => {
         import s.implicits._
         val e = t(s, dir, "embeddings")
+          .filter($"embedding".isNotNull) // null vectors: no cosine, both sides
           .select($"vec_id", VF.asDouble($"embedding").as("v"))
         // int8 quantization: per-vector scale, codes in [-127, 127]
         val qd = e.select($"vec_id", $"v",
@@ -3305,7 +3312,8 @@ object Catalog {
       },
       // Oracle: the EXACT brute-force top-5 (same as q13) — the
       // quantized shortlist must not lose a true neighbor.
-      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+             |          WHERE embedding IS NOT NULL),
              |s AS (SELECT q.vec_id AS qid, c.vec_id AS nid,
              |             list_dot_product(q.v, c.v) /
              |               (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS sim
@@ -3889,6 +3897,9 @@ object Catalog {
       (s, dir) => {
         import s.implicits._
         val e = t(s, dir, "embeddings")
+          // null vectors excluded on BOTH sides: count(lit(1)) would
+          // otherwise include a row whose cos every avg/min skips
+          .filter($"embedding".isNotNull)
           .select($"vec_id", $"label", VF.asDouble($"embedding").as("v"))
         val centroids = e
           .select($"label", posexplode($"v").as(Seq("pos", "x")))
@@ -3908,7 +3919,8 @@ object Catalog {
                round(min($"cos"), 4).as("min_cos"))
           .orderBy($"label")
       },
-      Some("""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+      Some("""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+             |          WHERE embedding IS NOT NULL),
              |flat AS (SELECT label, unnest(v) AS x,
              |                unnest(range(1, len(v) + 1)) AS pos FROM e),
              |cent AS (SELECT label, array_agg(cx ORDER BY pos) AS cv
@@ -5290,9 +5302,14 @@ object Catalog {
       "q146_zorder_layout",
       (s, dir) => {
         import s.implicits._
+        // coalesce(value, 0): a layout query must place EVERY row —
+        // a NULL metric would give a NULL z-key, which Spark ranks
+        // first and DuckDB last (cross-engine split), and "this row
+        // goes nowhere" is not a valid file assignment. Zero cell is
+        // the deterministic home for missing metrics on both sides.
         val ev = t(s, dir, "events")
           .select($"event_id", unix_millis($"ts").as("tm"),
-                  round($"value" * 100).cast("long").as("vc"))
+                  round(coalesce($"value", lit(0.0)) * 100).cast("long").as("vc"))
         val b = ev.agg(min($"tm").as("mnt"), max($"tm").as("mxt"),
                        min($"vc").as("mnv"), max($"vc").as("mxv"))
         val q = ev.crossJoin(broadcast(b))
@@ -5317,7 +5334,7 @@ object Catalog {
           s"(((xq >> $i) & 1) << ${2 * i})",
           s"(((yq >> $i) & 1) << ${2 * i + 1})")).mkString(" | ")
         s"""WITH ev AS (SELECT event_id, epoch_ms(ts) AS tm,
-           |                   CAST(round(value * 100) AS BIGINT) AS vc
+           |                   CAST(round(coalesce(value, 0) * 100) AS BIGINT) AS vc
            |            FROM events),
            |b AS (SELECT min(tm) AS mnt, max(tm) AS mxt,
            |             min(vc) AS mnv, max(vc) AS mxv FROM ev),
