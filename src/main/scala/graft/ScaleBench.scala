@@ -60,7 +60,7 @@ object ScaleBench {
     * 0 always keeps the original bytes so factor=1 mutate ==
     * unmutated. The `r<rep>_` prefix is self-delimiting (rep digits
     * cannot contain `_`), so no two replicas can collide on a token. */
-  private def mutateContent(name: String, d: DataFrame): DataFrame = name match {
+  private[graft] def mutateContent(name: String, d: DataFrame): DataFrame = name match {
     case "documents" =>
       d.withColumn("text", when(col("__rep") === 0 || col("text").isNull, col("text"))
         .otherwise(regexp_replace(col("text"), lit("(\\S+)"),

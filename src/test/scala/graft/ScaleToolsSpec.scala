@@ -199,4 +199,54 @@ class ScaleToolsSpec extends SparkSpec {
       s"z-order should prune harder: z=${survivors(zEnv)} linear=${survivors(linEnv)}")
     assert(survivors(zEnv) <= 2, s"z-order box should hit <=2 of 16 files, got ${survivors(zEnv)}")
   }
+  test("ScaleBench --mutate invariants: replica-0 identity, disjoint shingles, exact isometry") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+
+    // documents: token-prefix mutation
+    val docs = Seq(
+      (1L, "the quick brown fox jumps", "en", "src0", 25L),
+      (2L, null.asInstanceOf[String], "en", "src0", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .withColumn("__rep", explode(sequence(lit(0), lit(2))))
+    val md = ScaleBench.mutateContent("documents", docs).cache()
+    // replica 0 keeps the original bytes; nulls stay null everywhere
+    assert(md.filter($"__rep" === 0 && $"doc_id" === 1)
+      .select($"text").as[String].head() == "the quick brown fox jumps")
+    assert(md.filter($"doc_id" === 2 && $"text".isNotNull).count() == 0)
+    // token count preserved, token sets disjoint across replicas
+    val toks = md.filter($"doc_id" === 1)
+      .select($"__rep", split($"text", "\\s+").as("tk"))
+      .as[(Int, Seq[String])].collect().toMap
+    assert(toks.values.forall(_.length == 5), s"token counts drifted: $toks")
+    assert(toks(1).toSet.intersect(toks(2).toSet).isEmpty &&
+           toks(0).toSet.intersect(toks(1).toSet).isEmpty,
+      s"replica tokens must be disjoint: $toks")
+    assert(toks(1).forall(_.startsWith("r1_")) && toks(2).forall(_.startsWith("r2_")))
+
+    // embeddings: sign-flip isometry — every within-replica dot product
+    // and norm is BIT-exact vs replica 0 (diagonal +-1 is orthogonal and
+    // the summation order is unchanged)
+    val vecs = Seq(
+      (1L, Array(0.25f, -1.5f, 3.0f, 0.125f), 0),
+      (2L, Array(-2.0f, 0.5f, -0.75f, 4.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+      .withColumn("__rep", explode(sequence(lit(0), lit(2))))
+    val me = ScaleBench.mutateContent("embeddings", vecs)
+      .select($"__rep", $"vec_id", $"embedding").as[(Int, Long, Array[Float])]
+      .collect().groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3)).toMap
+    def dot(a: Array[Float], b: Array[Float]): Double =
+      a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x.toDouble * y.toDouble }
+    for (rep <- 1 to 2) {
+      val Seq(a0, b0) = me(0).toSeq; val Seq(a, b) = me(rep).toSeq
+      assert(dot(a, a) == dot(a0, a0) && dot(b, b) == dot(b0, b0),
+        s"replica $rep norms drifted")
+      assert(dot(a, b) == dot(a0, b0), s"replica $rep pairwise dot drifted")
+      // and the replica is actually scrambled, not a copy or global negation
+      assert(!a.sameElements(a0) && !a.sameElements(a0.map(x => -x)),
+        s"replica $rep embedding not scrambled")
+    }
+    md.unpersist()
+  }
+
 }
