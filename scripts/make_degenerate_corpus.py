@@ -9,12 +9,16 @@ compare the two sides on them:
 
   - one NULL-text document  (doc_id = first_doc + 100000, n_chars 0)
   - one EMPTY-text document (doc_id = first_doc + 200000, n_chars 0)
+  - one WHITESPACE-only document ('  \t ', doc_id + 300000)
   - two degenerate EVENTS: NULL event_type + NULL value + NULL props
     (event_id + 100000), and empty-string event_type with value 0
     (event_id + 200000) — both at the first event's ts/user so they
     land inside existing windows/sessions rather than extending the
     time range
-  - one NULL-embedding row (vec_id + 100000)
+  - one NULL-embedding row (vec_id + 100000), one EMPTY-array embedding
+    (vec_id + 200000), and one all-ZERO vector of the corpus dimension
+    (vec_id + 300000) — zero norm makes cosine 0/0: engines disagree on
+    NaN ordering (Spark ranks NaN above every number in DESC sorts)
 
 Everything else is copied as-is. Usage:
 
@@ -65,6 +69,11 @@ def main():
               0 AS n_chars
        FROM read_parquet('{src}/documents.parquet')
        ORDER BY doc_id LIMIT 1)
+      UNION ALL BY NAME
+      (SELECT doc_id + 300000 AS doc_id, '  \t ' AS text, lang, source,
+              4 AS n_chars
+       FROM read_parquet('{src}/documents.parquet')
+       ORDER BY doc_id LIMIT 1)
     ) TO '{out}/documents.parquet' (FORMAT PARQUET)
     """)
     # events.parquet may carry TIMESTAMP(NANOS) — rebuild the column
@@ -90,6 +99,15 @@ def main():
       FROM read_parquet('{src}/embeddings.parquet')
       UNION ALL BY NAME
       (SELECT vec_id + 100000 AS vec_id, NULL AS embedding, label
+       FROM read_parquet('{src}/embeddings.parquet')
+       ORDER BY vec_id LIMIT 1)
+      UNION ALL BY NAME
+      (SELECT vec_id + 200000 AS vec_id, []::FLOAT[] AS embedding, label
+       FROM read_parquet('{src}/embeddings.parquet')
+       ORDER BY vec_id LIMIT 1)
+      UNION ALL BY NAME
+      (SELECT vec_id + 300000 AS vec_id,
+              list_transform(embedding, x -> 0.0::FLOAT) AS embedding, label
        FROM read_parquet('{src}/embeddings.parquet')
        ORDER BY vec_id LIMIT 1)
     ) TO '{out}/embeddings.parquet' (FORMAT PARQUET)

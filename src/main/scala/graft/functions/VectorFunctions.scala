@@ -32,6 +32,21 @@ object VectorFunctions {
 
   def norm2(a: Column): Column = sqrt(dot(a, a))
 
+  /** Rows whose embedding has usable geometry: present, non-empty,
+    * nonzero norm. The shared entry guard for every cosine-family
+    * operator: under ANSI a zero-norm vector's cosine is a hard
+    * DIVIDE_BY_ZERO — one all-zero embedding row (a real failure
+    * mode of upstream encoders) would otherwise abort the whole job
+    * at 100 TB. Degenerate vectors are EXCLUDED, mirroring how SQL
+    * aggregates skip nulls (the CosinePairs contract). DuckDB oracle
+    * spelling of the same predicate:
+    * `list_sum(list_transform(embedding::DOUBLE[], x -> x*x)) > 0`
+    * — NULL lists give NULL (excluded), empty lists give NULL sum
+    * (excluded), zero vectors give 0 (excluded); unlike
+    * list_inner_product it never hard-errors on a NULL argument. */
+  def usableVec(e: Column): Column =
+    e.isNotNull && size(e) > 0 && dot(asDouble(e), asDouble(e)) > 0
+
   /** Cosine similarity of two double-array columns. */
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (norm2(a) * norm2(b))

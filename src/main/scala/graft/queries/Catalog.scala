@@ -332,7 +332,7 @@ object Catalog {
         // Norms once per row (500 sqrt+dot) instead of per pair; the
         // per-pair hot path is a single codegen'd dot product.
         val e = t(s, dir, "embeddings")
-          .filter($"embedding".isNotNull) // null vectors: no cosine, both sides
+          .filter(VF.usableVec($"embedding")) // zero-norm/empty: no geometry (ANSI /0)
           .select($"vec_id", VF.asDouble($"embedding").as("v"))
           .withColumn("nrm", sqrt(VF.dot($"v", $"v")))
         val q = e.select($"vec_id".as("qid"), $"v".as("qv"), $"nrm".as("qnrm"))
@@ -348,7 +348,8 @@ object Catalog {
           .orderBy($"qid", $"rank")
       },
       Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-             |          WHERE embedding IS NOT NULL),
+             |          WHERE list_sum(list_transform(
+             |                embedding::DOUBLE[], x -> x*x)) > 0),
              |s AS (SELECT q.vec_id AS qid, c.vec_id AS nid,
              |             list_dot_product(q.v, c.v) /
              |               (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS sim
@@ -584,7 +585,9 @@ object Catalog {
             round($"sim", 4).as("sim_r"))
           .orderBy($"vec_a", $"vec_b")
       },
-      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+             |          WHERE list_sum(list_transform(
+             |                embedding::DOUBLE[], x -> x*x)) > 0)
              |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
              |       round(list_dot_product(a.v, b.v) /
              |             (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) AS sim_r
@@ -610,6 +613,7 @@ object Catalog {
         // surviving pair pays one DotProduct however many tables it
         // collides in.
         val e = t(s, dir, "embeddings")
+          .filter(VF.usableVec($"embedding")) // zero-norm/empty: no geometry (ANSI /0)
           .select($"vec_id", VF.asDouble($"embedding").as("v"))
           .withColumn("bucket",
             explode(VF.hyperplaneBuckets($"v", bits = 6, tables = 16)))
@@ -619,6 +623,7 @@ object Catalog {
         val pairs = q.join(cands, Seq("bucket")).filter($"nid" =!= $"qid")
           .select($"qid", $"nid").dropDuplicates("qid", "nid")
         val vecs = t(s, dir, "embeddings")
+          .filter(VF.usableVec($"embedding"))
           .select($"vec_id", VF.asDouble($"embedding").as("v"))
         val sims = pairs
           .join(vecs.select($"vec_id".as("qid"), $"v".as("qv")), Seq("qid"))
@@ -850,6 +855,7 @@ object Catalog {
       (s, dir) => {
         import s.implicits._
         val e = t(s, dir, "embeddings")
+          .filter(VF.usableVec($"embedding")) // zero-norm/empty: no geometry (ANSI /0)
           .select($"vec_id", $"label", VF.asDouble($"embedding").as("v"))
         // Centroid components rounded to 6 dp: the avg's partial-sum
         // order differs across engines (and across runs under AQE), so
@@ -877,7 +883,9 @@ object Catalog {
                   round($"sim", 4).as("sim_r"))
           .orderBy($"vec_id")
       },
-      Some("""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+      Some("""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+             |          WHERE list_sum(list_transform(
+             |                embedding::DOUBLE[], x -> x*x)) > 0),
              |flat AS (SELECT label, unnest(v) AS x,
              |                unnest(range(1, len(v) + 1)) AS pos FROM e),
              |cent AS (SELECT label AS c_label,
@@ -1289,12 +1297,15 @@ object Catalog {
         // identical to q31, 6-dp rounded
         graft.operators.IvfAnn.topK(
           t(s, dir, "embeddings")
+            .filter(VF.usableVec($"embedding")) // zero-norm/empty: no geometry (ANSI /0)
             .select($"vec_id", $"label", VF.asDouble($"embedding").as("v")),
           isQuery = $"vec_id" < 10, nprobe = 2, k = 5)
           .select($"qid", $"nid", $"rank", round($"sim", 4).as("sim_r"))
           .orderBy($"qid", $"rank")
       },
-      Some("""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+      Some("""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+             |          WHERE list_sum(list_transform(
+             |                embedding::DOUBLE[], x -> x*x)) > 0),
              |flat AS (SELECT label, unnest(v) AS x,
              |                unnest(range(1, len(v) + 1)) AS pos FROM e),
              |cent AS (SELECT label AS c_label, array_agg(cx ORDER BY pos) AS cv
@@ -1359,7 +1370,13 @@ object Catalog {
       (s, dir) => {
         import s.implicits._
         val v = VF.asDouble($"embedding")
+        // size > 0 drops null AND empty arrays on both sides (DuckDB's
+        // len(NULL) > 0 is NULL -> excluded): element_at(.., 1) on an
+        // empty array is an ANSI error, and empty-array sum2x would
+        // read 0.0 here vs NULL in DuckDB. Zero VECTORS stay: array
+        // functions need no geometry.
         t(s, dir, "embeddings")
+          .filter(size($"embedding") > 0)
           .select($"vec_id",
             round(aggregate(transform(v, x => x * lit(2.0)),
                             lit(0.0), (acc, x) => acc + x), 4).as("sum2x"),
@@ -1372,7 +1389,7 @@ object Catalog {
              |                       'sum'), 4) AS sum2x,
              |  len(list_filter(embedding::DOUBLE[], x -> x > 0))::BIGINT AS n_pos,
              |  round(list_sort(embedding::DOUBLE[])[1], 4) AS min_val
-             |FROM embeddings ORDER BY vec_id""".stripMargin)),
+             |FROM embeddings WHERE len(embedding) > 0 ORDER BY vec_id""".stripMargin)),
 
     // ------------------------------------------------------------------
     // Q47: analytic window family — lag / lead / ntile / running frame
@@ -2171,6 +2188,7 @@ object Catalog {
       (s, dir) => {
         import s.implicits._
         val e = t(s, dir, "embeddings")
+          .filter(VF.usableVec($"embedding")) // zero-norm/empty: no geometry (ANSI /0)
           .select($"vec_id", $"label", VF.asDouble($"embedding").as("v"))
         val centroids = e
           .select($"label", posexplode($"v").as(Seq("pos", "x")))
@@ -2196,7 +2214,9 @@ object Catalog {
                count(lit(1)).as("n_members"))
           .orderBy($"cluster", $"pos")
       },
-      Some("""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+      Some("""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+             |          WHERE list_sum(list_transform(
+             |                embedding::DOUBLE[], x -> x*x)) > 0),
              |flat AS (SELECT label, unnest(v) AS x,
              |                unnest(range(1, len(v) + 1)) AS pos FROM e),
              |cent AS (SELECT label AS c_label,
@@ -3282,7 +3302,7 @@ object Catalog {
       (s, dir) => {
         import s.implicits._
         val e = t(s, dir, "embeddings")
-          .filter($"embedding".isNotNull) // null vectors: no cosine, both sides
+          .filter(VF.usableVec($"embedding")) // zero-norm/empty: no geometry (ANSI /0)
           .select($"vec_id", VF.asDouble($"embedding").as("v"))
         // int8 quantization: per-vector scale, codes in [-127, 127]
         val qd = e.select($"vec_id", $"v",
@@ -3313,7 +3333,8 @@ object Catalog {
       // Oracle: the EXACT brute-force top-5 (same as q13) — the
       // quantized shortlist must not lose a true neighbor.
       Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-             |          WHERE embedding IS NOT NULL),
+             |          WHERE list_sum(list_transform(
+             |                embedding::DOUBLE[], x -> x*x)) > 0),
              |s AS (SELECT q.vec_id AS qid, c.vec_id AS nid,
              |             list_dot_product(q.v, c.v) /
              |               (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS sim
@@ -3371,7 +3392,9 @@ object Catalog {
       Some("""WITH m AS (SELECT doc_id, lang, source,
              |                  md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
              |           FROM documents),
-             |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+             |     WHERE list_sum(list_transform(
+             |                embedding::DOUBLE[], x -> x*x)) > 0),
              |j AS (SELECT m.doc_id, m.lang, m.source, m.fp, e.v,
              |             sqrt(list_dot_product(e.v, e.v)) AS nrm
              |      FROM e JOIN m ON e.vec_id = m.doc_id)
@@ -3897,9 +3920,10 @@ object Catalog {
       (s, dir) => {
         import s.implicits._
         val e = t(s, dir, "embeddings")
-          // null vectors excluded on BOTH sides: count(lit(1)) would
-          // otherwise include a row whose cos every avg/min skips
-          .filter($"embedding".isNotNull)
+          // degenerate vectors excluded on BOTH sides: count(lit(1)) would
+          // otherwise include rows whose cos every avg/min skips, and a
+          // zero-norm vector's cosine is an ANSI DIVIDE_BY_ZERO
+          .filter(VF.usableVec($"embedding"))
           .select($"vec_id", $"label", VF.asDouble($"embedding").as("v"))
         val centroids = e
           .select($"label", posexplode($"v").as(Seq("pos", "x")))
@@ -3920,7 +3944,8 @@ object Catalog {
           .orderBy($"label")
       },
       Some("""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
-             |          WHERE embedding IS NOT NULL),
+             |          WHERE list_sum(list_transform(
+             |                embedding::DOUBLE[], x -> x*x)) > 0),
              |flat AS (SELECT label, unnest(v) AS x,
              |                unnest(range(1, len(v) + 1)) AS pos FROM e),
              |cent AS (SELECT label, array_agg(cx ORDER BY pos) AS cv
@@ -3956,6 +3981,7 @@ object Catalog {
       (s, dir) => {
         import s.implicits._
         val e = t(s, dir, "embeddings")
+          .filter(VF.usableVec($"embedding")) // zero-norm/empty: no geometry (ANSI /0)
           .select($"vec_id", VF.asDouble($"embedding").as("v"))
         val qv = e.filter($"vec_id" === 0).select($"v".as("qv")).scalar()
         val cosRank = graft.operators.GlobalRank.withRank(
@@ -3980,7 +4006,9 @@ object Catalog {
           .orderBy($"rrf".desc, $"doc_id")
           .limit(20)
       },
-      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+             |          WHERE list_sum(list_transform(
+             |                embedding::DOUBLE[], x -> x*x)) > 0),
              |qv AS (SELECT v AS qv FROM e WHERE vec_id = 0),
              |cr AS (SELECT vec_id AS doc_id,
              |              row_number() OVER (ORDER BY
@@ -4970,6 +4998,7 @@ object Catalog {
         import s.implicits._
         graft.operators.PqAnn.topK(
           t(s, dir, "embeddings")
+            .filter(VF.usableVec($"embedding")) // zero-norm/empty: no geometry (ANSI /0)
             .select($"vec_id", VF.asDouble($"embedding").as("v")),
           isQuery = $"vec_id" < 10, m = 8, subDim = 8, k = 5)
           .select($"qid", $"nid", $"rank", round($"sim", 4).as("sim_r"))
@@ -5746,6 +5775,7 @@ object Catalog {
       (s, dir) => {
         import s.implicits._
         val emb = t(s, dir, "embeddings")
+          .filter(VF.usableVec($"embedding")) // degenerate vectors: excluded both sides
           .select($"vec_id", VF.asDouble($"embedding").as("e"))
         def subs = array((0 until 8).map(i => slice($"e", i * 8 + 1, 8)): _*)
         val docSubs = emb.filter($"vec_id" =!= 1)
@@ -5761,7 +5791,9 @@ object Catalog {
           .orderBy($"maxsim_r".desc, $"vec_id")
           .limit(10)
       },
-      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+             |          WHERE list_sum(list_transform(
+             |                embedding::DOUBLE[], x -> x*x)) > 0),
              |q AS (SELECT e AS qe FROM e WHERE vec_id = 1),
              |m AS (SELECT d.vec_id, qi.i AS qi,
              |             max(list_inner_product(

@@ -90,7 +90,18 @@ class DegenerateInputsSpec extends SparkSpec {
           var d = base(t)
           d = nullify(d, "value", "event_id", 5)
           nullify(d, "event_type", "event_id", 7)
-        case "embeddings" => nullify(base(t), "embedding", "vec_id", 5)
+        case "embeddings" =>
+          // empty arrays and all-zero vectors are distinct classes from
+          // NULL: a zero-norm vector's cosine is an ANSI DIVIDE_BY_ZERO
+          // and element_at on an empty array throws — the whole ANN
+          // family aborted on exactly these before VF.usableVec
+          nullify(base(t), "embedding", "vec_id", 5)
+            .withColumn("embedding",
+              when(col("vec_id") % 13 === 1,
+                array().cast("array<float>"))
+              .when(col("vec_id") % 17 === 2,
+                transform(col("embedding"), _ => lit(0.0f)))
+              .otherwise(col("embedding")))
         case other => base(other)
       }
       write(dir, t, df)
