@@ -34,10 +34,11 @@ the whole job at 100 TB); NULL-doc divergences in q24/q57/q109/q114/
 q152/q153/q157/q164/q169/q172/q173, several caused by DuckDB's
 null-skipping greatest()/list handling vs Spark's, one (q169) by the
 ORACLE's three-valued CASE letting a NULL-gated doc fall through to
-'kept'. Known residue: q127 — one 4-order group's average lands on a
-2058392.365 rounding knife-edge where cross-engine float summation
-order splits the 2-dp round (same artifact class as the documented
-q116 residue; verified by direct evaluation of the unrounded value).
+'kept'. q127's one-group residue (a 2058392.365 rounding knife-edge
+where cross-engine float summation order split the 2-dp round) was
+CLOSED late in round 12 by carrying monetary in exact integer cents —
+integer-valued doubles below 2^53 sum exactly in any order — so the
+standing expectation for this gate is now **167 pass / 0 fail**.
 """
 import os
 import shutil

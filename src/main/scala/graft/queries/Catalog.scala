@@ -4410,11 +4410,20 @@ object Catalog {
       "q127_rfm_segments",
       (s, dir) => {
         import s.implicits._
+        // Monetary is carried in CENTS as exact integers: money sums
+        // over doubles are summation-ORDER-dependent in the last ulp,
+        // and the degenerate gate measured a group avg landing on a
+        // 2-dp rounding knife-edge where the engines' different sum
+        // orders split .36 vs .37. Integer-valued doubles below 2^53
+        // sum exactly in ANY order, so cents make every aggregate —
+        // per-customer totals, quantile cuts, group averages —
+        // bit-identical across engines by construction (the q116
+        // closure pattern, applied one level earlier).
         val cust = t(s, dir, "orders")
           .groupBy($"o_custkey")
           .agg(max(to_date($"o_orderdate")).as("last_d"),
                count(lit(1)).as("freq"),
-               sum($"o_totalprice").as("monetary"))
+               sum(round($"o_totalprice" * 100).cast("long")).as("monetary"))
         val mx = cust.agg(max($"last_d").as("mx")).scalar()
         val graded = cust.withColumn("recency_d", datediff(mx, $"last_d"))
         val cuts = graded.agg(
@@ -4439,12 +4448,16 @@ object Catalog {
               ($"monetary" > $"m3").cast("long")).as("m_score"),
             $"monetary")
           .groupBy($"r_score", $"f_score", $"m_score")
+          // avg over exact cents is order-independent; back to dollars
+          // rounded to the cent via the q116 floor spelling (single
+          // identical IEEE ops on an identical double)
           .agg(count(lit(1)).as("n_customers"),
-               round(avg($"monetary"), 2).as("avg_monetary"))
+               (floor(avg($"monetary") + 0.5) / 100).as("avg_monetary"))
           .orderBy($"r_score", $"f_score", $"m_score")
       },
       Some("""WITH cust AS (SELECT o_custkey, CAST(max(o_orderdate) AS DATE) AS last_d,
-             |                     count(*) AS freq, sum(o_totalprice) AS monetary
+             |                     count(*) AS freq,
+             |                     sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS monetary
              |              FROM orders GROUP BY 1),
              |g AS (SELECT *, date_diff('day', last_d, (SELECT max(last_d) FROM cust)) AS recency_d
              |      FROM cust),
@@ -4459,7 +4472,8 @@ object Catalog {
              |             WHEN recency_d <= r3 THEN 2 ELSE 1 END)::BIGINT AS r_score,
              |       (1 + (freq > f1)::INT + (freq > f2)::INT + (freq > f3)::INT)::BIGINT AS f_score,
              |       (1 + (monetary > m1)::INT + (monetary > m2)::INT + (monetary > m3)::INT)::BIGINT AS m_score,
-             |       count(*) AS n_customers, round(avg(monetary), 2) AS avg_monetary
+             |       count(*) AS n_customers,
+             |       floor(avg(monetary) + 0.5) / 100 AS avg_monetary
              |FROM g, cuts GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin)),
 
     // ------------------------------------------------------------------
