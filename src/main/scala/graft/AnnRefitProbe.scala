@@ -58,7 +58,12 @@ object AnnRefitProbe {
     val spark = graft.engine.Graft.session(s"local[$cpus]", cpus.toInt)
     import spark.implicits._
 
+    // same input contract as the graded ANN queries (q44): NULL/empty/
+    // zero-norm vectors are excluded up front, so a degenerate corpus
+    // (e.g. a make_degenerate_corpus output) cannot poison the
+    // brute-force truth or the fitCells seeding with 0/0 cosines
     val e = graft.sources.Tables.embeddings(spark, dir)
+      .filter(VF.usableVec($"embedding"))
       .select($"vec_id", $"label", VF.asDouble($"embedding").as("v"))
       .cache()
     val n = e.count()

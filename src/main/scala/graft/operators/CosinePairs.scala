@@ -274,15 +274,37 @@ object CosinePairs {
       .toDF("id_a", "id_b", "sim")
   }
 
+  /** Hard ceiling on [[exact]]'s driver-side matrix build: 2^18
+    * vectors (~134 MB of doubles at dim 64 — comfortably inside a
+    * 16 g driver, orders of magnitude above the declared exact tier's
+    * gate corpora). A corpus past the ceiling gets a CONTRACT error
+    * naming the scale route instead of a driver OOM mid-collect —
+    * the same loud-budget style as Ewma/PrefixScan's maxCarry. */
+  val maxExactRows: Int = 1 << 18
+
   /** All (id_a < id_b) pairs with cosine >= threshold, as columns
     * (id_a, id_b, sim); `sim` is the raw double — callers round for
     * presentation. Input ids must be distinct.
+    *
+    * Declared EXACT tier only (n <= [[maxExactRows]]): the matrix is
+    * collected to the driver as the broadcast build. Beyond the
+    * ceiling use [[clustered]] (blocked kernel, same within-block
+    * arithmetic, recall measured in its scaladoc) or [[exactBlocked]]
+    * (exact, no driver matrix).
     */
   def exact(vecs: Dataset[(Long, Array[Double])], threshold: Double): DataFrame = {
     val spark = vecs.sparkSession
     import spark.implicits._
-    // null vectors excluded (object doc)
-    val matrix = vecs.filter(_._2 != null).collect().sortBy(_._1)
+    // null vectors excluded (object doc); limit BEFORE collect so an
+    // over-budget corpus is refused without first materializing it
+    // on the driver
+    val matrix =
+      vecs.filter(_._2 != null).limit(maxExactRows + 1).collect().sortBy(_._1)
+    require(matrix.length <= maxExactRows,
+      s"CosinePairs.exact collects the full vector matrix to the driver and " +
+      s"the input exceeds its exact-tier budget ($maxExactRows rows): use " +
+      s"CosinePairs.clustered (blocked production route) or exactBlocked " +
+      s"(exact, no driver matrix) instead")
     val n = matrix.length
     val ids = matrix.map(_._1)
     val norms = matrix.map(m => selfNorm(m._2))

@@ -49,14 +49,31 @@ object IvfAnn {
     * doubles against a corpus scan (assignment is map-side; the only
     * shuffle is the (cell, pos) mean), then a localCheckpoint
     * truncates the per-iteration lineage so `iters` chains don't
-    * stack into one giant plan. Cost is O(iters · n · nlist · dim)
+    * stack into one giant plan. The corpus frame itself is
+    * checkpoint-pinned on entry with its norms precomputed, so the
+    * CALLER's upstream lineage executes exactly once no matter how
+    * many passes re-read it (spec: AnnFrontierSpec's
+    * single-upstream-execution test). Cost is O(iters · n · nlist · dim)
     * dot products — the standard IVF training bill; at 100 TB fit on
     * a sample (the cells only need the density shape), re-label the
     * full corpus with one final broadcast assignment pass.
     */
   def fitCells(e: DataFrame, nlist: Int, iters: Int = 5): DataFrame = {
     require(nlist > 0 && iters >= 0, s"nlist=$nlist iters=$iters")
-    val valid = e.filter(col("v").isNotNull && VF.dot(col("v"), col("v")) > 0)
+    // Pinned, with the norm hoisted: the seed selection, EVERY Lloyd
+    // iteration's assignment pass, and the final relabeling all
+    // re-read this frame — without the checkpoint each re-read
+    // re-executes the CALLER's upstream lineage (invisible on q44's
+    // bare parquet scan, multiplying the dominant cost for any
+    // derived-frame caller), the exact trap CosinePairs.clustered's
+    // pinned frame documents. Tracked, not released here: the
+    // RETURNED relabeled corpus reads it too, so release belongs to
+    // the caller's quiesce point (Checkpoints.releaseAll). `nrm` is
+    // computed once here instead of once per assignment pass.
+    val valid = Checkpoints.track(
+      e.filter(col("v").isNotNull && VF.dot(col("v"), col("v")) > 0)
+        .withColumn("nrm", sqrt(VF.dot(col("v"), col("v"))))
+        .localCheckpoint(eager = false))
     var centroids = valid
       .withColumn("h", xxhash64(col("vec_id")))
       .orderBy(col("h"), col("vec_id")).limit(nlist)
@@ -67,10 +84,20 @@ object IvfAnn {
       val cb = broadcast(cents.withColumn("cnrm", sqrt(VF.dot(col("cv"), col("cv")))))
       val wv = Window.partitionBy(col("vec_id"))
         .orderBy(col("csim").desc, col("c_label"))
-      corpus.withColumn("nrm", sqrt(VF.dot(col("v"), col("v"))))
+      // cnrm guard: corpus vectors are norm-filtered above, but a
+      // Lloyd CELL MEAN can round (6 dp) to an all-zero centroid on
+      // adversarial clouds (the --mutate corpora's sign-scrambled
+      // replicas) — unguarded, that puts the ANSI DIVIDE_BY_ZERO the
+      // usableVec entry guard eliminates right back into the refit.
+      // A degenerate centroid scores below every real cosine (-2), so
+      // it attracts rows only if every centroid degenerated — the fit
+      // stays total instead of aborting or silently dropping rows.
+      corpus
         .join(cb)
         .select(col("vec_id"), col("v"), col("c_label"),
-                (VF.dot(col("v"), col("cv")) / (col("nrm") * col("cnrm"))).as("csim"))
+                when(col("cnrm") > 0,
+                     VF.dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")))
+                  .otherwise(lit(-2.0)).as("csim"))
         .withColumn("rn", row_number().over(wv)).filter(col("rn") === 1)
     }
     for (_ <- 1 to iters) {

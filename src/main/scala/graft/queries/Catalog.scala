@@ -2810,10 +2810,19 @@ object Catalog {
     // ------------------------------------------------------------------
     // Q89: vocabulary coverage curve — cumulative corpus share of the
     // top-k token types at rank checkpoints (every 5 up to 40). The
-    // token aggregation collapses the corpus to |vocab| rows before
-    // any window runs, so the global rank window is over the (small)
-    // vocabulary, never the corpus — the tokenizer-design question
-    // "how big must V be" as one aggregation + one tiny window.
+    // query only ever consumes ranks <= 40, so the top-40 is taken by
+    // a distributed sort+limit (per-partition top-40, one tiny merge)
+    // and the rank/cumsum window runs over THOSE 40 ROWS ONLY — never
+    // an unpartitioned window over the full vocabulary, which over a
+    // 100 TB web corpus is heavy-tailed (URLs, numbers, typos:
+    // billions of token types funneled through one task). The grand
+    // total is a separate one-row aggregate over the SAME token-count
+    // exchange (ReuseExchange: the corpus is tokenized and shuffled
+    // once; both branches read that shuffle), cross-joined broadcast
+    // onto the 8 checkpoint rows. The constant `g` partition key is
+    // load-bearing only in that it keeps the 40-row window's
+    // partitioning DEFINED (bounded input, no single-partition
+    // corpus-grain stage — asserted in PlanAssertionsSpec).
     Query(
       "q89_vocab_coverage",
       (s, dir) => {
@@ -2821,12 +2830,21 @@ object Catalog {
         val f = t(s, dir, "documents")
           .select(explode(TF.tokens($"text")).as("term"))
           .groupBy($"term").agg(count(lit(1)).as("n"))
-        val ord = Window.orderBy($"n".desc, $"term")
-        f.withColumn("vocab_size", row_number().over(ord).cast("long"))
+        // `g` is constant 0 for every row, but spelled as a pmod of a
+        // hash: a literal (or n*0 — Spark 4 simplifies multiply-by-
+        // zero on non-null inputs) is folded and then ELIMINATED from
+        // the window spec by EliminateWindowPartitions, reverting to
+        // an undefined-partition WindowExec (verified on the plan).
+        // Cost: one hash exchange of exactly 40 rows.
+        val top = f.orderBy($"n".desc, $"term").limit(40)
+          .withColumn("g", pmod(xxhash64($"term"), lit(1)))
+        val total = f.agg(sum($"n").as("total"))
+        val ord = Window.partitionBy($"g").orderBy($"n".desc, $"term")
+        top.withColumn("vocab_size", row_number().over(ord).cast("long"))
           .withColumn("cum", sum($"n").over(
             ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-          .withColumn("total", sum($"n").over(Window.partitionBy()))
           .filter($"vocab_size" % 5 === 0 && $"vocab_size" <= 40)
+          .crossJoin(broadcast(total))
           .select($"vocab_size", $"term".as("last_term"), $"n".as("term_freq"),
                   round($"cum".cast("double") / $"total", 6).as("coverage"))
           .orderBy($"vocab_size")
@@ -4134,10 +4152,23 @@ object Catalog {
         import s.implicits._
         val toks = t(s, dir, "documents")
           .select($"doc_id", posexplode(TF.tokens(lower($"text"))).as(Seq("pos", "tok")))
+        // Vocab = top-1000 by (cnt DESC, tok): the sort+limit is a
+        // distributed per-partition top-1000 with one bounded merge,
+        // and the id-assignment window runs over THOSE 1000 ROWS only
+        // — never an unpartitioned rank over the full (heavy-tailed,
+        // corpus-scale) token-type frame. Identical ids to the old
+        // rank-then-filter spelling because (cnt DESC, tok) is a
+        // total order. The constant `g` keeps the bounded window's
+        // partitioning defined (PlanAssertionsSpec pins the shape);
+        // spelled as a pmod-of-hash because a literal (or cnt*0)
+        // would be folded and eliminated from the window spec
+        // (EliminateWindowPartitions) — q89's rationale, one hash
+        // exchange of exactly 1000 rows.
         val vocab = toks.groupBy($"tok").agg(count(lit(1)).as("cnt"))
+          .orderBy($"cnt".desc, $"tok").limit(1000)
+          .withColumn("g", pmod(xxhash64($"tok"), lit(1)))
           .withColumn("id", row_number().over(
-            Window.orderBy($"cnt".desc, $"tok")).cast("long"))
-          .filter($"id" <= 1000)
+            Window.partitionBy($"g").orderBy($"cnt".desc, $"tok")).cast("long"))
           .select($"tok", $"id")
         toks.join(broadcast(vocab), Seq("tok"), "left")
           .select($"doc_id", $"pos", coalesce($"id", lit(0L)).as("id"))

@@ -152,6 +152,48 @@ class AnnFrontierSpec extends SparkSpec {
     } finally e.unpersist()
   }
 
+  test("fitCells: the caller's upstream lineage executes ONCE, not once per Lloyd pass") {
+    import spark.implicits._
+    // the upstream is instrumented with a typed map (opaque to
+    // Catalyst — exactly one evaluation per row per physical pass);
+    // without the entry checkpoint, seeds + iters assignments + the
+    // final relabel each re-execute it: iters=4 would read >= 6n rows
+    val acc = spark.sparkContext.longAccumulator("upstreamRows")
+    val n = 100
+    val rows = (0 until n).map(i =>
+      (i.toLong, 0L, Array.tabulate(4)(j => ((i % 7) + j + 1).toDouble)))
+    val src = spark.createDataset(rows)
+      .map { r => acc.add(1); r }
+      .toDF("vec_id", "label", "v")
+    val out = IvfAnn.fitCells(src, nlist = 2, iters = 4)
+    assert(out.count() == n)
+    // <= 2n, not == n: the entry checkpoint is lazy, and the first job
+    // reads the frame from two subtrees (seed selection + corpus side)
+    // whose tasks can race before the blocks land — every later pass
+    // reads blocks only. Unpinned, this would be >= 6n.
+    assert(acc.value <= 2L * n,
+      s"fitCells re-executed the caller's upstream lineage: ${acc.value} rows read for n=$n")
+  }
+
+  test("fitCells: a cell mean that rounds to the zero vector cannot abort the refit") {
+    import spark.implicits._
+    // nlist=1 on a sign-symmetric cloud: the first Lloyd mean is
+    // EXACTLY the zero vector, whose cosine is 0/0 — unguarded, the
+    // next assignment pass dies with ANSI DIVIDE_BY_ZERO (one
+    // adversarial cloud = a dead refit at 100 TB). The guard scores
+    // the degenerate centroid below every real cosine instead, so the
+    // fit stays total: every input row comes back labeled.
+    val cross = Seq(
+      Array(1.0, 0.0), Array(-1.0, 0.0), Array(0.0, 1.0), Array(0.0, -1.0))
+    val rows = for (rep <- 0 until 5; (v, i) <- cross.zipWithIndex)
+      yield (rep * 4L + i, 0L, v)
+    val e = spark.createDataset(rows).toDF("vec_id", "label", "v")
+    val fitted = IvfAnn.fitCells(e, nlist = 1, iters = 2)
+    assert(fitted.count() == rows.size.toLong,
+      "zero-mean centroid must not abort or drop rows")
+    assert(fitted.select($"label").distinct().count() == 1)
+  }
+
   test("int8 scalar quantization reproduces the exact float top-5 on this corpus") {
     import spark.implicits._
     val want = exactTopK(corpus, 5)

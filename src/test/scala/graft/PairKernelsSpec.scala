@@ -78,6 +78,20 @@ class PairKernelsSpec extends SparkSpec {
     assert(CosinePairs.exact(one, 0.0).count() == 0)
   }
 
+  test("CosinePairs.exact refuses an over-budget corpus loudly, naming the scale route") {
+    import spark.implicits._
+    // one row past the exact-tier ceiling: the guard must fire BEFORE
+    // the driver materializes an O(n*d) matrix, and the error must
+    // point at the blocked production route, not just say "too big"
+    val over = spark.range(CosinePairs.maxExactRows + 1L)
+      .map(i => (i.toLong, Array(1.0)))
+    val ex = intercept[IllegalArgumentException] {
+      CosinePairs.exact(over, 0.9)
+    }
+    assert(ex.getMessage.contains("exact-tier budget"), ex.getMessage)
+    assert(ex.getMessage.contains("CosinePairs.clustered"), ex.getMessage)
+  }
+
   test("GlobalRank.withRank equals row_number over the same total order") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)

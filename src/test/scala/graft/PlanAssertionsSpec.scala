@@ -156,6 +156,45 @@ class PlanAssertionsSpec extends SparkSpec {
       s"grid/cell joins must broadcast, not SMJ:\n${p.take(3000)}")
   }
 
+  test("q89: rank/cumsum windows run over the TakeOrdered top-40, never the full vocabulary") {
+    val p = plan("q89_vocab_coverage")
+    // the query consumes ranks <= 40 only, so the top-40 must come out
+    // of a distributed sort+limit (per-partition top-40, one bounded
+    // merge) — NOT a rank-then-filter over every token type (heavy-
+    // tailed: billions of types on a web corpus, one task)
+    assert(p.contains("TakeOrderedAndProject(limit=40"),
+      s"top-40 must be a distributed TakeOrdered:\n${p.take(3000)}")
+    // exactly one Window, and it must carry a DEFINED partition spec
+    // (the constant g): an unpartitioned window here means the
+    // full-vocab single-task rank regression came back
+    assert(countOf(p, "Window [") == 1, s"expected one Window:\n${p.take(3000)}")
+    assert(p.contains("], [g#"),
+      s"coverage window lost its defined partition spec:\n${p.take(3000)}")
+    // executed plans print top-down: the Window must consume the
+    // TakeOrdered frame, i.e. appear ABOVE it in the same subtree
+    assert(p.indexOf("Window [") < p.indexOf("TakeOrderedAndProject"),
+      s"window does not read the TakeOrdered frame:\n${p.take(3000)}")
+    // the grand total rides a broadcast onto 8 checkpoint rows
+    assert(p.contains("BroadcastNestedLoopJoin BuildRight, Cross") ||
+           p.contains("BroadcastExchange IdentityBroadcastMode"),
+      s"one-row total must broadcast, not shuffle:\n${p.take(3000)}")
+  }
+
+  test("q121: vocab id window runs over the TakeOrdered top-1000, never the full token-type frame") {
+    val p = plan("q121_vocab_encode")
+    assert(p.contains("TakeOrderedAndProject(limit=1000"),
+      s"vocab must be a distributed top-1000, not rank-then-filter:\n${p.take(3000)}")
+    assert(countOf(p, "Window [") == 1, s"expected one Window:\n${p.take(3000)}")
+    assert(p.contains("], [g#"),
+      s"vocab id window lost its defined partition spec:\n${p.take(3000)}")
+    assert(p.indexOf("Window [") < p.indexOf("TakeOrderedAndProject"),
+      s"window does not read the TakeOrdered frame:\n${p.take(3000)}")
+    // the 1000-row vocab must broadcast back over the exploded corpus
+    assert(p.contains("BroadcastHashJoin"), "vocab join-back must broadcast")
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus side must not SMJ on tok:\n${p.take(3000)}")
+  }
+
   test("q90: bigram count joins broadcast back over the exploded corpus") {
     val p = plan("q90_bigram_nll")
     assert(!p.contains("SortMergeJoin"),
