@@ -59,7 +59,11 @@ object ScaleBench {
     * Applied to the exploded frame BEFORE `__rep` is dropped; replica
     * 0 always keeps the original bytes so factor=1 mutate ==
     * unmutated. The `r<rep>_` prefix is self-delimiting (rep digits
-    * cannot contain `_`), so no two replicas can collide on a token. */
+    * cannot contain `_`), so no two MUTATED replicas can collide on a
+    * token — collision-freedom against replica 0 additionally relies
+    * on the source corpus containing no tokens that already start
+    * with `r<digits>_` (true of the synthetic testdata; a corpus
+    * violating it would make an original token alias a mutation). */
   private[graft] def mutateContent(name: String, d: DataFrame): DataFrame = name match {
     case "documents" =>
       d.withColumn("text", when(col("__rep") === 0 || col("text").isNull, col("text"))
