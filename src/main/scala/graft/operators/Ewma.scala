@@ -86,7 +86,16 @@ object Ewma {
         s"rescale (q=$q); use segLen <= ${math.min(512, maxSeg)}"
     })
     val keyCols = keys.map(col)
-    val wKey = Window.partitionBy(keyCols: _*).orderBy(col(orderCol))
+    // keyless series: pin the index window's partition spec to a
+    // constant (WindowPins.gpin) — same single group over the
+    // grain-collapsed series frame, but the spec stays DEFINED, so
+    // WindowExec doesn't warn and plan audits can tell this bounded
+    // spine from a corpus-grain funnel. Keyed series partition as-is.
+    val wKey =
+      if (keyCols.isEmpty)
+        Window.partitionBy(graft.functions.WindowPins.gpin(col(orderCol)))
+          .orderBy(col(orderCol))
+      else Window.partitionBy(keyCols: _*).orderBy(col(orderCol))
     val z = when(col(valueCol).isNull, lit(0.0))
       .otherwise(col(valueCol).cast("double") *
         when(col("__e_i") === 1, lit(1.0)).otherwise(lit(alpha)))

@@ -35,8 +35,11 @@ object MixturePlan {
     import spark.implicits._
     val perSource = docs.groupBy($"source")
       .agg(count(lit(1)).as("n_docs"), sum(tokCol).as("n_toks"))
-    // bounded-grain window: |sources| rows
+    // bounded-grain window: |sources| rows; gpin keeps the spec
+    // defined (no single-partition warning, audit-distinguishable
+    // from a corpus-grain window)
     val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(graft.functions.WindowPins.gpin($"source"))
       .orderBy($"source")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.unboundedFollowing)

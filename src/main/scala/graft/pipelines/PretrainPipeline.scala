@@ -221,9 +221,14 @@ object PretrainPipeline {
     val dropCounts = perDoc
       .groupBy($"stage_no").agg(count(lit(1)).as("n_dropped"))
     val spine = names.toDF("stage_no", "stage")
-    val wAll = Window.orderBy($"stage_no")
+    // gpin: the stage spine is <= 8 rows by construction; the constant
+    // partition key keeps the window spec defined (no WindowExec
+    // warning, distinguishable from a corpus-grain funnel in audits)
+    val wAll = Window.partitionBy(graft.functions.WindowPins.gpin($"stage_no"))
+      .orderBy($"stage_no")
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val wBefore = Window.orderBy($"stage_no")
+    val wBefore = Window.partitionBy(graft.functions.WindowPins.gpin($"stage_no"))
+      .orderBy($"stage_no")
       .rowsBetween(Window.unboundedPreceding, -1)
     spine
       .join(dropCounts, Seq("stage_no"), "left")

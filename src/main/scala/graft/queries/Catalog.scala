@@ -7,6 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.sources.Tables
 import graft.operators.{AsOfJoin, CdcMerge, IntervalJoin}
 import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
+import graft.functions.WindowPins.gpin
 
 /** One declared engine query: Spark implementation + (when
   * SQL-expressible) the equivalent ANSI SQL for the DuckDB oracle.
@@ -2354,7 +2355,8 @@ object Catalog {
           .agg(count(lit(1)).as("n_docs"),
                round(avg($"n_chars"), 4).as("avg_chars"))
           .withColumn("share",
-            round($"n_docs" / sum($"n_docs").over(Window.partitionBy()), 6))
+            round($"n_docs" / sum($"n_docs")
+              .over(Window.partitionBy(gpin($"source"))), 6))
           .select($"source", $"lang", $"n_docs", $"share", $"avg_chars")
           .orderBy($"source", $"lang")
       },
@@ -2380,7 +2382,8 @@ object Catalog {
           .groupBy($"source")
           .agg(count(lit(1)).as("n_docs"))
           .withColumn("w07", pow($"n_docs", 0.7d))
-          .withColumn("weight", round($"w07" / sum($"w07").over(Window.partitionBy()), 6))
+          .withColumn("weight", round($"w07" / sum($"w07")
+            .over(Window.partitionBy(gpin($"source"))), 6))
           .select($"source", $"n_docs", $"weight",
             round($"weight" * 10000, 0).cast("long").as("docs_per_epoch"))
           .orderBy($"source")
@@ -2781,7 +2784,8 @@ object Catalog {
         val docs = t(s, dir, "documents")
         val w07 = docs.groupBy($"source").agg(count(lit(1)).as("n_docs"))
           .withColumn("weight",
-            round(pow($"n_docs", 0.7d) / sum(pow($"n_docs", 0.7d)).over(Window.partitionBy()), 6))
+            round(pow($"n_docs", 0.7d) / sum(pow($"n_docs", 0.7d))
+              .over(Window.partitionBy(gpin($"source"))), 6))
         val tgt = w07.select($"source",
           least($"n_docs", round($"weight" * 200, 0).cast("long")).as("target_n"))
         val w = Window.partitionBy($"source")
@@ -2830,14 +2834,11 @@ object Catalog {
         val f = t(s, dir, "documents")
           .select(explode(TF.tokens($"text")).as("term"))
           .groupBy($"term").agg(count(lit(1)).as("n"))
-        // `g` is constant 0 for every row, but spelled as a pmod of a
-        // hash: a literal (or n*0 — Spark 4 simplifies multiply-by-
-        // zero on non-null inputs) is folded and then ELIMINATED from
-        // the window spec by EliminateWindowPartitions, reverting to
-        // an undefined-partition WindowExec (verified on the plan).
-        // Cost: one hash exchange of exactly 40 rows.
+        // `g` is constant 0 for every row (WindowPins.gpin: a literal
+        // would be folded and eliminated from the window spec). Cost:
+        // one hash exchange of exactly 40 rows.
         val top = f.orderBy($"n".desc, $"term").limit(40)
-          .withColumn("g", pmod(xxhash64($"term"), lit(1)))
+          .withColumn("g", gpin($"term"))
         val total = f.agg(sum($"n").as("total"))
         val ord = Window.partitionBy($"g").orderBy($"n".desc, $"term")
         top.withColumn("vocab_size", row_number().over(ord).cast("long"))
@@ -3798,7 +3799,8 @@ object Catalog {
                avg($"o_totalprice").as("avg_price"))
         byDow
           .withColumn("season_idx",
-            round($"avg_price" / avg($"avg_price").over(Window.partitionBy()), 4))
+            round($"avg_price" / avg($"avg_price")
+              .over(Window.partitionBy(gpin($"dow"))), 4))
           .select($"dow", $"n_orders", round($"avg_price", 2).as("avg_price_r"),
                   $"season_idx")
           .orderBy($"dow")
@@ -4158,15 +4160,12 @@ object Catalog {
         // — never an unpartitioned rank over the full (heavy-tailed,
         // corpus-scale) token-type frame. Identical ids to the old
         // rank-then-filter spelling because (cnt DESC, tok) is a
-        // total order. The constant `g` keeps the bounded window's
-        // partitioning defined (PlanAssertionsSpec pins the shape);
-        // spelled as a pmod-of-hash because a literal (or cnt*0)
-        // would be folded and eliminated from the window spec
-        // (EliminateWindowPartitions) — q89's rationale, one hash
-        // exchange of exactly 1000 rows.
+        // total order. The constant `g` (WindowPins.gpin) keeps the
+        // bounded window's partitioning defined — PlanAssertionsSpec
+        // pins the shape; one hash exchange of exactly 1000 rows.
         val vocab = toks.groupBy($"tok").agg(count(lit(1)).as("cnt"))
           .orderBy($"cnt".desc, $"tok").limit(1000)
-          .withColumn("g", pmod(xxhash64($"tok"), lit(1)))
+          .withColumn("g", gpin($"tok"))
           .withColumn("id", row_number().over(
             Window.partitionBy($"g").orderBy($"cnt".desc, $"tok")).cast("long"))
           .select($"tok", $"id")
@@ -4413,10 +4412,10 @@ object Catalog {
           .groupBy($"digit")
           .agg(count(lit(1)).as("n"))
           .withColumn("share_r", round($"n".cast("double") /
-            sum($"n").over(Window.partitionBy()), 4))
+            sum($"n").over(Window.partitionBy(gpin($"digit"))), 4))
           .withColumn("benford_r", round(log10(lit(1.0) + lit(1.0) / $"digit"), 4))
           .withColumn("dev_r", round($"n".cast("double") /
-            sum($"n").over(Window.partitionBy()) -
+            sum($"n").over(Window.partitionBy(gpin($"digit"))) -
             log10(lit(1.0) + lit(1.0) / $"digit"), 4))
           .orderBy($"digit")
       },
@@ -4668,7 +4667,7 @@ object Catalog {
       "q131_peak_days",
       (s, dir) => {
         import s.implicits._
-        val w = Window.orderBy($"day")
+        val w = Window.partitionBy(gpin($"day")).orderBy($"day")
         t(s, dir, "events")
           .groupBy(to_date($"ts").as("day"))
           .agg(count(lit(1)).as("n"))
@@ -4933,7 +4932,7 @@ object Catalog {
           .groupBy(to_date($"ts").as("day"))
           .agg(count(lit(1)).as("n"))
         val tot = d.agg(count(lit(1)).as("nt"), sum($"n").as("st"))
-        val w = Window.orderBy($"day")
+        val w = Window.partitionBy(gpin($"day")).orderBy($"day")
         d.withColumn("cs", sum($"n").over(w))
           .withColumn("i", row_number().over(w).cast("long"))
           .crossJoin(broadcast(tot))
@@ -5111,7 +5110,8 @@ object Catalog {
         val d = t(s, dir, "events")
           .groupBy(to_date($"ts").as("day"))
           .agg(count(lit(1)).as("n"))
-          .withColumn("i", row_number().over(Window.orderBy($"day")).cast("long"))
+          .withColumn("i", row_number().over(
+            Window.partitionBy(gpin($"day")).orderBy($"day")).cast("long"))
         d.as("x").join(d.as("y"), $"y.i" <= $"x.i")
           .groupBy($"x.day".as("day"), $"x.n".as("n"))
           .agg(round(sum(

@@ -156,6 +156,33 @@ class PlanAssertionsSpec extends SparkSpec {
       s"grid/cell joins must broadcast, not SMJ:\n${p.take(3000)}")
   }
 
+  test("catalog-wide: NO query plans an unpartitioned WindowExec") {
+    // The standing invariant behind graft.WindowScan: every window in
+    // every catalog query carries a DEFINED partition spec — real keys
+    // for corpus-grain windows, WindowPins.gpin for intentionally
+    // single-group windows over bounded (grain-collapsed) frames. An
+    // empty spec is either a corpus-grain single-task funnel (a scale
+    // bug) or a missing pin (re-introduces the WindowExec warning that
+    // buries real regressions) — both fail here, naming the query.
+    // AQE off for the scan only: AdaptiveSparkPlanExec is a leaf
+    // wrapper that collect() cannot see through; window partitioning
+    // is decided before AQE, so the verdict is identical.
+    import org.apache.spark.sql.execution.window.WindowExec
+    val key = "spark.sql.adaptive.enabled"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try {
+      val offenders = Catalog.all.flatMap { q =>
+        val bare = q.run(spark, dir).queryExecution.executedPlan.collect {
+          case w: WindowExec if w.partitionSpec.isEmpty => w
+        }
+        if (bare.isEmpty) Nil else Seq(s"${q.name} (${bare.size})")
+      }
+      assert(offenders.isEmpty,
+        s"unpartitioned WindowExec in: ${offenders.mkString(", ")}")
+    } finally spark.conf.set(key, prev)
+  }
+
   test("q89: rank/cumsum windows run over the TakeOrdered top-40, never the full vocabulary") {
     val p = plan("q89_vocab_coverage")
     // the query consumes ranks <= 40 only, so the top-40 must come out
