@@ -1,0 +1,141 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextFunctions => TF}
+
+/** Exact duplicated-SPAN accounting over a document corpus — the
+  * substring-level dedup statistic of Lee et al., "Deduplicating
+  * Training Data Makes Language Models Better" (ACL 2022): a token
+  * position is duplicated iff the k-gram starting there also occurs
+  * elsewhere, and a document's duplication is the size of the UNION
+  * of those k-token intervals (not the gram count — overlapping grams
+  * of one copied run must not double-count).
+  *
+  * The paper builds a single-node suffix array; the distributed
+  * spelling is positional k-gram hashing: every shared run of
+  * ≥ k tokens shares all its interior k-grams, so interval-union over
+  * duplicated gram positions recovers exactly the tokens inside
+  * duplicated runs (runs shorter than k are below the resolution by
+  * construction, same contract as the paper's minimum match length).
+  *
+  * Two consumers with deliberately different duplicate predicates:
+  *  - [[coverage]] (q174): a gram is duplicated iff it occurs in
+  *    ≥ `minDocs` DISTINCT documents — the corpus-overlap measurement
+  *    a filtering decision reads (within-doc repetition is q53's
+  *    separate axis).
+  *  - [[removalPlan]] (q175): every occurrence (within-doc repeats
+  *    included) of a gram occurring ≥ 2 times loses to the globally
+  *    first occurrence (min (doc_id, pos)) — the first-wins transform
+  *    the paper actually applies; the per-doc removed-token count is
+  *    the interval union of its LOSING occurrences.
+  *
+  * Scale shape (100 TB): the gram table is one `posexplode` scan of
+  * ~|corpus tokens| rows keyed by an 8-byte hash — the honest price of
+  * EXACT substring dedup (the distributed equivalent of the paper's
+  * suffix-array pass). Both duplicate predicates are partial-agg
+  * friendly (count-distinct / min-struct on the hash key — no per-hash
+  * window, so a boilerplate gram occurring in millions of documents is
+  * a skewed AGGREGATION key, which map-side combine absorbs, never a
+  * single-task window partition). The only windows are per-document
+  * (bounded by document length). The sampled alternative at the same
+  * granularity is winnowing ([[Winnow]], q149/q158: ~2/(w+1) of
+  * positions, exact recall only on runs ≥ k+w−1); coarse granularity
+  * is chunk fingerprinting (q81/q109).
+  *
+  * Hashing is the oracle-reproducible md5-prefix long
+  * ([[Winnow.gramHash]]); documents shorter than k tokens contribute
+  * no grams (guarded explicitly — [[graft.functions.WordShingles]]
+  * would otherwise emit one whole-text shingle, which the
+  * `generate_series(1, n-k+1)` oracle spelling never sees).
+  */
+object DupSpans {
+
+  /** Positional k-gram hashes: (idCol, pos, h), pos 1-based, only
+    * documents with ≥ k tokens and non-NULL text contribute. */
+  def grams(docs: DataFrame, textCol: String, idCol: String, k: Int): DataFrame = {
+    val id = col(idCol)
+    docs
+      .filter(col(textCol).isNotNull)
+      .filter(TF.tokenCount(col(textCol)) >= k)
+      .select(id, posexplode(TF.shingles(col(textCol), k)))
+      .toDF(idCol, "pos0", "gram")
+      .select(id, (col("pos0") + 1).cast("long").as("pos"),
+        Winnow.gramHash(col("gram")).as("h"))
+  }
+
+  /** Interval-union size per document of [pos, pos+k-1] intervals:
+    * (idCol, tokens) — the running-max-end island spelling, one
+    * document-partitioned window. */
+  def intervalUnion(positions: DataFrame, idCol: String, k: Int): DataFrame = {
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    positions
+      .withColumn("prev_end", max(col("pos") + lit(k - 1).cast("long")).over(w))
+      .withColumn("newly",
+        greatest(lit(0L),
+          (col("pos") + lit(k - 1).cast("long")) -
+            greatest(coalesce(col("prev_end"), lit(0L)), col("pos") - 1L)))
+      .groupBy(col(idCol))
+      .agg(sum(col("newly")).as("tokens"))
+  }
+
+  /** Per-document duplicated-span coverage: (idCol, n_tokens,
+    * dup_tokens) for every non-NULL-text document — dup_tokens is the
+    * interval union over positions whose gram occurs in ≥ `minDocs`
+    * distinct documents; documents with < k tokens or no duplicated
+    * gram report 0. */
+  def coverage(docs: DataFrame, textCol: String, idCol: String,
+               k: Int = 5, minDocs: Long = 2L): DataFrame = {
+    // The gram frame feeds BOTH the duplicate-hash aggregate and the
+    // position join; un-checkpointed, Spark re-runs the tokenize +
+    // posexplode + md5 pass for each consumer (measured ~1.3× the
+    // query at sf0.1). One lazy localCheckpoint materializes it once —
+    // CosinePairs.clustered:197's discipline; released at the caller's
+    // quiesce point via Checkpoints.
+    val g = Checkpoints.track(
+      grams(docs, textCol, idCol, k).localCheckpoint(eager = false))
+    val dupH = g.groupBy(col("h"))
+      .agg(countDistinct(col(idCol)).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select(col("h"))
+    val cov = intervalUnion(g.join(dupH, "h"), idCol, k)
+      .withColumnRenamed("tokens", "dup_tokens")
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol), TF.tokenCount(col(textCol)).as("n_tokens"))
+      .join(cov, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"))
+  }
+
+  /** First-occurrence-wins removal plan: (idCol, n_tokens,
+    * removed_tokens) — for every gram occurring ≥ 2 times anywhere
+    * (within-doc repeats included), all occurrences except the
+    * globally first (min (doc_id, pos)) are removal intervals; the
+    * per-document removed-token count is their interval union. */
+  def removalPlan(docs: DataFrame, textCol: String, idCol: String,
+                  k: Int = 5): DataFrame = {
+    // Same two-consumer checkpoint as [[coverage]] (winner aggregate +
+    // loser join both read the gram frame).
+    val g = Checkpoints.track(
+      grams(docs, textCol, idCol, k).localCheckpoint(eager = false))
+    val winners = g.groupBy(col("h"))
+      .agg(min(struct(col(idCol), col("pos"))).as("w"),
+           count(lit(1)).as("occ"))
+      .filter(col("occ") >= 2L)
+      .select(col("h"), col("w").getField(idCol).as("w_id"),
+        col("w").getField("pos").as("w_pos"))
+    val losers = g.join(winners, "h")
+      .filter(!(col(idCol) === col("w_id") && col("pos") === col("w_pos")))
+      .select(col(idCol), col("pos"))
+    val rem = intervalUnion(losers, idCol, k)
+      .withColumnRenamed("tokens", "removed_tokens")
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol), TF.tokenCount(col(textCol)).as("n_tokens"))
+      .join(rem, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("removed_tokens"), lit(0L)).as("removed_tokens"))
+  }
+}

@@ -6799,7 +6799,107 @@ object Catalog {
              |       coalesce(h.afp, 0) AS afp
              |FROM documents d LEFT JOIN agg USING (doc_id) LEFT JOIN h USING (doc_id)
              |WHERE d.text IS NOT NULL
-             |ORDER BY d.doc_id""".stripMargin))
+             |ORDER BY d.doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Q174: duplicated-SPAN coverage (operators.DupSpans.coverage) —
+    // per document, the exact fraction of tokens sitting inside a
+    // k-gram (k=5) that also occurs in another document, counted as
+    // the interval UNION of duplicated gram positions (overlapping
+    // grams of one copied run don't double-count) — the substring-
+    // level dedup statistic of Lee et al. 2022, which q12 (whole-doc),
+    // q81 (fixed chunks) and q149 (sampled winnow fingerprints) all
+    // sit beside but none computes. `keep` is the τ=0.5 filtering
+    // decision a pipeline acts on. Plan: one posexplode scan, a
+    // partial-agg-friendly distinct-doc count on the 8-byte gram hash,
+    // a hash semi-join, and a document-partitioned window — no
+    // all-pairs stage, no per-hash window (a boilerplate gram in
+    // millions of docs is an aggregation key, not a window partition).
+    Query(
+      "q174_dupspan_coverage",
+      (s, dir) => {
+        import s.implicits._
+        graft.operators.DupSpans.coverage(
+            t(s, dir, "documents"), "text", "doc_id", k = 5, minDocs = 2L)
+          .withColumn("dup_frac_r",
+            round($"dup_tokens".cast("double") / $"n_tokens", 4))
+          .withColumn("keep",
+            $"dup_tokens".cast("double") / $"n_tokens" <= lit(0.5))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH tk AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+             |            FROM documents WHERE text IS NOT NULL),
+             |g AS (SELECT doc_id, unnest(generate_series(1, len(tk) - 4)) AS pos, tk
+             |      FROM tk),
+             |h AS (SELECT doc_id, pos,
+             |             ('0x' || substr(md5(array_to_string(tk[pos:pos+4], ' ')), 1, 8))::BIGINT AS h
+             |      FROM g),
+             |dup AS (SELECT h FROM h GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+             |dp AS (SELECT doc_id, pos FROM h JOIN dup USING (h)),
+             |c AS (SELECT doc_id, pos,
+             |             max(pos + 4) OVER (PARTITION BY doc_id ORDER BY pos
+             |                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+             |      FROM dp),
+             |cov AS (SELECT doc_id,
+             |               sum(greatest(0, (pos + 4) - greatest(coalesce(prev_end, 0), pos - 1))) AS dup_tokens
+             |        FROM c GROUP BY 1)
+             |SELECT t.doc_id, len(t.tk)::BIGINT AS n_tokens,
+             |       coalesce(cov.dup_tokens, 0)::BIGINT AS dup_tokens,
+             |       round(coalesce(cov.dup_tokens, 0)::DOUBLE / len(t.tk), 4) AS dup_frac_r,
+             |       (coalesce(cov.dup_tokens, 0)::DOUBLE / len(t.tk) <= 0.5) AS keep
+             |FROM tk t LEFT JOIN cov ON cov.doc_id = t.doc_id
+             |ORDER BY t.doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Q175: first-occurrence-wins dup-span removal plan
+    // (operators.DupSpans.removalPlan) — the transform q174 only
+    // measures: every occurrence of a k-gram occurring ≥ 2 times
+    // anywhere (within-doc repeats included, unlike q174's distinct-
+    // doc predicate) loses to the globally first occurrence
+    // (min (doc_id, pos)); a document's removed-token count is the
+    // interval union of its losing occurrences, and retained_frac is
+    // what survives the Lee-et-al.-style cut. The winner per hash is
+    // a min-struct AGGREGATION (skew-safe under partial agg), never a
+    // per-hash row_number window — the hottest boilerplate gram stays
+    // map-side combinable.
+    Query(
+      "q175_dupspan_dedup",
+      (s, dir) => {
+        import s.implicits._
+        graft.operators.DupSpans.removalPlan(
+            t(s, dir, "documents"), "text", "doc_id", k = 5)
+          .withColumn("retained_frac_r",
+            round(($"n_tokens" - $"removed_tokens").cast("double") / $"n_tokens", 4))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH tk AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+             |            FROM documents WHERE text IS NOT NULL),
+             |g AS (SELECT doc_id, unnest(generate_series(1, len(tk) - 4)) AS pos, tk
+             |      FROM tk),
+             |h AS (SELECT doc_id, pos,
+             |             ('0x' || substr(md5(array_to_string(tk[pos:pos+4], ' ')), 1, 8))::BIGINT AS h
+             |      FROM g),
+             |w AS (SELECT h, min(doc_id) AS w_id FROM h GROUP BY h
+             |      HAVING count(*) >= 2),
+             |wp AS (SELECT w.h, w.w_id, min(h.pos) AS w_pos
+             |       FROM w JOIN h ON h.h = w.h AND h.doc_id = w.w_id
+             |       GROUP BY 1, 2),
+             |losers AS (SELECT h.doc_id, h.pos
+             |           FROM h JOIN wp USING (h)
+             |           WHERE NOT (h.doc_id = wp.w_id AND h.pos = wp.w_pos)),
+             |c AS (SELECT doc_id, pos,
+             |             max(pos + 4) OVER (PARTITION BY doc_id ORDER BY pos
+             |                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+             |      FROM losers),
+             |rem AS (SELECT doc_id,
+             |               sum(greatest(0, (pos + 4) - greatest(coalesce(prev_end, 0), pos - 1))) AS removed_tokens
+             |        FROM c GROUP BY 1)
+             |SELECT t.doc_id, len(t.tk)::BIGINT AS n_tokens,
+             |       coalesce(rem.removed_tokens, 0)::BIGINT AS removed_tokens,
+             |       round((len(t.tk) - coalesce(rem.removed_tokens, 0))::DOUBLE / len(t.tk), 4)
+             |         AS retained_frac_r
+             |FROM tk t LEFT JOIN rem ON rem.doc_id = t.doc_id
+             |ORDER BY t.doc_id""".stripMargin))
   )
 
   val byName: Map[String, Query] = all.map(q => q.name -> q).toMap

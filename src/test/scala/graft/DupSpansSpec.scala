@@ -1,0 +1,127 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.DupSpans
+
+/** Exact duplicated-span accounting (q174/q175): hand-built corpora
+  * with knowable interval unions, pinning the contracts the DuckDB
+  * oracles re-derive — interval MERGE (no double-count on overlapping
+  * grams of one run), the distinct-doc vs all-occurrence duplicate
+  * predicates, first-occurrence-wins, and the short-doc guard.
+  */
+class DupSpansSpec extends SparkSpec {
+
+  private def docs(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  private def covMap(df: org.apache.spark.sql.DataFrame): Map[Long, (Long, Long)] = {
+    import spark.implicits._
+    df.select($"doc_id", $"n_tokens", col(df.columns(2)))
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+  }
+
+  test("coverage: a shared 7-token run covers exactly 7 tokens in both docs") {
+    // k=5: a 7-token shared run has 3 interior 5-grams at positions
+    // p, p+1, p+2 — intervals [p,p+4],[p+1,p+5],[p+2,p+6] union to 7
+    // tokens, not 15.
+    val shared = "alpha beta gamma delta epsilon zeta eta"
+    val a = s"one two three $shared x1 y1"
+    val b = s"$shared p q r s t"
+    val m = covMap(DupSpans.coverage(docs(1L -> a, 2L -> b), "text", "doc_id", k = 5))
+    assert(m(1L) == (12L, 7L))
+    assert(m(2L) == (12L, 7L))
+  }
+
+  test("coverage: within-doc repetition alone is NOT corpus duplication (minDocs=2)") {
+    val rep = "r1 r2 r3 r4 r5"
+    val m = covMap(DupSpans.coverage(
+      docs(1L -> s"$rep $rep", 2L -> "u1 u2 u3 u4 u5 u6"), "text", "doc_id", k = 5))
+    assert(m(1L)._2 == 0L, "repeated only within one doc")
+    assert(m(2L)._2 == 0L)
+  }
+
+  test("coverage: docs shorter than k report zero and never fabricate a whole-text gram") {
+    // WordShingles collapses <k-token docs to ONE whole-text shingle;
+    // DupSpans must exclude them (two identical 3-token docs would
+    // otherwise count as duplicated with no 5-gram in common).
+    val m = covMap(DupSpans.coverage(
+      docs(1L -> "tiny doc here", 2L -> "tiny doc here"), "text", "doc_id", k = 5))
+    assert(m(1L) == (3L, 0L))
+    assert(m(2L) == (3L, 0L))
+  }
+
+  test("coverage: disjoint duplicated runs sum; overlapping ones merge") {
+    val runA = "a1 a2 a3 a4 a5"          // 5 tokens, 1 gram
+    val runB = "b1 b2 b3 b4 b5 b6"       // 6 tokens, 2 grams, union 6
+    val d1 = s"$runA mid1 mid2 $runB"    // 13 tokens
+    val d2 = s"$runB z1 z2 z3 $runA"     // 14 tokens
+    val m = covMap(DupSpans.coverage(docs(1L -> d1, 2L -> d2), "text", "doc_id", k = 5))
+    assert(m(1L) == (13L, 11L), "5 + 6 with a gap — no merge across the gap")
+    assert(m(2L) == (14L, 11L))
+  }
+
+  test("removalPlan: first occurrence (min doc_id, pos) keeps its tokens") {
+    val shared = "s1 s2 s3 s4 s5 s6"     // 6 tokens → 2 grams
+    val a = s"$shared tail1 tail2"       // doc 1: winner (earliest doc)
+    val b = s"head1 head2 $shared"       // doc 2: loser
+    val got = DupSpans.removalPlan(docs(1L -> a, 2L -> b), "text", "doc_id", k = 5)
+    val m = covMap(got)
+    assert(m(1L) == (8L, 0L), "the globally-first occurrence is never removed")
+    assert(m(2L) == (8L, 6L), "the losing occurrence loses its whole 6-token union")
+  }
+
+  test("removalPlan: within-doc repeats lose to the first occurrence (unlike coverage)") {
+    val rep = "w1 w2 w3 w4 w5"
+    val m = covMap(DupSpans.removalPlan(docs(1L -> s"$rep $rep"), "text", "doc_id", k = 5))
+    assert(m(1L) == (10L, 5L), "the second copy inside the same doc is removed")
+  }
+
+  test("coverage and removalPlan keep NULL-text docs out and zero-fill clean docs") {
+    import spark.implicits._
+    val withNull = docs(1L -> "c1 c2 c3 c4 c5 c6").unionByName(
+      Seq((2L, Option.empty[String])).toDF("doc_id", "text"))
+    val cov = DupSpans.coverage(withNull, "text", "doc_id", k = 5)
+    assert(cov.count() == 1L)
+    assert(covMap(cov)(1L) == (6L, 0L))
+    val rem = DupSpans.removalPlan(withNull, "text", "doc_id", k = 5)
+    assert(rem.count() == 1L)
+    assert(covMap(rem)(1L) == (6L, 0L))
+  }
+
+  test("catalog q174/q175 run at sf0.001 with consistent fractions") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val cov = graft.queries.Catalog.queries("q174_dupspan_coverage")(spark, dir)
+    val covRows = cov.collect()
+    assert(covRows.nonEmpty)
+    covRows.foreach { r =>
+      val n = r.getAs[Long]("n_tokens"); val d = r.getAs[Long]("dup_tokens")
+      assert(d >= 0L && d <= n)
+      assert(r.getAs[Boolean]("keep") == (d.toDouble / n <= 0.5))
+    }
+    val rem = graft.queries.Catalog.queries("q175_dupspan_dedup")(spark, dir)
+    val remRows = rem.collect()
+    assert(remRows.length == covRows.length, "same non-NULL-text doc set")
+    remRows.foreach { r =>
+      val n = r.getAs[Long]("n_tokens"); val x = r.getAs[Long]("removed_tokens")
+      assert(x >= 0L && x <= n)
+    }
+    // Removal (all-occurrence predicate, losers only) and coverage
+    // (distinct-doc predicate, all duplicated positions) agree on the
+    // corpus-level invariant: winners keep at least k tokens per
+    // duplicated run, so total removed < total duplicated + within-doc
+    // extras is not a fixed inequality — but removed tokens can never
+    // exceed ALL-occurrence duplication, which coverage lower-bounds
+    // per doc only. Assert the cheap corpus sanity instead: at least
+    // one doc has duplication at this sf (synthetic corpus has heavy
+    // 5-gram reuse) and not every token is removed.
+    val totalDup = covRows.map(_.getAs[Long]("dup_tokens")).sum
+    val totalRemoved = remRows.map(_.getAs[Long]("removed_tokens")).sum
+    val totalTokens = remRows.map(_.getAs[Long]("n_tokens")).sum
+    assert(totalDup > 0L)
+    assert(totalRemoved < totalTokens)
+  }
+}
