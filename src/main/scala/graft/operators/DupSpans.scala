@@ -110,6 +110,47 @@ object DupSpans {
         coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"))
   }
 
+  /** Cross-source span leakage: for every ordered source pair
+    * (src, src_other), how many of src's tokens sit inside a k-gram
+    * that also occurs in src_other — the lexical leakage audit between
+    * corpus subsets (train vs eval benches, crawl snapshots, vendors),
+    * the span-level counterpart of an embedding-level source-similarity
+    * readout. Interval union runs per (doc, counterpart source) so one
+    * doc leaking into two sources counts once per counterpart, never
+    * double inside one; `leaked_tokens` then sums over src's docs.
+    *
+    * Scale: gram table as [[grams]]; the counterpart table collapses
+    * to DISTINCT (h, source) before the join — fanout per position is
+    * bounded by |sources|, never by occurrence count, so a boilerplate
+    * gram present everywhere contributes |sources|-1 rows per position,
+    * not |occurrences|. Output is |sources|² rows.
+    *
+    * Returns (src, src_other, leaked_tokens) for pairs with leakage
+    * only — join against the source domain for the zero rows.
+    */
+  def crossSourceLeakage(docs: DataFrame, textCol: String, idCol: String,
+                         sourceCol: String, k: Int = 5): DataFrame = {
+    val g = Checkpoints.track(
+      grams(docs.select(col(idCol), col(textCol), col(sourceCol)),
+          textCol, idCol, k)
+        .join(docs.select(col(idCol), col(sourceCol)), idCol)
+        .localCheckpoint(eager = false))
+    val bySource = g.select(col("h"), col(sourceCol).as("src_other")).distinct()
+    val leaked = g.join(bySource, "h")
+      .filter(col(sourceCol) =!= col("src_other"))
+      .select(col(idCol), col("pos"), col(sourceCol).as("src"), col("src_other"))
+    val w = Window.partitionBy(col(idCol), col("src_other")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    leaked
+      .withColumn("prev_end", max(col("pos") + lit(k - 1).cast("long")).over(w))
+      .withColumn("newly",
+        greatest(lit(0L),
+          (col("pos") + lit(k - 1).cast("long")) -
+            greatest(coalesce(col("prev_end"), lit(0L)), col("pos") - 1L)))
+      .groupBy(col("src"), col("src_other"))
+      .agg(sum(col("newly")).as("leaked_tokens"))
+  }
+
   /** First-occurrence-wins removal plan: (idCol, n_tokens,
     * removed_tokens) — for every gram occurring ≥ 2 times anywhere
     * (within-doc repeats included), all occurrences except the

@@ -6899,7 +6899,67 @@ object Catalog {
              |       round((len(t.tk) - coalesce(rem.removed_tokens, 0))::DOUBLE / len(t.tk), 4)
              |         AS retained_frac_r
              |FROM tk t LEFT JOIN rem ON rem.doc_id = t.doc_id
-             |ORDER BY t.doc_id""".stripMargin))
+             |ORDER BY t.doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Q176: cross-source span leakage matrix
+    // (operators.DupSpans.crossSourceLeakage) — for every ordered
+    // source pair, how many of src's tokens sit inside a 5-gram that
+    // also occurs in src_other: the lexical who-leaks-into-whom audit
+    // between corpus subsets (train vs benchmark dumps, crawl
+    // snapshots, vendors) that q130's embedding-source-cosine can only
+    // gesture at and q74 only measures for one fixed eval split. The
+    // counterpart table collapses to DISTINCT (h, source) before the
+    // join, so per-position fanout is bounded by |sources|, never by
+    // occurrence count; interval unions run per (doc, counterpart)
+    // window; the output is the |sources|² matrix with zero rows kept
+    // via the source-domain join.
+    Query(
+      "q176_source_leakage",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+        val leak = graft.operators.DupSpans.crossSourceLeakage(
+          docs, "text", "doc_id", "source", k = 5)
+        val tot = docs.filter($"text".isNotNull)
+          .groupBy($"source")
+          .agg(sum(TF.tokenCount($"text")).as("src_tokens"))
+        tot.select($"source".as("src"), $"src_tokens")
+          .join(tot.select($"source".as("src_other")),
+            $"src" =!= $"src_other")
+          .join(leak, Seq("src", "src_other"), "left")
+          .select($"src", $"src_other",
+            coalesce($"leaked_tokens", lit(0L)).as("leaked_tokens"),
+            $"src_tokens",
+            round(coalesce($"leaked_tokens", lit(0L)).cast("double") /
+              $"src_tokens", 4).as("leak_frac_r"))
+          .orderBy($"src", $"src_other")
+      },
+      Some("""WITH tk AS (SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS tk
+             |            FROM documents WHERE text IS NOT NULL),
+             |g AS (SELECT doc_id, source, unnest(generate_series(1, len(tk) - 4)) AS pos, tk
+             |      FROM tk),
+             |h AS (SELECT doc_id, source, pos,
+             |             ('0x' || substr(md5(array_to_string(tk[pos:pos+4], ' ')), 1, 8))::BIGINT AS h
+             |      FROM g),
+             |bysrc AS (SELECT DISTINCT h, source AS src_other FROM h),
+             |lk AS (SELECT h.doc_id, h.pos, h.source AS src, b.src_other
+             |       FROM h JOIN bysrc b USING (h) WHERE h.source <> b.src_other),
+             |c AS (SELECT doc_id, pos, src, src_other,
+             |             max(pos + 4) OVER (PARTITION BY doc_id, src_other ORDER BY pos
+             |                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+             |      FROM lk),
+             |agg AS (SELECT src, src_other,
+             |               sum(greatest(0, (pos + 4) - greatest(coalesce(prev_end, 0), pos - 1))) AS leaked_tokens
+             |        FROM c GROUP BY 1, 2),
+             |tot AS (SELECT source, sum(len(tk))::BIGINT AS src_tokens FROM tk GROUP BY 1)
+             |SELECT t1.source AS src, t2.source AS src_other,
+             |       coalesce(agg.leaked_tokens, 0)::BIGINT AS leaked_tokens,
+             |       t1.src_tokens,
+             |       round(coalesce(agg.leaked_tokens, 0)::DOUBLE / t1.src_tokens, 4) AS leak_frac_r
+             |FROM tot t1 JOIN tot t2 ON t1.source <> t2.source
+             |LEFT JOIN agg ON agg.src = t1.source AND agg.src_other = t2.source
+             |ORDER BY src, src_other""".stripMargin))
   )
 
   val byName: Map[String, Query] = all.map(q => q.name -> q).toMap

@@ -91,6 +91,44 @@ class DupSpansSpec extends SparkSpec {
     assert(covMap(rem)(1L) == (6L, 0L))
   }
 
+  test("crossSourceLeakage: shared run counts once per counterpart source, both directions") {
+    import spark.implicits._
+    val shared = "alpha beta gamma delta epsilon zeta eta" // 7 tokens
+    val d = Seq(
+      (1L, s"one two three $shared", "A"),        // 10 tokens, run at 4..10
+      (2L, s"$shared p q r s t", "B"),            // 12 tokens, run at 1..7
+      (3L, "x1 x2 x3 x4 x5 x6 x7 x8", "B"))       // 8 tokens, no overlap
+      .toDF("doc_id", "text", "source")
+    val got = DupSpans.crossSourceLeakage(d, "text", "doc_id", "source", k = 5)
+      .as[(String, String, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(got == Map(("A", "B") -> 7L, ("B", "A") -> 7L))
+  }
+
+  test("crossSourceLeakage: within-source duplication never counts as leakage") {
+    import spark.implicits._
+    val rep = "r1 r2 r3 r4 r5 r6"
+    val d = Seq(
+      (1L, s"$rep pad1 pad2", "A"),
+      (2L, s"pad3 pad4 $rep", "A"),     // same run, SAME source
+      (3L, "u1 u2 u3 u4 u5 u6 u7", "B"))
+      .toDF("doc_id", "text", "source")
+    val got = DupSpans.crossSourceLeakage(d, "text", "doc_id", "source", k = 5)
+    assert(got.count() == 0L, "A↔A duplication is q174's axis, not leakage")
+  }
+
+  test("catalog q176 at sf0.001: full ordered matrix, fractions in range") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val rows = graft.queries.Catalog.queries("q176_source_leakage")(spark, dir).collect()
+    val srcs = rows.map(_.getAs[String]("src")).distinct.length
+    assert(rows.length == srcs * (srcs - 1), "every ordered pair present, zeros kept")
+    rows.foreach { r =>
+      val f = r.getAs[Double]("leak_frac_r")
+      assert(f >= 0.0 && f <= 1.0)
+      assert(r.getAs[Long]("leaked_tokens") <= r.getAs[Long]("src_tokens"))
+    }
+  }
+
   test("catalog q174/q175 run at sf0.001 with consistent fractions") {
     import spark.implicits._
     val dir = "/root/testdata/sf0.001"
