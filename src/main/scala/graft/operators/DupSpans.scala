@@ -110,6 +110,48 @@ object DupSpans {
         coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"))
   }
 
+  /** Distinct gram-hash set of a corpus: (h) — the maintainable
+    * history state for [[coverageAgainst]]. Grows with DISTINCT gram
+    * count, not corpus size; advance it per ingested batch with
+    * [[updateIndex]] (a union-distinct — no history re-scan). */
+  def gramIndex(docs: DataFrame, textCol: String, idCol: String,
+                k: Int = 5): DataFrame =
+    grams(docs, textCol, idCol, k).select(col("h")).distinct()
+
+  /** `index` ∪ the batch's distinct gram hashes — the per-ingest index
+    * advance (history text is never re-read). */
+  def updateIndex(index: DataFrame, batch: DataFrame, textCol: String,
+                  idCol: String, k: Int = 5): DataFrame =
+    index.unionByName(gramIndex(batch, textCol, idCol, k)).distinct()
+
+  /** Incremental dup-span coverage — the daily-ingest shape of
+    * [[coverage]]: score a NEW batch against the HISTORY's gram index
+    * without re-reading history. A batch position is duplicated iff
+    * its gram is in the index (any history occurrence makes the batch
+    * doc the second distinct document) OR occurs in ≥ 2 distinct
+    * batch docs; with `index = gramIndex(history)` and disjoint ids
+    * this equals [[coverage]] over history ∪ batch restricted to
+    * batch docs EXACTLY (spec-asserted), while per-batch cost follows
+    * batch size — history-side work is one index probe. Same output
+    * shape as [[coverage]]. */
+  def coverageAgainst(batch: DataFrame, index: DataFrame, textCol: String,
+                      idCol: String, k: Int = 5): DataFrame = {
+    val g = Checkpoints.track(
+      grams(batch, textCol, idCol, k).localCheckpoint(eager = false))
+    val perHash = g.groupBy(col("h")).agg(countDistinct(col(idCol)).as("nd"))
+    val dupH = perHash.filter(col("nd") >= 2).select(col("h"))
+      .unionByName(perHash.select(col("h"))
+        .join(index.select(col("h")), Seq("h"), "left_semi"))
+      .distinct()
+    val cov = intervalUnion(g.join(dupH, "h"), idCol, k)
+      .withColumnRenamed("tokens", "dup_tokens")
+    batch.filter(col(textCol).isNotNull)
+      .select(col(idCol), TF.tokenCount(col(textCol)).as("n_tokens"))
+      .join(cov, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"))
+  }
+
   /** Cross-source span leakage: for every ordered source pair
     * (src, src_other), how many of src's tokens sit inside a k-gram
     * that also occurs in src_other — the lexical leakage audit between

@@ -6959,7 +6959,61 @@ object Catalog {
              |       round(coalesce(agg.leaked_tokens, 0)::DOUBLE / t1.src_tokens, 4) AS leak_frac_r
              |FROM tot t1 JOIN tot t2 ON t1.source <> t2.source
              |LEFT JOIN agg ON agg.src = t1.source AND agg.src_other = t2.source
-             |ORDER BY src, src_other""".stripMargin))
+             |ORDER BY src, src_other""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Q177: incremental dup-span coverage
+    // (operators.DupSpans.coverageAgainst) — q174's daily-ingest
+    // shape, q143's split contract: the NEW batch (sources src10+)
+    // is scored against the HISTORY's (src0-9) gram INDEX plus
+    // within-batch duplication, without re-reading history text. A
+    // batch position is duplicated iff its gram is in the index (any
+    // history occurrence makes the batch doc the second distinct
+    // document) or in ≥ 2 distinct batch docs — PROVABLY equal to
+    // full-corpus q174 coverage restricted to batch docs (the oracle
+    // below IS that restriction; the spec asserts the same equality
+    // against the operator), while per-batch cost follows batch size.
+    Query(
+      "q177_incremental_dupspan",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+          .withColumn("src_n", substring($"source", 4, 10).cast("int"))
+        val history = docs.filter($"src_n" < 10).select($"doc_id", $"text")
+        val batch = docs.filter($"src_n" >= 10).select($"doc_id", $"text")
+        graft.operators.DupSpans.coverageAgainst(
+            batch, graft.operators.DupSpans.gramIndex(history, "text", "doc_id", k = 5),
+            "text", "doc_id", k = 5)
+          .withColumn("dup_frac_r",
+            round($"dup_tokens".cast("double") / $"n_tokens", 4))
+          .withColumn("keep",
+            $"dup_tokens".cast("double") / $"n_tokens" <= lit(0.5))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH tk AS (SELECT doc_id, CAST(substr(source, 4) AS INT) AS src_n,
+             |                   string_split_regex(trim(text), '\s+') AS tk
+             |            FROM documents WHERE text IS NOT NULL),
+             |g AS (SELECT doc_id, src_n, unnest(generate_series(1, len(tk) - 4)) AS pos, tk
+             |      FROM tk),
+             |h AS (SELECT doc_id, src_n, pos,
+             |             ('0x' || substr(md5(array_to_string(tk[pos:pos+4], ' ')), 1, 8))::BIGINT AS h
+             |      FROM g),
+             |dup AS (SELECT h FROM h GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+             |dp AS (SELECT doc_id, pos FROM h JOIN dup USING (h) WHERE src_n >= 10),
+             |c AS (SELECT doc_id, pos,
+             |             max(pos + 4) OVER (PARTITION BY doc_id ORDER BY pos
+             |                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+             |      FROM dp),
+             |cov AS (SELECT doc_id,
+             |               sum(greatest(0, (pos + 4) - greatest(coalesce(prev_end, 0), pos - 1))) AS dup_tokens
+             |        FROM c GROUP BY 1)
+             |SELECT t.doc_id, len(t.tk)::BIGINT AS n_tokens,
+             |       coalesce(cov.dup_tokens, 0)::BIGINT AS dup_tokens,
+             |       round(coalesce(cov.dup_tokens, 0)::DOUBLE / len(t.tk), 4) AS dup_frac_r,
+             |       (coalesce(cov.dup_tokens, 0)::DOUBLE / len(t.tk) <= 0.5) AS keep
+             |FROM tk t LEFT JOIN cov ON cov.doc_id = t.doc_id
+             |WHERE t.src_n >= 10
+             |ORDER BY t.doc_id""".stripMargin))
   )
 
   val byName: Map[String, Query] = all.map(q => q.name -> q).toMap

@@ -129,6 +129,63 @@ class DupSpansSpec extends SparkSpec {
     }
   }
 
+  test("coverageAgainst == full-corpus coverage restricted to batch ids") {
+    import spark.implicits._
+    // Planted shapes: batch doc leaking from history, batch-batch
+    // duplication, clean batch doc, plus history-history duplication
+    // that must NOT affect batch scores.
+    val shared = "h1 h2 h3 h4 h5 h6"
+    val bshared = "b1 b2 b3 b4 b5"
+    val history = docs(
+      1L -> s"$shared x y z",
+      2L -> s"p q $shared",      // history-history dup of `shared`
+      3L -> "hh1 hh2 hh3 hh4 hh5 hh6 hh7")
+    val batch = docs(
+      10L -> s"lead1 lead2 $shared tail1",   // leaks from history
+      11L -> s"$bshared m n o",              // batch-batch dup
+      12L -> s"k l $bshared",
+      13L -> "c1 c2 c3 c4 c5 c6 c7")         // clean
+    val inc = covMap(DupSpans.coverageAgainst(
+      batch, DupSpans.gramIndex(history, "text", "doc_id", k = 5),
+      "text", "doc_id", k = 5))
+    val full = covMap(DupSpans.coverage(
+      history.unionByName(batch), "text", "doc_id", k = 5))
+      .view.filterKeys(_ >= 10L).toMap
+    assert(inc == full)
+    assert(inc(10L) == (9L, 6L) && inc(11L) == (8L, 5L) && inc(13L) == (7L, 0L))
+  }
+
+  test("coverageAgainst with an empty index == coverage of the batch alone") {
+    import spark.implicits._
+    val batch = docs(
+      1L -> "d1 d2 d3 d4 d5 pad",
+      2L -> "z0 d1 d2 d3 d4 d5")
+    val empty = DupSpans.gramIndex(docs(), "text", "doc_id", k = 5)
+    val inc = covMap(DupSpans.coverageAgainst(batch, empty, "text", "doc_id", k = 5))
+    val full = covMap(DupSpans.coverage(batch, "text", "doc_id", k = 5))
+    assert(inc == full)
+    assert(inc(1L)._2 == 5L)
+  }
+
+  test("two-batch ingestion via updateIndex == one-shot recompute at each step") {
+    import spark.implicits._
+    val history = docs(1L -> "s1 s2 s3 s4 s5 s6 w1 w2")
+    val batch1 = docs(10L -> s"a0 s1 s2 s3 s4 s5 s6", 11L -> "n1 n2 n3 n4 n5 n6")
+    val batch2 = docs(20L -> "q0 q1 n1 n2 n3 n4 n5", 21L -> "f1 f2 f3 f4 f5 f6")
+    var idx = DupSpans.gramIndex(history, "text", "doc_id", k = 5)
+    val got1 = covMap(DupSpans.coverageAgainst(batch1, idx, "text", "doc_id", k = 5))
+    idx = DupSpans.updateIndex(idx, batch1, "text", "doc_id", k = 5)
+    val got2 = covMap(DupSpans.coverageAgainst(batch2, idx, "text", "doc_id", k = 5))
+    val full2 = covMap(DupSpans.coverage(
+      history.unionByName(batch1).unionByName(batch2), "text", "doc_id", k = 5))
+    assert(got1(10L)._2 == 6L, "batch1 doc leaks the 6-token history run")
+    assert(got1(11L)._2 == 0L, "n-run is new at batch1 time")
+    // batch2's doc 20 shares the 5-token n-run tail with batch1's doc 11
+    // ONLY through the advanced index.
+    assert(got2(20L) == full2(20L) && got2(21L) == full2(21L))
+    assert(got2(20L)._2 == 5L)
+  }
+
   test("catalog q174/q175 run at sf0.001 with consistent fractions") {
     import spark.implicits._
     val dir = "/root/testdata/sf0.001"
