@@ -183,6 +183,34 @@ class PlanAssertionsSpec extends SparkSpec {
     } finally spark.conf.set(key, prev)
   }
 
+  test("dup-span family: no window ever partitions by the gram hash") {
+    // The skew-safety claim of q174-q177 (OPERATORS.md/SCALE.md): the
+    // duplicate predicates are AGGREGATIONS on the gram hash (map-side
+    // combinable under any skew), and windows run only at document
+    // grain — a window partitioned by `h` would put a boilerplate
+    // gram's every occurrence into ONE task, the exact single-task
+    // funnel this family is designed around.
+    import org.apache.spark.sql.execution.window.WindowExec
+    val key = "spark.sql.adaptive.enabled"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try {
+      for (name <- Seq("q174_dupspan_coverage", "q175_dupspan_dedup",
+                       "q176_source_leakage", "q177_incremental_dupspan")) {
+        val windows = Catalog.byName(name).run(spark, dir)
+          .queryExecution.executedPlan.collect { case w: WindowExec => w }
+        assert(windows.nonEmpty, s"$name: expected the interval-union window")
+        windows.foreach { w =>
+          val keys = w.partitionSpec.map(_.toString).mkString(",")
+          assert(keys.contains("doc_id"),
+            s"$name: window not at document grain: $keys")
+          assert(!w.partitionSpec.exists(_.toString.matches("h#\\d+L?")),
+            s"$name: window partitioned by the gram hash: $keys")
+        }
+      }
+    } finally spark.conf.set(key, prev)
+  }
+
   test("q89: rank/cumsum windows run over the TakeOrdered top-40, never the full vocabulary") {
     val p = plan("q89_vocab_coverage")
     // the query consumes ranks <= 40 only, so the top-40 must come out
