@@ -53,17 +53,21 @@ import graft.functions.{TextFunctions => TF}
   */
 object DupSpans {
 
-  /** Positional k-gram hashes: (idCol, pos, h), pos 1-based, only
-    * documents with ≥ k tokens and non-NULL text contribute. */
-  def grams(docs: DataFrame, textCol: String, idCol: String, k: Int): DataFrame = {
-    val id = col(idCol)
+  /** Positional k-gram hashes: (idCol, carry..., pos, h), pos 1-based,
+    * only documents with ≥ k tokens and non-NULL text contribute.
+    * `carry` columns ride through the Generate node for free — callers
+    * that need a document attribute per gram (q176's source) must NOT
+    * re-join it onto the gram table (a fact-scale shuffle on the id). */
+  def grams(docs: DataFrame, textCol: String, idCol: String, k: Int,
+            carry: Seq[String] = Nil): DataFrame = {
+    val keep = (idCol +: carry).map(col)
     docs
       .filter(col(textCol).isNotNull)
       .filter(TF.tokenCount(col(textCol)) >= k)
-      .select(id, posexplode(TF.shingles(col(textCol), k)))
-      .toDF(idCol, "pos0", "gram")
-      .select(id, (col("pos0") + 1).cast("long").as("pos"),
-        Winnow.gramHash(col("gram")).as("h"))
+      .select(keep :+ posexplode(TF.shingles(col(textCol), k)): _*)
+      .toDF((idCol +: carry) ++ Seq("pos0", "gram"): _*)
+      .select(keep ++ Seq((col("pos0") + 1).cast("long").as("pos"),
+        Winnow.gramHash(col("gram")).as("h")): _*)
   }
 
   /** Interval-union size per document of [pos, pos+k-1] intervals:
@@ -173,9 +177,7 @@ object DupSpans {
   def crossSourceLeakage(docs: DataFrame, textCol: String, idCol: String,
                          sourceCol: String, k: Int = 5): DataFrame = {
     val g = Checkpoints.track(
-      grams(docs.select(col(idCol), col(textCol), col(sourceCol)),
-          textCol, idCol, k)
-        .join(docs.select(col(idCol), col(sourceCol)), idCol)
+      grams(docs, textCol, idCol, k, carry = Seq(sourceCol))
         .localCheckpoint(eager = false))
     val bySource = g.select(col("h"), col(sourceCol).as("src_other")).distinct()
     val leaked = g.join(bySource, "h")
