@@ -70,11 +70,15 @@ object DupSpans {
         Winnow.gramHash(col("gram")).as("h")): _*)
   }
 
-  /** Interval-union size per document of [pos, pos+k-1] intervals:
-    * (idCol, tokens) — the running-max-end island spelling, one
-    * document-partitioned window. */
-  def intervalUnion(positions: DataFrame, idCol: String, k: Int): DataFrame = {
-    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+  /** Interval-union size of [pos, pos+k-1] intervals per partition
+    * key set: (partitionCols..., tokens) — the running-max-end island
+    * spelling, one window partitioned by `partitionCols` (document
+    * grain for coverage/removal, (document, counterpart source) for
+    * the leakage matrix — ONE shared spelling so the union math can
+    * never diverge between consumers). */
+  def intervalUnion(positions: DataFrame, partitionCols: Seq[String],
+                    k: Int): DataFrame = {
+    val w = Window.partitionBy(partitionCols.map(col): _*).orderBy(col("pos"))
       .rowsBetween(Window.unboundedPreceding, -1)
     positions
       .withColumn("prev_end", max(col("pos") + lit(k - 1).cast("long")).over(w))
@@ -82,7 +86,7 @@ object DupSpans {
         greatest(lit(0L),
           (col("pos") + lit(k - 1).cast("long")) -
             greatest(coalesce(col("prev_end"), lit(0L)), col("pos") - 1L)))
-      .groupBy(col(idCol))
+      .groupBy(partitionCols.map(col): _*)
       .agg(sum(col("newly")).as("tokens"))
   }
 
@@ -105,7 +109,7 @@ object DupSpans {
       .agg(countDistinct(col(idCol)).as("nd"))
       .filter(col("nd") >= minDocs)
       .select(col("h"))
-    val cov = intervalUnion(g.join(dupH, "h"), idCol, k)
+    val cov = intervalUnion(g.join(dupH, "h"), Seq(idCol), k)
       .withColumnRenamed("tokens", "dup_tokens")
     docs.filter(col(textCol).isNotNull)
       .select(col(idCol), TF.tokenCount(col(textCol)).as("n_tokens"))
@@ -142,12 +146,17 @@ object DupSpans {
                       idCol: String, k: Int = 5): DataFrame = {
     val g = Checkpoints.track(
       grams(batch, textCol, idCol, k).localCheckpoint(eager = false))
+    // One aggregation pass decides both duplicate conditions: perHash
+    // is already distinct on h, so a left probe of the (distinct by
+    // contract) index plus an OR filter replaces the two-branch
+    // union+distinct that would run the gram aggregation twice.
     val perHash = g.groupBy(col("h")).agg(countDistinct(col(idCol)).as("nd"))
-    val dupH = perHash.filter(col("nd") >= 2).select(col("h"))
-      .unionByName(perHash.select(col("h"))
-        .join(index.select(col("h")), Seq("h"), "left_semi"))
-      .distinct()
-    val cov = intervalUnion(g.join(dupH, "h"), idCol, k)
+    val dupH = perHash
+      .join(index.select(col("h")).withColumn("__in_hist", lit(true)),
+        Seq("h"), "left")
+      .filter(col("nd") >= 2 || col("__in_hist").isNotNull)
+      .select(col("h"))
+    val cov = intervalUnion(g.join(dupH, "h"), Seq(idCol), k)
       .withColumnRenamed("tokens", "dup_tokens")
     batch.filter(col(textCol).isNotNull)
       .select(col(idCol), TF.tokenCount(col(textCol)).as("n_tokens"))
@@ -183,16 +192,9 @@ object DupSpans {
     val leaked = g.join(bySource, "h")
       .filter(col(sourceCol) =!= col("src_other"))
       .select(col(idCol), col("pos"), col(sourceCol).as("src"), col("src_other"))
-    val w = Window.partitionBy(col(idCol), col("src_other")).orderBy(col("pos"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    leaked
-      .withColumn("prev_end", max(col("pos") + lit(k - 1).cast("long")).over(w))
-      .withColumn("newly",
-        greatest(lit(0L),
-          (col("pos") + lit(k - 1).cast("long")) -
-            greatest(coalesce(col("prev_end"), lit(0L)), col("pos") - 1L)))
+    intervalUnion(leaked, Seq(idCol, "src", "src_other"), k)
       .groupBy(col("src"), col("src_other"))
-      .agg(sum(col("newly")).as("leaked_tokens"))
+      .agg(sum(col("tokens")).as("leaked_tokens"))
   }
 
   /** First-occurrence-wins removal plan: (idCol, n_tokens,
@@ -215,7 +217,7 @@ object DupSpans {
     val losers = g.join(winners, "h")
       .filter(!(col(idCol) === col("w_id") && col("pos") === col("w_pos")))
       .select(col(idCol), col("pos"))
-    val rem = intervalUnion(losers, idCol, k)
+    val rem = intervalUnion(losers, Seq(idCol), k)
       .withColumnRenamed("tokens", "removed_tokens")
     docs.filter(col(textCol).isNotNull)
       .select(col(idCol), TF.tokenCount(col(textCol)).as("n_tokens"))

@@ -200,12 +200,20 @@ class PlanAssertionsSpec extends SparkSpec {
         val windows = Catalog.byName(name).run(spark, dir)
           .queryExecution.executedPlan.collect { case w: WindowExec => w }
         assert(windows.nonEmpty, s"$name: expected the interval-union window")
+        // Positive allowlist, not a hash-name blacklist: a renamed or
+        // cast-wrapped hash key would dodge a literal `h#NN` match,
+        // but it can never pass "every partition key is one of the
+        // document-grain attributes".
+        val allowed = Set("doc_id", "src", "src_other")
         windows.foreach { w =>
-          val keys = w.partitionSpec.map(_.toString).mkString(",")
-          assert(keys.contains("doc_id"),
-            s"$name: window not at document grain: $keys")
-          assert(!w.partitionSpec.exists(_.toString.matches("h#\\d+L?")),
-            s"$name: window partitioned by the gram hash: $keys")
+          val names = w.partitionSpec.map(e =>
+            e.toString.takeWhile(c => c != '#'))
+          assert(names.contains("doc_id"),
+            s"$name: window not at document grain: ${names.mkString(",")}")
+          names.foreach { n =>
+            assert(allowed(n),
+              s"$name: window partitioned outside the document grain: $n")
+          }
         }
       }
     } finally spark.conf.set(key, prev)
