@@ -1,0 +1,112 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.operators.DupSpans
+
+/** Exact duplicated-span coverage ON INGEST: the streaming twin of
+  * `q177_incremental_dupspan`, layered the way [[WinnowIngest]] twins
+  * q149 and [[IngestDedup]] twins q12. Each arriving batch gets the
+  * Lee-et-al. duplicated-token accounting ([[DupSpans]]) against
+  * everything already ingested plus itself, and the gram index
+  * advances so the NEXT batch sees this one.
+  *
+  * Per micro-batch:
+  *   1. one positional-gram pass over the batch (map-side);
+  *   2. a batch position is duplicated iff its gram occurs in ≥ 2
+  *      distinct batch docs OR the INDEX knows a different document
+  *      carrying it — history text is never re-read, per-batch cost
+  *      follows batch size;
+  *   3. append per-doc coverage rows to `covDir` and the batch's
+  *      per-gram (min_id, max_id) to `indexDir`.
+  *
+  * Replay idempotence (at-least-once redelivery): the index stores
+  * per-gram MIN and MAX document ids, not a bare hash set, and the
+  * history predicate is "a doc OTHER than this one carries the gram"
+  * (`min_id ≠ id OR max_id ≠ id`). A replayed batch therefore scores
+  * against an index already containing its own grams WITHOUT seeing
+  * itself as history — a bare hash-set index would flip every replayed
+  * position to duplicated. Replayed rows are value-identical by
+  * construction (spec-asserted), so readers dedup on the doc id; the
+  * index is a mergeable min/max contract (readers re-aggregate, double
+  * appends collapse).
+  *
+  * The min/max-id pair decides "exists a different doc" exactly: if
+  * the only known carrier is X, min = max = X; any second carrier
+  * moves one bound. Unlike [[WinnowIngest]]'s (doc_id, h) index this
+  * stays ONE row per gram — a boilerplate gram carried by millions of
+  * documents is still a single index row, so the probe join never
+  * fans out by occurrence count.
+  */
+object DupSpanIngest {
+
+  /** Current gram index: (h, min_id, max_id), double-appends collapsed
+    * by re-aggregation. Empty if nothing ingested yet. */
+  def index(spark: SparkSession, indexDir: String): DataFrame = {
+    import spark.implicits._
+    if (new java.io.File(indexDir).exists())
+      spark.read.parquet(indexDir)
+        .groupBy($"h")
+        .agg(min($"min_id").as("min_id"), max($"max_id").as("max_id"))
+    else Seq.empty[(Long, Long, Long)].toDF("h", "min_id", "max_id")
+  }
+
+  /** Coverage rows so far: (doc_id, n_tokens, dup_tokens), one row per
+    * ingested doc — replayed emissions are value-identical (see object
+    * doc), so a plain doc-key dedup is deterministic. */
+  def coverages(spark: SparkSession, covDir: String): DataFrame = {
+    import spark.implicits._
+    if (new java.io.File(covDir).exists())
+      spark.read.parquet(covDir).dropDuplicates("doc_id")
+    else Seq.empty[(Long, Long, Long)].toDF("doc_id", "n_tokens", "dup_tokens")
+  }
+
+  /** Merge one static micro-batch of documents (idCol, textCol). */
+  def mergeBatch(batch: DataFrame, textCol: String, idCol: String,
+                 indexDir: String, covDir: String, k: Int = 5): Unit =
+    synchronized {
+      val spark = batch.sparkSession
+      val g = DupSpans.grams(batch, textCol, idCol, k)
+        .localCheckpoint() // three consumers below + the index append
+      val hist = index(spark, indexDir)
+      val perHash = g.groupBy(col("h"))
+        .agg(countDistinct(col(idCol)).as("nd"))
+      val dupPos = g
+        .join(perHash, "h")
+        .join(hist, Seq("h"), "left")
+        .filter(col("nd") >= 2 ||
+          (col("min_id").isNotNull &&
+            (col("min_id") =!= col(idCol) || col("max_id") =!= col(idCol))))
+        .select(col(idCol), col("pos"))
+      val cov = DupSpans.intervalUnion(dupPos, Seq(idCol), k)
+        .withColumnRenamed("tokens", "dup_tokens")
+      val rows = batch.filter(col(textCol).isNotNull)
+        .select(col(idCol),
+          graft.functions.TextFunctions.tokenCount(col(textCol)).as("n_tokens"))
+        .join(cov, Seq(idCol), "left")
+        .select(col(idCol), col("n_tokens"),
+          coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"))
+
+      rows.write.mode("append").parquet(covDir)
+      g.groupBy(col("h"))
+        .agg(min(col(idCol)).as("min_id"), max(col(idCol)).as("max_id"))
+        .write.mode("append").parquet(indexDir)
+      graft.operators.Iterate.unpersistCheckpoint(g)
+    }
+
+  /** Wire the merge into a document stream (any streaming DataFrame
+    * with idCol + textCol). */
+  def run(docs: DataFrame, textCol: String, idCol: String,
+          checkpointDir: String, indexDir: String, covDir: String,
+          trigger: Trigger = Trigger.AvailableNow(),
+          k: Int = 5): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        mergeBatch(batch, textCol, idCol, indexDir, covDir, k)
+      }
+      .start()
+}
