@@ -46,7 +46,7 @@ object DupSpanIngest {
     * by re-aggregation. Empty if nothing ingested yet. */
   def index(spark: SparkSession, indexDir: String): DataFrame = {
     import spark.implicits._
-    if (new java.io.File(indexDir).exists())
+    if (FsUtil.exists(spark, indexDir))
       spark.read.parquet(indexDir)
         .groupBy($"h")
         .agg(min($"min_id").as("min_id"), max($"max_id").as("max_id"))
@@ -54,16 +54,36 @@ object DupSpanIngest {
   }
 
   /** Coverage rows so far: (doc_id, n_tokens, dup_tokens), one row per
-    * ingested doc — replayed emissions are value-identical (see object
-    * doc), so a plain doc-key dedup is deterministic. */
+    * ingested doc. The merge keeps the MINIMUM dup_tokens per doc —
+    * the as-of-first-arrival score. Under structured streaming's
+    * at-least-once contract (only the latest uncommitted batch
+    * replays) re-emissions are value-identical anyway (see object
+    * doc), so min changes nothing; but [[mergeBatch]] is also a public
+    * batch API, and a caller re-merging an OLDER batch after later
+    * ingests scores it against an index that has since gained
+    * carriers — flagging strictly MORE positions. min deterministically
+    * discards those retroactive re-scores instead of letting a bare
+    * doc-key dedup pick one emission arbitrarily. */
   def coverages(spark: SparkSession, covDir: String): DataFrame = {
     import spark.implicits._
-    if (new java.io.File(covDir).exists())
-      spark.read.parquet(covDir).dropDuplicates("doc_id")
+    if (FsUtil.exists(spark, covDir))
+      spark.read.parquet(covDir)
+        .groupBy($"doc_id")
+        .agg(min($"n_tokens").as("n_tokens"),
+             min($"dup_tokens").as("dup_tokens"))
     else Seq.empty[(Long, Long, Long)].toDF("doc_id", "n_tokens", "dup_tokens")
   }
 
-  /** Merge one static micro-batch of documents (idCol, textCol). */
+  /** Merge one static micro-batch of documents (idCol, textCol).
+    *
+    * Replay precondition: redelivery is idempotent for the MOST RECENT
+    * batch (structured streaming's at-least-once contract — exactly
+    * what the [[run]] path can replay). Re-merging an OLDER batch
+    * after later ingests re-scores it against an index that has since
+    * gained carriers; the index itself stays correct (min/max merge is
+    * order-independent), and [[coverages]]' min-merge keeps the
+    * original as-of-arrival coverage row rather than the retroactive
+    * re-score (spec-asserted). */
   def mergeBatch(batch: DataFrame, textCol: String, idCol: String,
                  indexDir: String, covDir: String, k: Int = 5): Unit =
     synchronized {

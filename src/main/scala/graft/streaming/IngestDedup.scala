@@ -63,7 +63,7 @@ object IngestDedup {
     * nothing has been ingested yet. */
   def historyIndex(spark: SparkSession, indexDir: String): DataFrame = {
     import spark.implicits._
-    if (new java.io.File(indexDir).exists())
+    if (FsUtil.exists(spark, indexDir))
       spark.read.parquet(indexDir).select($"fp").distinct()
     else Seq.empty[String].toDF("fp")
   }

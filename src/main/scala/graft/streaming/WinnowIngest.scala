@@ -42,7 +42,7 @@ object WinnowIngest {
     * removed). Empty if nothing ingested yet. */
   def index(spark: SparkSession, indexDir: String): DataFrame = {
     import spark.implicits._
-    if (new java.io.File(indexDir).exists())
+    if (FsUtil.exists(spark, indexDir))
       spark.read.parquet(indexDir).select($"doc_id", $"h").distinct()
     else Seq.empty[(Long, Long)].toDF("doc_id", "h")
   }
@@ -57,7 +57,7 @@ object WinnowIngest {
     * make repeated reads disagree. */
   def pairs(spark: SparkSession, pairsDir: String): DataFrame = {
     import spark.implicits._
-    if (new java.io.File(pairsDir).exists())
+    if (FsUtil.exists(spark, pairsDir))
       spark.read.parquet(pairsDir)
         .groupBy($"doc_a", $"doc_b")
         .agg(max(struct($"n_shared", $"overlap_r")).as("s"))

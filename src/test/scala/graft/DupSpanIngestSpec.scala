@@ -78,6 +78,24 @@ class DupSpanIngestSpec extends SparkSpec {
     assert(after(13L)._2 == 0L, "replayed unique content must stay unduplicated")
   }
 
+  test("re-merging an OLDER batch after later ingests leaves coverage rows unchanged") {
+    val root = Files.createTempDirectory("dupspanolder").toString
+    val (idx, cov) = (s"$root/index", s"$root/cov")
+    DupSpanIngest.mergeBatch(docs(batch1), "text", "doc_id", idx, cov)
+    DupSpanIngest.mergeBatch(docs(batch2), "text", "doc_id", idx, cov)
+    val before = covMap(DupSpanIngest.coverages(spark, cov))
+    // Out-of-order replay, beyond the streaming at-least-once contract
+    // (which only redelivers the LATEST batch): batch1's span gram now
+    // has max_id = 10 in the index (doc 10 copied it), so this
+    // re-merge EMITS a retroactive dup_tokens = 7 row for doc 1 — the
+    // min-merge in coverages() must keep the as-of-arrival 0 instead
+    // of letting an arbitrary survivor make reads nondeterministic.
+    DupSpanIngest.mergeBatch(docs(batch1), "text", "doc_id", idx, cov)
+    val after = covMap(DupSpanIngest.coverages(spark, cov))
+    assert(after == before)
+    assert(after(1L)._2 == 0L, "doc 1 keeps its as-of-arrival coverage")
+  }
+
   test("a third batch sees grams from every earlier batch through the merged index") {
     val root = Files.createTempDirectory("dupspanthree").toString
     val (idx, cov) = (s"$root/index", s"$root/cov")

@@ -120,8 +120,14 @@ class DupSpansSpec extends SparkSpec {
     import spark.implicits._
     val dir = "/root/testdata/sf0.001"
     val rows = graft.queries.Catalog.queries("q176_source_leakage")(spark, dir).collect()
-    val srcs = rows.map(_.getAs[String]("src")).distinct.length
+    // Expected pair count from the INPUT's source domain, not from the
+    // result's own distinct sources — a source dropped entirely by a
+    // broken pair-domain join would shrink both sides of a
+    // result-derived assertion and pass undetected.
+    val srcs = graft.sources.Tables(spark, dir, "documents")
+      .filter($"text".isNotNull).select($"source").distinct().count().toInt
     assert(rows.length == srcs * (srcs - 1), "every ordered pair present, zeros kept")
+    assert(rows.map(_.getAs[String]("src")).distinct.length == srcs)
     rows.foreach { r =>
       val f = r.getAs[Double]("leak_frac_r")
       assert(f >= 0.0 && f <= 1.0)
