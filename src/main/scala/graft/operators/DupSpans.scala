@@ -197,32 +197,110 @@ object DupSpans {
       .agg(sum(col("tokens")).as("leaked_tokens"))
   }
 
-  /** First-occurrence-wins removal plan: (idCol, n_tokens,
-    * removed_tokens) — for every gram occurring ≥ 2 times anywhere
-    * (within-doc repeats included), all occurrences except the
-    * globally first (min (doc_id, pos)) are removal intervals; the
-    * per-document removed-token count is their interval union. */
-  def removalPlan(docs: DataFrame, textCol: String, idCol: String,
-                  k: Int = 5): DataFrame = {
-    // Same two-consumer checkpoint as [[coverage]] (winner aggregate +
-    // loser join both read the gram frame).
-    val g = Checkpoints.track(
-      grams(docs, textCol, idCol, k).localCheckpoint(eager = false))
+  /** Losing occurrences over a gram frame: every occurrence of a gram
+    * occurring ≥ 2 times anywhere (within-doc repeats included) except
+    * the globally first (min (doc_id, pos)). The winner per hash is a
+    * min-struct AGGREGATION — skew-safe on boilerplate grams, never a
+    * per-hash window. One shared spelling for [[removalPlan]] (the
+    * accounting) and [[applyRemoval]] (the transform), so plan and
+    * application can never disagree on who loses. */
+  private def losingPositions(g: DataFrame, idCol: String): DataFrame = {
     val winners = g.groupBy(col("h"))
       .agg(min(struct(col(idCol), col("pos"))).as("w"),
            count(lit(1)).as("occ"))
       .filter(col("occ") >= 2L)
       .select(col("h"), col("w").getField(idCol).as("w_id"),
         col("w").getField("pos").as("w_pos"))
-    val losers = g.join(winners, "h")
+    g.join(winners, "h")
       .filter(!(col(idCol) === col("w_id") && col("pos") === col("w_pos")))
       .select(col(idCol), col("pos"))
-    val rem = intervalUnion(losers, Seq(idCol), k)
+  }
+
+  /** First-occurrence-wins removal plan: (idCol, n_tokens,
+    * removed_tokens) — the per-document removed-token count is the
+    * interval union of its losing occurrences ([[losingPositions]]).
+    * [[applyRemoval]] materializes the same plan into retained text. */
+  def removalPlan(docs: DataFrame, textCol: String, idCol: String,
+                  k: Int = 5): DataFrame = {
+    // Same two-consumer checkpoint as [[coverage]] (winner aggregate +
+    // loser join both read the gram frame).
+    val g = Checkpoints.track(
+      grams(docs, textCol, idCol, k).localCheckpoint(eager = false))
+    val rem = intervalUnion(losingPositions(g, idCol), Seq(idCol), k)
       .withColumnRenamed("tokens", "removed_tokens")
     docs.filter(col(textCol).isNotNull)
       .select(col(idCol), TF.tokenCount(col(textCol)).as("n_tokens"))
       .join(rem, Seq(idCol), "left")
       .select(col(idCol), col("n_tokens"),
         coalesce(col("removed_tokens"), lit(0L)).as("removed_tokens"))
+  }
+
+  /** Coalesce [pos, pos+k-1] intervals into merged islands per
+    * partition key set: (partitionCols..., s, e) with 1-based
+    * inclusive token bounds; overlapping AND adjacent intervals merge
+    * (removal-equivalent — the covered position set is identical).
+    * Gaps-and-islands over the same doc-partitioned window family as
+    * [[intervalUnion]]; island count per doc is bounded by doc
+    * length / k. */
+  def mergeIntervals(positions: DataFrame, partitionCols: Seq[String],
+                     k: Int): DataFrame = {
+    val pc = partitionCols.map(col)
+    val wPrev = Window.partitionBy(pc: _*).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = Window.partitionBy(pc: _*).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    positions
+      .withColumn("prev_end", max(col("pos") + lit(k - 1).cast("long")).over(wPrev))
+      .withColumn("brk",
+        when(col("prev_end").isNull || col("pos") > col("prev_end") + 1L, 1L)
+          .otherwise(0L))
+      .withColumn("island", sum(col("brk")).over(wRun))
+      .groupBy(pc :+ col("island"): _*)
+      .agg(min(col("pos")).as("s"),
+           max(col("pos") + lit(k - 1).cast("long")).as("e"))
+      .select(pc :+ col("s") :+ col("e"): _*)
+  }
+
+  /** Merged removal intervals per document: (idCol, s, e) — the
+    * materializable form of [[removalPlan]]'s accounting (sum of
+    * e−s+1 per doc == removed_tokens, spec-asserted). */
+  def removalIntervals(docs: DataFrame, textCol: String, idCol: String,
+                       k: Int = 5): DataFrame = {
+    val g = Checkpoints.track(
+      grams(docs, textCol, idCol, k).localCheckpoint(eager = false))
+    mergeIntervals(losingPositions(g, idCol), Seq(idCol), k)
+  }
+
+  /** APPLY the first-occurrence-wins removal — the corpus transform of
+    * Lee et al. 2022 that [[removalPlan]] only accounts for: rebuild
+    * each document's text with its losing spans excised, keeping the
+    * globally-first occurrence of every duplicated run. Returns
+    * (idCol, n_tokens, retained_tokens, retained_text) for every
+    * non-NULL-text document; retained_text is the whitespace-
+    * normalized re-join of surviving tokens ('' if everything lost).
+    *
+    * Scale shape: removal intervals ride back to the documents as ONE
+    * doc-keyed equi-join of a per-doc interval ARRAY (bounded by
+    * doc length / k entries — collect_list here is per-doc data, not
+    * a driver collect); the excision itself is a codegen'd array HOF
+    * pass (filter + exists) over each doc's tokens — map-side, no
+    * extra shuffle beyond the interval build. */
+  def applyRemoval(docs: DataFrame, textCol: String, idCol: String,
+                   k: Int = 5): DataFrame = {
+    val ivs = removalIntervals(docs, textCol, idCol, k)
+      .groupBy(col(idCol))
+      .agg(collect_list(struct(col("s"), col("e"))).as("__ivs"))
+    val noIvs = array().cast("array<struct<s:bigint,e:bigint>>")
+    docs.filter(col(textCol).isNotNull)
+      .join(ivs, Seq(idCol), "left")
+      .withColumn("__tk", TF.tokens(col(textCol)))
+      .withColumn("__keep",
+        filter(col("__tk"), (_, i) =>
+          !exists(coalesce(col("__ivs"), noIvs),
+            iv => (i + 1).cast("long").between(iv.getField("s"), iv.getField("e")))))
+      .select(col(idCol),
+        size(col("__tk")).cast("long").as("n_tokens"),
+        size(col("__keep")).cast("long").as("retained_tokens"),
+        array_join(col("__keep"), " ").as("retained_text"))
   }
 }

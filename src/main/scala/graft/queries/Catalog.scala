@@ -7019,6 +7019,65 @@ object Catalog {
              |       (coalesce(cov.dup_tokens, 0)::DOUBLE / len(t.tk) <= 0.5) AS keep
              |FROM tk t LEFT JOIN cov ON cov.doc_id = t.doc_id
              |WHERE t.src_n >= 10
+             |ORDER BY t.doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Q178: dup-span removal APPLIED (operators.DupSpans.applyRemoval)
+    // — the corpus transform q175 only plans: every losing occurrence
+    // of a duplicated 5-gram (first occurrence anywhere wins) is
+    // excised from the text, and the retained document is rebuilt from
+    // the surviving tokens — the Lee-et-al. 2022 surgical dedup a
+    // pipeline consumer feeds to training, where q166's funnel can
+    // only drop/keep whole documents. The oracle rebuilds the same
+    // text independently by covering loser positions (equi-join
+    // spelling — no range join) and string_agg over kept positions.
+    // Plan: the q175 loser computation (min-struct winner aggregation,
+    // skew-safe), a doc-partitioned gaps-and-islands merge, one
+    // doc-keyed join of bounded per-doc interval arrays back onto the
+    // documents, then a codegen'd array-HOF excision — map-side, no
+    // extra shuffle.
+    Query(
+      "q178_dupspan_apply",
+      (s, dir) => {
+        import s.implicits._
+        graft.operators.DupSpans.applyRemoval(
+            t(s, dir, "documents"), "text", "doc_id", k = 5)
+          .withColumn("retained_frac_r",
+            round($"retained_tokens".cast("double") / $"n_tokens", 4))
+          .select($"doc_id", $"n_tokens", $"retained_tokens",
+            $"retained_frac_r", $"retained_text")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH tk AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+             |            FROM documents WHERE text IS NOT NULL),
+             |g AS (SELECT doc_id, unnest(generate_series(1, len(tk) - 4)) AS pos, tk
+             |      FROM tk),
+             |h AS (SELECT doc_id, pos,
+             |             ('0x' || substr(md5(array_to_string(tk[pos:pos+4], ' ')), 1, 8))::BIGINT AS h
+             |      FROM g),
+             |w AS (SELECT h, min(doc_id) AS w_id FROM h GROUP BY h
+             |      HAVING count(*) >= 2),
+             |wp AS (SELECT w.h, w.w_id, min(h.pos) AS w_pos
+             |       FROM w JOIN h ON h.h = w.h AND h.doc_id = w.w_id
+             |       GROUP BY 1, 2),
+             |losers AS (SELECT h.doc_id, h.pos
+             |           FROM h JOIN wp USING (h)
+             |           WHERE NOT (h.doc_id = wp.w_id AND h.pos = wp.w_pos)),
+             |remp AS (SELECT DISTINCT doc_id, p FROM
+             |           (SELECT doc_id, unnest(generate_series(pos, pos + 4)) AS p
+             |            FROM losers) u),
+             |posd AS (SELECT doc_id, unnest(generate_series(1, len(tk))) AS p FROM tk),
+             |kept AS (SELECT d.doc_id, d.p
+             |         FROM posd d LEFT JOIN remp r ON r.doc_id = d.doc_id AND r.p = d.p
+             |         WHERE r.p IS NULL),
+             |ka AS (SELECT k.doc_id, count(*)::BIGINT AS retained_tokens,
+             |              string_agg(t.tk[k.p], ' ' ORDER BY k.p) AS retained_text
+             |       FROM kept k JOIN tk t USING (doc_id) GROUP BY 1)
+             |SELECT t.doc_id, len(t.tk)::BIGINT AS n_tokens,
+             |       coalesce(ka.retained_tokens, 0)::BIGINT AS retained_tokens,
+             |       round(coalesce(ka.retained_tokens, 0)::DOUBLE / len(t.tk), 4) AS retained_frac_r,
+             |       coalesce(ka.retained_text, '') AS retained_text
+             |FROM tk t LEFT JOIN ka USING (doc_id)
              |ORDER BY t.doc_id""".stripMargin))
   )
 

@@ -79,6 +79,79 @@ class DupSpansSpec extends SparkSpec {
     assert(m(1L) == (10L, 5L), "the second copy inside the same doc is removed")
   }
 
+  test("applyRemoval: winner keeps its text verbatim; the loser's span is excised") {
+    import spark.implicits._
+    val shared = "s1 s2 s3 s4 s5 s6"
+    val a = s"$shared tail1 tail2"
+    val b = s"head1 head2 $shared"
+    val got = DupSpans.applyRemoval(docs(1L -> a, 2L -> b), "text", "doc_id", k = 5)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(got(1L) == (8L, 8L, a), "globally-first occurrence is untouched")
+    assert(got(2L) == (8L, 2L, "head1 head2"), "losing span excised, rest re-joined")
+  }
+
+  test("applyRemoval: within-doc repeat loses its second copy; full-loss doc goes empty") {
+    import spark.implicits._
+    val rep = "w1 w2 w3 w4 w5"
+    val got = DupSpans.applyRemoval(
+        docs(1L -> s"$rep $rep", 2L -> s"z0 $rep z1"), "text", "doc_id", k = 5)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(got(1L) == (10L, 5L, rep), "second within-doc copy removed")
+    // doc 2's run loses to doc 1's first copy; its neighbors survive
+    assert(got(2L) == (7L, 2L, "z0 z1"))
+  }
+
+  test("applyRemoval merges overlapping losing intervals (no double-excision, no gaps)") {
+    import spark.implicits._
+    // A 7-token copied run = 3 overlapping losing 5-grams in the loser;
+    // the merged island must excise exactly tokens 3..9, once.
+    val run = "r1 r2 r3 r4 r5 r6 r7"
+    val got = DupSpans.applyRemoval(
+        docs(1L -> s"$run x y", 2L -> s"a b $run c"), "text", "doc_id", k = 5)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(got(2L) == (10L, 3L, "a b c"))
+    // ...and removalIntervals reports the single merged island
+    val ivs = DupSpans.removalIntervals(
+        docs(1L -> s"$run x y", 2L -> s"a b $run c"), "text", "doc_id", k = 5)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(ivs == Set((2L, 3L, 9L)))
+  }
+
+  test("applyRemoval at sf0.001: retained_tokens == n_tokens - removalPlan.removed_tokens") {
+    import spark.implicits._
+    val d = graft.sources.Tables(spark, "/root/testdata/sf0.001", "documents")
+    val applied = DupSpans.applyRemoval(d, "text", "doc_id", k = 5)
+      .select($"doc_id", $"n_tokens", $"retained_tokens", $"retained_text")
+    val plan = DupSpans.removalPlan(d, "text", "doc_id", k = 5)
+      .select($"doc_id", $"removed_tokens")
+    val joined = applied.join(plan, "doc_id")
+    assert(joined.count() > 0)
+    assert(joined.filter($"retained_tokens" =!= $"n_tokens" - $"removed_tokens").count() == 0L,
+      "the transform must excise exactly the tokens the plan accounts for")
+    // The retained text really has retained_tokens whitespace tokens
+    // (empty string = 0, not the 1 a bare split would report).
+    import org.apache.spark.sql.functions.{length => slen}
+    val tokCheck = joined.filter(
+      when(slen($"retained_text") === 0, $"retained_tokens" =!= 0L)
+        .otherwise(graft.functions.TextFunctions.tokenCount($"retained_text") =!= $"retained_tokens"))
+    assert(tokCheck.count() == 0L)
+    // Re-scored duplication over the retained corpus DROPS: the
+    // surviving corpus keeps one copy per duplicated run, so
+    // distinct-doc 5-gram coverage must shrink (Lee et al.'s point).
+    val before = DupSpans.coverage(d, "text", "doc_id", k = 5)
+      .agg(sum($"dup_tokens")).as[Long].head()
+    val after = DupSpans.coverage(
+        applied.select($"doc_id", $"retained_text".as("text")),
+        "text", "doc_id", k = 5)
+      .agg(sum($"dup_tokens")).as[Long].head()
+    assert(before > 0L)
+    assert(after < before / 2,
+      s"retained-corpus duplication $after should collapse vs $before")
+  }
+
   test("coverage and removalPlan keep NULL-text docs out and zero-fill clean docs") {
     import spark.implicits._
     val withNull = docs(1L -> "c1 c2 c3 c4 c5 c6").unionByName(

@@ -196,7 +196,8 @@ class PlanAssertionsSpec extends SparkSpec {
     spark.conf.set(key, "false")
     try {
       for (name <- Seq("q174_dupspan_coverage", "q175_dupspan_dedup",
-                       "q176_source_leakage", "q177_incremental_dupspan")) {
+                       "q176_source_leakage", "q177_incremental_dupspan",
+                       "q178_dupspan_apply")) {
         val windows = Catalog.byName(name).run(spark, dir)
           .queryExecution.executedPlan.collect { case w: WindowExec => w }
         assert(windows.nonEmpty, s"$name: expected the interval-union window")
