@@ -19,8 +19,10 @@ import graft.operators.DupSpans
   *      distinct batch docs OR the INDEX knows a different document
   *      carrying it — history text is never re-read, per-batch cost
   *      follows batch size;
-  *   3. append per-doc coverage rows to `covDir` and the batch's
-  *      per-gram (min_id, max_id) to `indexDir`.
+  *   3. append per-doc coverage rows to `covDir` and PATCH the batch's
+  *      per-gram (min_id, max_id) into the bucketed index at
+  *      `indexDir` (ManifestState layout — see the bucket notes on
+  *      [[DefaultIndexBuckets]]).
   *
   * Replay idempotence (at-least-once redelivery): the index stores
   * per-gram MIN and MAX document ids, not a bare hash set, and the
@@ -30,8 +32,8 @@ import graft.operators.DupSpans
   * itself as history — a bare hash-set index would flip every replayed
   * position to duplicated. Replayed rows are value-identical by
   * construction (spec-asserted), so readers dedup on the doc id; the
-  * index is a mergeable min/max contract (readers re-aggregate, double
-  * appends collapse).
+  * index is a mergeable min/max contract — order-independent and
+  * idempotent, so a replayed patch commits identical bucket content.
   *
   * The min/max-id pair decides "exists a different doc" exactly: if
   * the only known carrier is X, min = max = X; any second carrier
@@ -42,15 +44,29 @@ import graft.operators.DupSpans
   */
 object DupSpanIngest {
 
-  /** Current gram index: (h, min_id, max_id), double-appends collapsed
-    * by re-aggregation. Empty if nothing ingested yet. */
-  def index(spark: SparkSession, indexDir: String): DataFrame = {
+  /** Index buckets. The gram index lives in [[ManifestState]]'s
+    * bucketed layout (bucket by h): each batch REWRITES only the
+    * buckets its grams hash to with pre-merged (h, min_id, max_id)
+    * content, instead of appending one parquet fragment per batch —
+    * so the file count is bounded by `nBuckets × (1 + keepGenerations)`
+    * forever, the probe reads only the batch's buckets, and nothing
+    * ever re-aggregates the whole index per batch (a thousand-batch
+    * stream would otherwise pay a thousand-file O(index) re-agg every
+    * batch). */
+  val DefaultIndexBuckets = 64
+
+  private def indexTemplate(spark: SparkSession): DataFrame = {
     import spark.implicits._
-    if (FsUtil.exists(spark, indexDir))
-      spark.read.parquet(indexDir)
-        .groupBy($"h")
-        .agg(min($"min_id").as("min_id"), max($"max_id").as("max_id"))
-    else Seq.empty[(Long, Long, Long)].toDF("h", "min_id", "max_id")
+    Seq.empty[(Long, Long, Long)].toDF("h", "min_id", "max_id")
+  }
+
+  /** Current gram index: (h, min_id, max_id) — stored pre-merged, one
+    * row per gram (the bucketed patch re-merges on write, readers
+    * never re-aggregate). Empty if nothing ingested yet. */
+  def index(spark: SparkSession, indexDir: String): DataFrame = {
+    val m = ManifestState.readManifest(indexDir)
+    if (m.buckets.isEmpty) indexTemplate(spark)
+    else ManifestState.readSnapshot(spark, indexDir, m)
   }
 
   /** Coverage rows so far: (doc_id, n_tokens, dup_tokens), one row per
@@ -85,12 +101,24 @@ object DupSpanIngest {
     * original as-of-arrival coverage row rather than the retroactive
     * re-score (spec-asserted). */
   def mergeBatch(batch: DataFrame, textCol: String, idCol: String,
-                 indexDir: String, covDir: String, k: Int = 5): Unit =
+                 indexDir: String, covDir: String, k: Int = 5,
+                 nBuckets: Int = DefaultIndexBuckets): Unit =
     synchronized {
       val spark = batch.sparkSession
       val g = DupSpans.grams(batch, textCol, idCol, k)
-        .localCheckpoint() // three consumers below + the index append
-      val hist = index(spark, indexDir)
+        .localCheckpoint() // three consumers below + the index patch
+      // The batch's per-gram delta — also the key set that decides
+      // which index buckets this batch touches.
+      val bagg = g.groupBy(col("h"))
+        .agg(min(col(idCol)).as("min_id"), max(col(idCol)).as("max_id"))
+        .localCheckpoint() // probe bucket-list + patch (with retries)
+      // Probe ONLY the touched buckets: every history row relevant to
+      // this batch has a gram hash the batch carries, and that hash
+      // routes to a touched bucket by construction — per-batch read
+      // cost follows the batch's bucket footprint, never index size.
+      val buckets = ManifestState.bucketsOf(bagg, "h", nBuckets)
+      val hist = ManifestState.readBucketsOf(
+        spark, indexDir, buckets, indexTemplate(spark))
       val perHash = g.groupBy(col("h"))
         .agg(countDistinct(col(idCol)).as("nd"))
       val dupPos = g
@@ -110,9 +138,17 @@ object DupSpanIngest {
           coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"))
 
       rows.write.mode("append").parquet(covDir)
-      g.groupBy(col("h"))
-        .agg(min(col(idCol)).as("min_id"), max(col(idCol)).as("max_id"))
-        .write.mode("append").parquet(indexDir)
+      // Advance the index: rewrite the touched buckets with their
+      // merged new content. min/max are order-independent and
+      // idempotent under re-merge, so a replayed batch commits the
+      // identical bucket content.
+      ManifestState.patchBuckets(indexDir, nBuckets, "h",
+        bagg.select(col("h")), indexTemplate(spark)) { current =>
+        current.unionByName(bagg)
+          .groupBy(col("h"))
+          .agg(min(col("min_id")).as("min_id"), max(col("max_id")).as("max_id"))
+      }
+      graft.operators.Iterate.unpersistCheckpoint(bagg)
       graft.operators.Iterate.unpersistCheckpoint(g)
     }
 
@@ -121,12 +157,12 @@ object DupSpanIngest {
   def run(docs: DataFrame, textCol: String, idCol: String,
           checkpointDir: String, indexDir: String, covDir: String,
           trigger: Trigger = Trigger.AvailableNow(),
-          k: Int = 5): StreamingQuery =
+          k: Int = 5, nBuckets: Int = DefaultIndexBuckets): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        mergeBatch(batch, textCol, idCol, indexDir, covDir, k)
+        mergeBatch(batch, textCol, idCol, indexDir, covDir, k, nBuckets)
       }
       .start()
 }
