@@ -184,7 +184,20 @@ object DupSpans {
     * only — join against the source domain for the zero rows.
     */
   def crossSourceLeakage(docs: DataFrame, textCol: String, idCol: String,
-                         sourceCol: String, k: Int = 5): DataFrame = {
+                         sourceCol: String, k: Int = 5): DataFrame =
+    crossSourceLeakagePerDoc(docs, textCol, idCol, sourceCol, k)
+      .groupBy(col("src"), col("src_other"))
+      .agg(sum(col("leaked_tokens")).as("leaked_tokens"))
+
+  /** [[crossSourceLeakage]] at per-document grain: (idCol, src,
+    * src_other, leaked_tokens) — one row per (doc, counterpart) with
+    * leakage. The matrix is this summed over src's docs; the ingest
+    * twin ([[graft.streaming.LeakageIngest]]) emits exactly this grain
+    * per batch, and its spec pins per-batch equality against this
+    * operator restricted to the batch's doc ids. */
+  def crossSourceLeakagePerDoc(docs: DataFrame, textCol: String,
+                               idCol: String, sourceCol: String,
+                               k: Int = 5): DataFrame = {
     val g = Checkpoints.track(
       grams(docs, textCol, idCol, k, carry = Seq(sourceCol))
         .localCheckpoint(eager = false))
@@ -193,8 +206,7 @@ object DupSpans {
       .filter(col(sourceCol) =!= col("src_other"))
       .select(col(idCol), col("pos"), col(sourceCol).as("src"), col("src_other"))
     intervalUnion(leaked, Seq(idCol, "src", "src_other"), k)
-      .groupBy(col("src"), col("src_other"))
-      .agg(sum(col("tokens")).as("leaked_tokens"))
+      .withColumnRenamed("tokens", "leaked_tokens")
   }
 
   /** Losing occurrences over a gram frame: every occurrence of a gram
