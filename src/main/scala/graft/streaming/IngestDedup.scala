@@ -25,17 +25,26 @@ import graft.functions.{TextFunctions => TF}
   *      forever.
   *   2. CROSS-HORIZON / HISTORICAL: each micro-batch anti-joins the
   *      persistent fingerprint index of everything already ingested —
-  *      a stream-static equi-join on the 32-byte key. At 100 TB the
-  *      index is a bucketed table on fp (or a bloom prefilter in
-  *      front of it, [[graft.operators.BloomPrefilter]]); the text of
-  *      the historical corpus is never read.
-  *   3. INDEX MAINTENANCE: survivors append (doc_id, fp) back to the
-  *      index inside the same `foreachBatch`, so the NEXT batch sees
-  *      them — the index is re-read per batch, not captured once at
-  *      query start. A crash between the append and the checkpoint
-  *      commit can replay a batch and double-append fingerprints;
-  *      the index is therefore a SET contract (readers distinct it,
-  *      [[historyIndex]]) and the anti-join stays idempotent.
+  *      a stream-static equi-join on the 32-byte key. The index IS a
+  *      bucketed table on fp ([[ManifestState]] layout, same
+  *      discipline as [[DupSpanIngest.DefaultIndexBuckets]]): the
+  *      anti-join reads ONLY the buckets the batch's fingerprints
+  *      hash to — any colliding history fp lives in a touched bucket
+  *      by construction, so the restriction is exact — and the text
+  *      of the historical corpus is never read. A bloom prefilter
+  *      ([[graft.operators.BloomPrefilter]]) can still front it.
+  *   3. INDEX MAINTENANCE: survivors' fingerprints PATCH back into
+  *      the touched buckets inside the same `foreachBatch`, so the
+  *      NEXT batch sees them — the index is re-read per batch, not
+  *      captured once at query start. A crash between the patch and
+  *      the checkpoint commit can replay a batch; the index is a SET
+  *      contract (the patch re-distincts, so a replayed patch commits
+  *      identical bucket content) and the anti-join stays idempotent.
+  *      Per-batch cost is flat across stream age and index data files
+  *      stay bounded by nBuckets × (1 + keepGenerations) — the
+  *      one-fragment-per-batch growth of an append-mode index never
+  *      happens (probed in docs/probes/dupspaningest_r14.txt for the
+  *      shared mechanism).
   *
   * Reference tie-in: the reference pipeline has no dedup at all (its
   * keyed map is latest-WINS, id-keyed — `static/index.html:87-89`);
@@ -58,14 +67,50 @@ object IngestDedup {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("fp")
 
-  /** The fingerprint index as a readable set (dedups replay
-    * double-appends; see the idempotence note above). Empty frame if
+  /** Index buckets (see the object doc's point 2/3). */
+  val DefaultIndexBuckets = 64
+
+  private def indexTemplate(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq.empty[String].toDF("fp")
+  }
+
+  /** The fingerprint index as a readable set — stored distinct in the
+    * bucketed layout, so readers never re-aggregate. Empty frame if
     * nothing has been ingested yet. */
   def historyIndex(spark: SparkSession, indexDir: String): DataFrame = {
-    import spark.implicits._
-    if (FsUtil.exists(spark, indexDir))
-      spark.read.parquet(indexDir).select($"fp").distinct()
-    else Seq.empty[String].toDF("fp")
+    val m = ManifestState.readManifest(indexDir)
+    if (m.buckets.isEmpty) indexTemplate(spark)
+    else ManifestState.readSnapshot(spark, indexDir, m)
+  }
+
+  /** Patch fingerprints into the bucketed index — the per-batch
+    * advance, and the bootstrap path for seeding the index from an
+    * already-ingested corpus. Idempotent (set contract). */
+  def addToIndex(fps: DataFrame, indexDir: String,
+                 nBuckets: Int = DefaultIndexBuckets): Unit =
+    ManifestState.patchBuckets(indexDir, nBuckets, "fp",
+      fps.select(col("fp")), indexTemplate(fps.sparkSession)) { current =>
+      current.unionByName(fps.select(col("fp"))).distinct()
+    }
+
+  /** One micro-batch of the ingest pipeline: anti-join the batch
+    * against ONLY the index buckets its fingerprints hash to, append
+    * survivors to `outDir`, and patch their fingerprints into the
+    * index. Public so the batch semantics are probe- and spec-visible
+    * without a MemoryStream harness. */
+  def mergeBatch(batch: DataFrame, outDir: String, indexDir: String,
+                 nBuckets: Int = DefaultIndexBuckets): Unit = synchronized {
+    val spark = batch.sparkSession
+    val buckets = ManifestState.bucketsOf(batch.select(col("fp")), "fp", nBuckets)
+    val hist = ManifestState.readBucketsOf(
+      spark, indexDir, buckets, indexTemplate(spark))
+    val fresh = batch
+      .join(hist, Seq("fp"), "left_anti")
+      .localCheckpoint() // two writes below; don't recompute the join
+    fresh.write.mode("append").parquet(outDir)
+    addToIndex(fresh.select(col("fp")), indexDir, nBuckets)
+    graft.operators.Iterate.unpersistCheckpoint(fresh)
   }
 
   /** Full ingest pipeline: watermarked in-stream dedup → per-batch
@@ -76,7 +121,8 @@ object IngestDedup {
   def runIngest(spark: SparkSession, docs: DataFrame, textCol: String,
                 tsCol: String, watermark: String, checkpointDir: String,
                 outDir: String, indexDir: String,
-                trigger: Trigger = Trigger.ProcessingTime(0)): StreamingQuery =
+                trigger: Trigger = Trigger.ProcessingTime(0),
+                nBuckets: Int = DefaultIndexBuckets): StreamingQuery =
     dedupStream(docs, textCol, tsCol, watermark)
       .writeStream
       .option("checkpointLocation", checkpointDir)
@@ -85,13 +131,9 @@ object IngestDedup {
         // The in-stream dedup guarantees fp-uniqueness only across
         // the stateful horizon; a batch can still carry one row per
         // fp that collides with history — and the index must be the
-        // CURRENT one (previous batches' appends included), so it is
-        // read here, not captured at stream build.
-        val fresh = batch
-          .join(historyIndex(spark, indexDir), Seq("fp"), "left_anti")
-          .localCheckpoint() // two writes below; don't recompute the join
-        fresh.write.mode("append").parquet(outDir)
-        fresh.select("fp").write.mode("append").parquet(indexDir)
+        // CURRENT one (previous batches' patches included), so its
+        // touched buckets are read here, not captured at stream build.
+        mergeBatch(batch, outDir, indexDir, nBuckets)
       }
       .start()
 }

@@ -50,10 +50,13 @@ class IngestDedupSpec extends SparkSpec {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val root = Files.createTempDirectory("ingest2").toString
 
-    // Pre-seed the index with the fingerprint of "known doc".
-    Seq(("known doc", 0L)).toDF("text", "doc_id")
-      .select(graft.functions.TextFunctions.fingerprint($"text").as("fp"))
-      .write.parquet(s"$root/idx")
+    // Pre-seed the index with the fingerprint of "known doc" — the
+    // bootstrap-from-existing-corpus path (bucketed patch, not a bare
+    // parquet write, since the index lives in the manifest layout).
+    IngestDedup.addToIndex(
+      Seq(("known doc", 0L)).toDF("text", "doc_id")
+        .select(graft.functions.TextFunctions.fingerprint($"text").as("fp")),
+      s"$root/idx")
 
     val ms = MemoryStream[(Timestamp, Long, String)]
     val q = IngestDedup.runIngest(spark, ms.toDF().toDF("ts", "doc_id", "text"),
