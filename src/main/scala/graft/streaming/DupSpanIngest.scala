@@ -65,8 +65,13 @@ object DupSpanIngest {
     * never re-aggregate). Empty if nothing ingested yet. */
   def index(spark: SparkSession, indexDir: String): DataFrame = {
     val m = ManifestState.readManifest(indexDir)
-    if (m.buckets.isEmpty) indexTemplate(spark)
-    else ManifestState.readSnapshot(spark, indexDir, m)
+    if (m.buckets.isEmpty) {
+      // loud upgrade guard: a pre-round-14 append-mode index must not
+      // silently read as empty history
+      FsUtil.requireNotAppendLayout(spark, indexDir,
+        "re-aggregate the fragments through a bucketed patch first")
+      indexTemplate(spark)
+    } else ManifestState.readSnapshot(spark, indexDir, m)
   }
 
   /** Coverage rows so far: (doc_id, n_tokens, dup_tokens), one row per
@@ -83,10 +88,15 @@ object DupSpanIngest {
   def coverages(spark: SparkSession, covDir: String): DataFrame = {
     import spark.implicits._
     if (FsUtil.exists(spark, covDir))
+      // min over the (dup_tokens, n_tokens) STRUCT, not each field
+      // independently: two emissions that differ in both fields must
+      // merge to a row one of them actually produced, never a
+      // cross-emission hybrid fraction
       spark.read.parquet(covDir)
         .groupBy($"doc_id")
-        .agg(min($"n_tokens").as("n_tokens"),
-             min($"dup_tokens").as("dup_tokens"))
+        .agg(min(struct($"dup_tokens", $"n_tokens")).as("m"))
+        .select($"doc_id", $"m.n_tokens".as("n_tokens"),
+          $"m.dup_tokens".as("dup_tokens"))
     else Seq.empty[(Long, Long, Long)].toDF("doc_id", "n_tokens", "dup_tokens")
   }
 
@@ -105,13 +115,22 @@ object DupSpanIngest {
                  nBuckets: Int = DefaultIndexBuckets): Unit =
     synchronized {
       val spark = batch.sparkSession
+      ManifestState.requireBucketCount(indexDir, nBuckets)
+      if (ManifestState.readManifest(indexDir).buckets.isEmpty)
+        FsUtil.requireNotAppendLayout(spark, indexDir,
+          "re-aggregate the fragments through a bucketed patch first")
       val g = DupSpans.grams(batch, textCol, idCol, k)
         .localCheckpoint() // three consumers below + the index patch
-      // The batch's per-gram delta — also the key set that decides
-      // which index buckets this batch touches.
-      val bagg = g.groupBy(col("h"))
-        .agg(min(col(idCol)).as("min_id"), max(col(idCol)).as("max_id"))
-        .localCheckpoint() // probe bucket-list + patch (with retries)
+      // ONE aggregation pass serves both per-gram consumers: the
+      // index delta (min/max id) and the within-batch duplicate
+      // predicate (distinct-doc count) — two separate groupBys would
+      // shuffle the gram frame twice per batch for nothing.
+      val stats = g.groupBy(col("h"))
+        .agg(min(col(idCol)).as("min_id"), max(col(idCol)).as("max_id"),
+             countDistinct(col(idCol)).as("nd"))
+        .localCheckpoint() // probe bucket-list + join + patch retries
+      val bagg = stats.select(col("h"), col("min_id"), col("max_id"))
+      val perHash = stats.select(col("h"), col("nd"))
       // Probe ONLY the touched buckets: every history row relevant to
       // this batch has a gram hash the batch carries, and that hash
       // routes to a touched bucket by construction — per-batch read
@@ -119,8 +138,6 @@ object DupSpanIngest {
       val buckets = ManifestState.bucketsOf(bagg, "h", nBuckets)
       val hist = ManifestState.readBucketsOf(
         spark, indexDir, buckets, indexTemplate(spark))
-      val perHash = g.groupBy(col("h"))
-        .agg(countDistinct(col(idCol)).as("nd"))
       val dupPos = g
         .join(perHash, "h")
         .join(hist, Seq("h"), "left")
@@ -148,7 +165,7 @@ object DupSpanIngest {
           .groupBy(col("h"))
           .agg(min(col("min_id")).as("min_id"), max(col("max_id")).as("max_id"))
       }
-      graft.operators.Iterate.unpersistCheckpoint(bagg)
+      graft.operators.Iterate.unpersistCheckpoint(stats)
       graft.operators.Iterate.unpersistCheckpoint(g)
     }
 

@@ -49,6 +49,8 @@ object DupSpanIngestBench {
 
   def main(args: Array[String]): Unit = {
     val batches = args.headOption.map(_.toInt).getOrElse(60)
+    require(batches >= 21,
+      s"flatness windows (skip-1 + first10 vs last10) need >= 21 batches, got $batches")
     val docsPerBatch = if (args.length > 1) args(1).toInt else 200
     val nBuckets = if (args.length > 2) args(2).toInt else DupSpanIngest.DefaultIndexBuckets
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -78,12 +80,7 @@ object DupSpanIngestBench {
     // one tiny file per commit (bytes, not data) — report both so the
     // bound is honest about what grows (bookkeeping) vs what doesn't
     // (scan surface)
-    val dataFiles = {
-      val s = Files.walk(Path.of(idx))
-      try s.filter(p => Files.isRegularFile(p) &&
-        p.toString.contains("/b=") && p.toString.endsWith(".parquet")).count()
-      finally s.close()
-    }
+    val dataFiles = ManifestState.dataFileCount(idx)
     println(s"DUPSPANINGEST index_files_total=$files data_files=$dataFiles data_bound=$bound (nBuckets x (1+keepGenerations))")
     assert(dataFiles <= bound, s"data file count $dataFiles exceeds bucket bound $bound")
     spark.stop()

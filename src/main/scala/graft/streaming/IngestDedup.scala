@@ -80,8 +80,13 @@ object IngestDedup {
     * nothing has been ingested yet. */
   def historyIndex(spark: SparkSession, indexDir: String): DataFrame = {
     val m = ManifestState.readManifest(indexDir)
-    if (m.buckets.isEmpty) indexTemplate(spark)
-    else ManifestState.readSnapshot(spark, indexDir, m)
+    if (m.buckets.isEmpty) {
+      // loud upgrade guard: treating a pre-bucketing append-mode
+      // index as empty would re-ingest every known document
+      FsUtil.requireNotAppendLayout(spark, indexDir,
+        "seed a bucketed index from the fragments via addToIndex first")
+      indexTemplate(spark)
+    } else ManifestState.readSnapshot(spark, indexDir, m)
   }
 
   /** Patch fingerprints into the bucketed index — the per-batch
@@ -102,6 +107,10 @@ object IngestDedup {
   def mergeBatch(batch: DataFrame, outDir: String, indexDir: String,
                  nBuckets: Int = DefaultIndexBuckets): Unit = synchronized {
     val spark = batch.sparkSession
+    ManifestState.requireBucketCount(indexDir, nBuckets)
+    if (ManifestState.readManifest(indexDir).buckets.isEmpty)
+      FsUtil.requireNotAppendLayout(spark, indexDir,
+        "seed a bucketed index from the fragments via addToIndex first")
     val buckets = ManifestState.bucketsOf(batch.select(col("fp")), "fp", nBuckets)
     val hist = ManifestState.readBucketsOf(
       spark, indexDir, buckets, indexTemplate(spark))

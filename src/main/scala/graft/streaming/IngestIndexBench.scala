@@ -29,17 +29,10 @@ object IngestIndexBench {
       concat(lit("src"), pmod($"id", lit(4)).cast("string")).as("source"))
   }
 
-  private def dataFiles(dir: String): Long =
-    if (!Files.exists(Path.of(dir))) 0L
-    else {
-      val s = Files.walk(Path.of(dir))
-      try s.filter(p => Files.isRegularFile(p) &&
-        p.toString.contains("/b=") && p.toString.endsWith(".parquet")).count()
-      finally s.close()
-    }
-
   private def probe(name: String, batches: Int, nBuckets: Int,
                     indexDir: String)(runBatch: Int => Unit): Unit = {
+    require(batches >= 21,
+      s"flatness windows (skip-1 + first10 vs last10) need >= 21 batches, got $batches")
     val ms = (1 to batches).map { i =>
       val t0 = System.nanoTime()
       runBatch(i)
@@ -48,7 +41,7 @@ object IngestIndexBench {
     val head = ms.slice(1, 11)
     val tail = ms.takeRight(10)
     val bound = nBuckets.toLong * (1 + ManifestState.DefaultKeepGenerations)
-    val files = dataFiles(indexDir)
+    val files = ManifestState.dataFileCount(indexDir)
     println(f"INGESTIDX $name batches=$batches first10(avg)=${head.sum / head.size}%.1f ms last10(avg)=${tail.sum / tail.size}%.1f ms last/first=${tail.sum / head.sum}%.2f data_files=$files bound=$bound")
     assert(files <= bound, s"$name: data file count $files exceeds bucket bound $bound")
   }

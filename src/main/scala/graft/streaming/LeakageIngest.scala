@@ -33,11 +33,23 @@ import graft.operators.DupSpans
   * its own (h, source) rows can never see ITSELF as a counterpart:
   * same-source matches are filtered, and any cross-source row the
   * replay finds was already found by the first delivery (spec-
-  * asserted value-identity; readers dedup on (doc_id, src_other)).
-  * Re-merging an OLDER batch after later ingests re-scores it against
-  * a grown source set — same monotone-replay precondition as
-  * [[DupSpanIngest.mergeBatch]]; [[leakage]]'s min-merge keeps the
-  * original rows deterministic for keys both emissions share.
+  * asserted value-identity).
+  *
+  * As-of-arrival is enforced STRUCTURALLY, not by precondition: every
+  * emission is stamped with the index manifest's epoch at merge time
+  * (a logical arrival clock — each gram-bearing merge advances it via
+  * the bucket patch), and every batch doc additionally emits one
+  * same-source sentinel row, so each doc's FIRST arrival is always
+  * present in the log. [[leakage]] keeps only each doc's
+  * minimum-epoch emission: a replayed latest batch re-emits at a
+  * higher epoch and is dropped (its rows were value-identical
+  * anyway), and an out-of-order re-merge of an OLDER batch — which
+  * re-scores against a grown source set and would otherwise surface
+  * retroactive (doc, src_other) rows the min-merge of shared keys
+  * could not discard — is dropped wholesale for the same reason
+  * (spec-asserted). The crash window (rows appended, patch not yet
+  * committed) replays at the SAME epoch with identical rows; the
+  * reader's distinct collapses them.
   *
   * As-of-arrival semantics (the q177 contract transplanted): a batch
   * doc's leakage counts sources seen UP TO its arrival; earlier docs
@@ -57,24 +69,28 @@ object LeakageIngest {
     * Empty if nothing ingested yet. */
   def index(spark: SparkSession, indexDir: String): DataFrame = {
     val m = ManifestState.readManifest(indexDir)
-    if (m.buckets.isEmpty) indexTemplate(spark)
-    else ManifestState.readSnapshot(spark, indexDir, m)
+    if (m.buckets.isEmpty) {
+      FsUtil.requireNotAppendLayout(spark, indexDir,
+        "not a bucketed (h, source) gram index")
+      indexTemplate(spark)
+    } else ManifestState.readSnapshot(spark, indexDir, m)
   }
 
-  /** Per-doc leakage rows so far: (doc_id, src, src_other,
-    * leaked_tokens), exact replays collapsed; for out-of-order
-    * re-merges the MIN per (doc_id, src_other) — the as-of-first-
-    * arrival score — wins deterministically (src is functionally
-    * dependent on doc_id, so it rides through the min struct). */
+  /** Per-doc leakage rows as of each doc's FIRST arrival:
+    * (doc_id, src, src_other, leaked_tokens). Keeps only the
+    * minimum-epoch emission per doc (see the object doc), drops the
+    * same-source sentinel rows, and collapses same-epoch crash-replay
+    * duplicates. */
   def leakage(spark: SparkSession, leakDir: String): DataFrame = {
     import spark.implicits._
-    if (FsUtil.exists(spark, leakDir))
-      spark.read.parquet(leakDir)
-        .groupBy($"doc_id", $"src_other")
-        .agg(min(struct($"leaked_tokens", $"src")).as("m"))
-        .select($"doc_id", $"m.src".as("src"), $"src_other",
-          $"m.leaked_tokens".as("leaked_tokens"))
-    else Seq.empty[(Long, String, String, Long)]
+    if (FsUtil.exists(spark, leakDir)) {
+      val rows = spark.read.parquet(leakDir)
+      val first = rows.groupBy($"doc_id").agg(min($"epoch").as("epoch"))
+      rows.join(first, Seq("doc_id", "epoch"))
+        .filter($"src" =!= $"src_other")
+        .select($"doc_id", $"src", $"src_other", $"leaked_tokens")
+        .distinct()
+    } else Seq.empty[(Long, String, String, Long)]
       .toDF("doc_id", "src", "src_other", "leaked_tokens")
   }
 
@@ -87,14 +103,23 @@ object LeakageIngest {
       .agg(sum(col("leaked_tokens")).as("leaked_tokens"))
 
   /** Merge one static micro-batch of documents (idCol, textCol,
-    * sourceCol). Same monotone-replay precondition as
-    * [[DupSpanIngest.mergeBatch]] (see object doc). */
+    * sourceCol). Out-of-order re-merges are structurally harmless
+    * (epoch discipline, see object doc). */
   def mergeBatch(batch: DataFrame, textCol: String, idCol: String,
                  sourceCol: String, indexDir: String, leakDir: String,
                  k: Int = 5,
                  nBuckets: Int = DupSpanIngest.DefaultIndexBuckets): Unit =
     synchronized {
       val spark = batch.sparkSession
+      ManifestState.requireBucketCount(indexDir, nBuckets)
+      if (ManifestState.readManifest(indexDir).buckets.isEmpty)
+        FsUtil.requireNotAppendLayout(spark, indexDir,
+          "not a bucketed (h, source) gram index")
+      // The arrival clock: the index manifest epoch BEFORE this
+      // batch's patch — every gram-bearing merge advances it, so a
+      // later re-merge of this same batch stamps a higher epoch and
+      // loses the reader's min-epoch filter.
+      val epoch = ManifestState.readManifest(indexDir).epoch
       val g = DupSpans.grams(batch, textCol, idCol, k, carry = Seq(sourceCol))
         .localCheckpoint() // counterpart build + leakage join
       val bySrc = g.select(col("h"), col(sourceCol).as("source")).distinct()
@@ -107,9 +132,17 @@ object LeakageIngest {
       val leaked = g.join(counterpart, "h")
         .filter(col(sourceCol) =!= col("src_other"))
         .select(col(idCol), col("pos"), col(sourceCol).as("src"), col("src_other"))
-      val rows = DupSpans.intervalUnion(leaked, Seq(idCol, "src", "src_other"), k)
+      val real = DupSpans.intervalUnion(leaked, Seq(idCol, "src", "src_other"), k)
         .withColumnRenamed("tokens", "leaked_tokens")
         .withColumnRenamed(idCol, "doc_id")
+      // Sentinel: one same-source zero row per batch doc, so every
+      // doc's first arrival exists in the log even when it had no
+      // leakage then — the anchor the reader's min-epoch filter needs.
+      val sentinel = batch.filter(col(textCol).isNotNull)
+        .select(col(idCol).as("doc_id"), col(sourceCol).as("src"),
+          col(sourceCol).as("src_other"), lit(0L).as("leaked_tokens"))
+      val rows = real.unionByName(sentinel)
+        .withColumn("epoch", lit(epoch))
 
       rows.write.mode("append").parquet(leakDir)
       ManifestState.patchBuckets(indexDir, nBuckets, "h",

@@ -47,7 +47,33 @@ object ManifestState {
     * the same value mergeBatch defaults to, instead of hardcoding it. */
   val DefaultKeepGenerations = 1
 
-  final case class Manifest(epoch: Long, buckets: Map[Int, String])
+  /** Count of parquet DATA files under `root`'s bucket dirs (`b=k/…`)
+    * — the scan surface the steady-state bound `nBuckets ×
+    * (1 + keepGenerations)` governs; manifest/lock bookkeeping files
+    * are excluded. One shared spelling for every probe that asserts
+    * the bound (local-filesystem walk: the probes run local). */
+  def dataFileCount(root: String): Long = {
+    val p = java.nio.file.Path.of(root)
+    if (!java.nio.file.Files.exists(p)) 0L
+    else {
+      val s = java.nio.file.Files.walk(p)
+      try s.filter(f => java.nio.file.Files.isRegularFile(f) &&
+        f.toString.contains("/b=") && f.toString.endsWith(".parquet")).count()
+      finally s.close()
+    }
+  }
+
+  /** `nBuckets` is part of the state's identity: rows were routed by
+    * `pmod(xxhash64(key), nBuckets)`, so reading or patching with a
+    * different bucket count silently probes the wrong buckets (missed
+    * history) and re-routes read-back rows outside the affected set
+    * (permanently dropped at GC). The manifest therefore records the
+    * count at first commit and every later commit must match
+    * ([[requireBucketCount]] lets readers/writers validate up front).
+    * Manifests written before this field exist with `nb = None` and
+    * are stamped by their next commit. */
+  final case class Manifest(epoch: Long, buckets: Map[Int, String],
+                            nb: Option[Int] = None)
 
   private val writerId = UUID.randomUUID().toString.take(8)
 
@@ -56,16 +82,31 @@ object ManifestState {
   private def render(m: Manifest): String = {
     val bs = m.buckets.toSeq.sortBy(_._1)
       .map { case (k, v) => s""""$k":"$v"""" }.mkString(",")
-    s"""{"epoch":${m.epoch},"buckets":{$bs}}"""
+    val nb = m.nb.map(n => s""","nb":$n""").getOrElse("")
+    s"""{"epoch":${m.epoch}$nb,"buckets":{$bs}}"""
   }
 
   private def parse(s: String): Manifest = {
     val epoch = """"epoch":(\d+)""".r.findFirstMatchIn(s)
       .map(_.group(1).toLong)
       .getOrElse(throw new IllegalStateException(s"bad manifest: $s"))
+    val nb = """"nb":(\d+)""".r.findFirstMatchIn(s).map(_.group(1).toInt)
     val buckets = """"(\d+)":"([^"]+)"""".r.findAllMatchIn(s)
       .map(m => m.group(1).toInt -> m.group(2)).toMap
-    Manifest(epoch, buckets)
+    Manifest(epoch, buckets, nb)
+  }
+
+  /** Fail fast when `root`'s manifest was committed with a different
+    * bucket count (see [[Manifest]]) — call before reading touched
+    * buckets or patching, where the mismatch would otherwise corrupt
+    * silently. A missing manifest or a pre-`nb` manifest passes. */
+  def requireBucketCount(root: String, nBuckets: Int): Unit = {
+    val m = readManifest(root)
+    m.nb.foreach { n =>
+      require(n == nBuckets,
+        s"bucketed state at $root was committed with nBuckets=$n; " +
+        s"caller passed $nBuckets — reads/patches would route to the wrong buckets")
+    }
   }
 
   def readManifest(root: String): Manifest = {
@@ -341,6 +382,9 @@ object ManifestState {
         throw new IllegalStateException(
           s"merge lost the commit race $maxRetries times", lastFailure)
       val base = readManifest(root)
+      base.nb.foreach(n => require(n == nBuckets,
+        s"bucketed state at $root was committed with nBuckets=$n; " +
+        s"this merge passed $nBuckets"))
       val version = s"v-${base.epoch + 1}-$callId-$attempt"
       // drop THIS attempt's on-disk artifacts: the stage tmp dir (a
       // heavy-phase exception can leave it mid-write) and any version
@@ -393,7 +437,8 @@ object ManifestState {
           if (!conflict && stillHolds(root, token)) {
             writeManifest(root,
               Manifest(now.epoch + 1,
-                now.buckets ++ written.map(k => k -> version) -- emptied))
+                now.buckets ++ written.map(k => k -> version) -- emptied,
+                Some(nBuckets)))
             true
           } else false
         }

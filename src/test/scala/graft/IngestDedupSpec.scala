@@ -84,6 +84,21 @@ class IngestDedupSpec extends SparkSpec {
     assert(out.count() == out.select("fp").distinct().count())
   }
 
+  test("a pre-bucketing append-mode index dir is refused loudly, never silently reset") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("ingest-legacy").toString
+    // the round-13 layout: bare fp fragments at the top level
+    Seq("fp1", "fp2").toDF("fp").write.parquet(s"$root/idx")
+    intercept[IllegalArgumentException] {
+      IngestDedup.historyIndex(spark, s"$root/idx")
+    }
+    intercept[IllegalArgumentException] {
+      IngestDedup.mergeBatch(
+        IngestDedup.withFingerprint(Seq((1L, "doc")).toDF("doc_id", "text"), "text"),
+        s"$root/out", s"$root/idx")
+    }
+  }
+
   test("streamed result matches the batch dedup oracle") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

@@ -81,6 +81,23 @@ class LeakageIngestSpec extends SparkSpec {
     assert(!after.exists(_._1._1 == 12L), "replayed unique content stays clean")
   }
 
+  test("re-merging an OLDER batch after later ingests leaves rows unchanged") {
+    val root = Files.createTempDirectory("leakolder").toString
+    val (idx, leak) = (s"$root/index", s"$root/leak")
+    LeakageIngest.mergeBatch(docs(batch1), "text", "doc_id", "source", idx, leak)
+    LeakageIngest.mergeBatch(docs(batch2), "text", "doc_id", "source", idx, leak)
+    val before = rowMap(LeakageIngest.leakage(spark, leak))
+    // Out-of-order replay: the index now holds (span, B) from doc 10,
+    // so re-scoring batch1 EMITS a retroactive (1, A, B, 7) row — a
+    // NEW key no per-key min-merge could discard. The epoch discipline
+    // must drop the whole later emission: doc 1's first arrival (its
+    // sentinel row) anchors the min-epoch filter.
+    LeakageIngest.mergeBatch(docs(batch1), "text", "doc_id", "source", idx, leak)
+    val after = rowMap(LeakageIngest.leakage(spark, leak))
+    assert(after == before)
+    assert(!after.contains((1L, "A", "B")), "no retroactive re-score of doc 1")
+  }
+
   test("a third batch sees sources from every earlier batch; the matrix aggregates") {
     import spark.implicits._
     val root = Files.createTempDirectory("leakthree").toString

@@ -230,6 +230,29 @@ class ManifestStateSpec extends SparkSpec {
     assert(ids == Seq("a", "b", "c"))
   }
 
+  test("the manifest pins nBuckets: a mismatched merge fails loud instead of corrupting") {
+    val root = Files.createTempDirectory("manifest-nb").toString
+    ManifestState.mergeBatch(changes(Seq(up("a", 1))), root, nBuckets = 8)
+    assert(ManifestState.readManifest(root).nb.contains(8))
+    // Reads with the recorded count pass; a different count fails fast —
+    // rows were routed by pmod(hash, 8), so pmod(hash, 4) reads would
+    // miss history and a pmod(hash, 4) patch would re-route read-back
+    // rows outside the affected buckets (dropped at GC).
+    ManifestState.requireBucketCount(root, 8)
+    intercept[IllegalArgumentException] {
+      ManifestState.requireBucketCount(root, 4)
+    }
+    intercept[IllegalArgumentException] {
+      ManifestState.mergeBatch(changes(Seq(up("b", 2))), root, nBuckets = 4)
+    }
+    // state unharmed by the refused merge
+    assert(ManifestState.readView(spark, root).count() == 1)
+    // a pre-nb manifest (None) passes any count and is stamped by the
+    // next commit — the upgrade path for states written before round 14
+    ManifestState.requireBucketCount(
+      Files.createTempDirectory("manifest-none").toString, 99)
+  }
+
   test("gc keeps one superseded generation per bucket") {
     val root = Files.createTempDirectory("mstate-gc").toString
     (1 to 6).foreach { lsn =>
