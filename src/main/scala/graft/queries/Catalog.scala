@@ -3535,25 +3535,12 @@ object Catalog {
       "q107_sparse_cosine",
       (s, dir) => {
         import s.implicits._
-        val tf = t(s, dir, "documents")
-          .select($"doc_id", explode(TF.tokens($"text")).as("term"))
-          .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
-        val dfreq = tf.groupBy($"term").agg(count(lit(1)).as("df"))
-        val nd = tf.agg(countDistinct($"doc_id").as("n"))
-        val w = tf.join(dfreq, "term").crossJoin(broadcast(nd))
-          .filter($"df" <= lit(0.1) * $"n" && $"df" > 1)
-          .select($"doc_id", $"term",
-            ($"tf" * log($"n".cast("double") / $"df")).as("w"))
-        val nrm = w.groupBy($"doc_id").agg(sqrt(sum($"w" * $"w")).as("nrm"))
-        val dots = w.as("a").join(w.as("b"),
-            $"a.term" === $"b.term" && $"a.doc_id" < $"b.doc_id")
-          .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
-          .agg(sum($"a.w" * $"b.w").as("dot"))
-        dots
-          .join(nrm.select($"doc_id".as("doc_a"), $"nrm".as("na")), "doc_a")
-          .join(nrm.select($"doc_id".as("doc_b"), $"nrm".as("nb")), "doc_b")
-          .withColumn("cos", $"dot" / ($"na" * $"nb"))
-          .filter($"cos" >= 0.3)
+        // The exact relative-prune kernel (operators.SparseCosine with
+        // no absolute cap) — the oracle tier; the operator's maxDfAbs
+        // knob is the measured linear-scale regime
+        // (docs/probes/scalebench_r14_10x_mutate.txt).
+        graft.operators.SparseCosine.pairs(
+            t(s, dir, "documents"), "text", "doc_id", minCos = 0.3)
           .select($"doc_a", $"doc_b", round($"cos", 4).as("cos_r"))
           .orderBy($"doc_a", $"doc_b")
       },
