@@ -43,9 +43,15 @@ object SparseCosine {
       .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val nd = tf.agg(countDistinct(col(idCol)).as("n"))
+    // The absolute cap enters the plan only when set: Catalyst does
+    // not fold `df <= Long.MaxValue` away, and the uncapped call must
+    // stay plan-identical to q107's original spelling.
+    val prune = {
+      val rel = col("df") <= lit(maxDfFrac) * col("n") && col("df") > lit(minDf)
+      if (maxDfAbs == Long.MaxValue) rel else rel && col("df") <= lit(maxDfAbs)
+    }
     val w = tf.join(dfreq, "term").crossJoin(broadcast(nd))
-      .filter(col("df") <= lit(maxDfFrac) * col("n") &&
-              col("df") <= lit(maxDfAbs) && col("df") > lit(minDf))
+      .filter(prune)
       .select(col(idCol), col("term"),
         (col("tf") * log(col("n").cast("double") / col("df"))).as("w"))
     val nrm = w.groupBy(col(idCol)).agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
