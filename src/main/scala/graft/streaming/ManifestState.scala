@@ -432,7 +432,16 @@ object ManifestState {
         // load). stillHolds closes the lease-theft edge (withLock doc).
         committed = withLock(root) { token =>
           val now = readManifest(root)
-          val conflict = affected.exists(k =>
+          // re-validate the bucket count UNDER the lock: two
+          // simultaneous FIRST writers with different counts and
+          // disjoint buckets would both pass the per-bucket conflict
+          // check (the pre-loop require saw nb = None for both); the
+          // loser must not stamp its count over the winner's state.
+          // Returning false sends it around the loop, where the
+          // re-read manifest now carries the winner's nb and the
+          // require fails loud.
+          val nbConflict = now.nb.exists(_ != nBuckets)
+          val conflict = nbConflict || affected.exists(k =>
             now.buckets.get(k) != base.buckets.get(k))
           if (!conflict && stillHolds(root, token)) {
             writeManifest(root,
