@@ -31,6 +31,15 @@ object SparseCosineScaleProbe {
     val (baseSec, baseN) = run("/root/testdata/sf0.1")
     val (mutSec, mutN) = run(mutDir)
     println(f"SPARSECOS cap=$cap base_sf01=$baseSec%.2f s ($baseN pairs) mut10x=$mutSec%.2f s ($mutN pairs) ratio=${mutSec / baseSec}%.1fx per 10x distinct")
+    // Standing assertion (round 15; the in-suite twin lives in
+    // SparseCosineSpec on a synthetic corpus): under the cap, PAIR
+    // VOLUME on the ×F distinct-content corpus must stay ≤ ~linear in
+    // F — the round-14 reading was exactly 10× (311,250 = 10 × 31,125).
+    // Wall-time is host-luck; the pair count is the plan's invariant.
+    val factor = mutN.toDouble / baseN
+    assert(factor <= 15.0,
+      f"capped pair volume grew ${factor}%.1fx on the x10 distinct corpus — super-linear; the cap is not binding where it must")
+    println(f"SPARSECOS PASS pair-volume factor=$factor%.2f (<= 15 for x10 distinct)")
     spark.stop()
   }
 }

@@ -3536,9 +3536,12 @@ object Catalog {
       (s, dir) => {
         import s.implicits._
         // The exact relative-prune kernel (operators.SparseCosine with
-        // no absolute cap) — the oracle tier; the operator's maxDfAbs
-        // knob is the measured linear-scale regime
-        // (docs/probes/scalebench_r14_10x_mutate.txt).
+        // no absolute cap) — the EXACT tier, quadratic on growing
+        // distinct corpora (measured 766× at ×10,
+        // docs/probes/scalebench_r14_10x_mutate.txt). The spelling to
+        // copy at corpus scale is q179_sparse_cosine_capped: the
+        // absolute-df cap, linear in posting volume, with its own
+        // oracle row.
         graft.operators.SparseCosine.pairs(
             t(s, dir, "documents"), "text", "doc_id", minCos = 0.3)
           .select($"doc_a", $"doc_b", round($"cos", 4).as("cos_r"))
@@ -4974,10 +4977,19 @@ object Catalog {
     //    blocking key is a recall decision the user must make, not
     //    one the engine may take silently (PrefixScan's budget
     //    discipline). sf0.1 max block = 128 distinct names.
+    //
+    // Round 15: PER-PAIR cost bounded by contract, not corpus luck —
+    // JW is O(len²) per pair, so replica-lengthened names (the ×10
+    // mutate model prefixes every token) inflate every call even when
+    // block sizes hold. The verify compares a declared 16-char name
+    // resolution (substring both sides): identical wherever names fit
+    // (p_name ≤ 12 chars at every SF — clamp-identity spec-asserted
+    // in JaroWinklerSpec), and a hard per-pair ceiling beyond.
     Query(
       "q138_entity_resolution",
       (s, dir) => {
         import s.implicits._
+        val jwResolution = 16
         val blockCap = 4096
         val p = t(s, dir, "part")
           .withColumn("blk", concat($"p_brand", lit("|"),
@@ -4994,7 +5006,8 @@ object Catalog {
         val np = guarded.as("x").join(guarded.as("y"),
             $"x.blk" === $"y.blk" && $"x.p_name" < $"y.p_name")
           .select($"x.blk".as("blk"), $"x.p_name".as("n1"), $"y.p_name".as("n2"))
-          .withColumn("jw", graft.functions.JaroWinkler($"n1", $"n2"))
+          .withColumn("jw", graft.functions.JaroWinkler(
+            substring($"n1", 1, jwResolution), substring($"n2", 1, jwResolution)))
           .filter($"jw" >= 0.88)
         np.join(p.select($"blk", $"p_name".as("n1"), $"p_partkey".as("ka")),
                 Seq("blk", "n1"))
@@ -5094,11 +5107,20 @@ object Catalog {
       "q141_ewma",
       (s, dir) => {
         import s.implicits._
-        val d = t(s, dir, "events")
-          .groupBy(to_date($"ts").as("day"))
-          .agg(count(lit(1)).as("n"))
-          .withColumn("i", row_number().over(
-            Window.partitionBy(gpin($"day")).orderBy($"day")).cast("long"))
+        // Both sides of the triangular self-join consume the same
+        // day-grain frame, and the non-equi join broadcasts one side —
+        // a BroadcastExchange never reuses the other side's shuffle
+        // subplan, so without the checkpoint the events scan + day agg
+        // executed TWICE (measured: the whole plan carried 8 exchanges
+        // and double the scan; the round-14 2×-contract flag's root
+        // cause). The checkpointed frame is |days| rows.
+        val d = graft.operators.Checkpoints.track(
+          t(s, dir, "events")
+            .groupBy(to_date($"ts").as("day"))
+            .agg(count(lit(1)).as("n"))
+            .withColumn("i", row_number().over(
+              Window.partitionBy(gpin($"day")).orderBy($"day")).cast("long"))
+            .localCheckpoint(eager = false))
         d.as("x").join(d.as("y"), $"y.i" <= $"x.i")
           .groupBy($"x.day".as("day"), $"x.n".as("n"))
           .agg(round(sum(
@@ -7065,7 +7087,53 @@ object Catalog {
              |       round(coalesce(ka.retained_tokens, 0)::DOUBLE / len(t.tk), 4) AS retained_frac_r,
              |       coalesce(ka.retained_text, '') AS retained_text
              |FROM tk t LEFT JOIN ka USING (doc_id)
-             |ORDER BY t.doc_id""".stripMargin))
+             |ORDER BY t.doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Q179: sparse cosine, SCALE tier — the absolute-df-cap spelling of
+    // q107 (operators.SparseCosine, maxDfAbs), here with the cap as the
+    // ONLY df prune (maxDfFrac = 1.0): no N-relative predicate anywhere
+    // in the plan, so the pair volume obeys Σdf² ≤ K·Σdf — linear in
+    // total posting volume — at ANY corpus size (q107's relative prune
+    // measured 766× super-linear on a ×10 distinct-content corpus,
+    // docs/probes/scalebench_r14_10x_mutate.txt). The cap BINDS on this
+    // corpus: the stopword band (df ≈ 0.75N, ~70 terms at every SF)
+    // passes a relative 10% prune never, but passes NO prune — without
+    // `df <= 300` those terms alone pair nearly every document with
+    // every other (~125k pairs at sf0.01). The oracle carries the
+    // identical absolute prune, so the 100 TB spelling has the same
+    // end-to-end hash discipline as the exact tier (the q16/q32-vs-
+    // q15/q33 exact-twin pattern). K = 300 sits between the marker-term
+    // band (df = 0.05N: 25 at sf0.01, 250 at sf0.1) and the stopword
+    // band at both oracle SFs, so the checked output is non-trivial.
+    Query(
+      "q179_sparse_cosine_capped",
+      (s, dir) => {
+        import s.implicits._
+        graft.operators.SparseCosine.pairs(
+            t(s, dir, "documents"), "text", "doc_id", minCos = 0.3,
+            minDf = 1L, maxDfFrac = 1.0, maxDfAbs = 300L)
+          .select($"doc_a", $"doc_b", round($"cos", 4).as("cos_r"))
+          .orderBy($"doc_a", $"doc_b")
+      },
+      Some("""WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+             |             FROM documents),
+             |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+             |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+             |nd AS (SELECT count(DISTINCT doc_id) AS n FROM tf),
+             |w AS (SELECT tf.doc_id, tf.term, tf.tf * ln(nd.n::DOUBLE / df.df) AS w
+             |      FROM tf JOIN df USING (term) CROSS JOIN nd
+             |      WHERE df.df > 1 AND df.df <= 300),
+             |nrm AS (SELECT doc_id, sqrt(sum(w*w)) AS nrm FROM w GROUP BY 1),
+             |dots AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, sum(a.w * b.w) AS dot
+             |         FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+             |         GROUP BY 1, 2)
+             |SELECT doc_a, doc_b,
+             |       round(dot / (na.nrm * nb.nrm), 4) AS cos_r
+             |FROM dots JOIN nrm na ON dots.doc_a = na.doc_id
+             |          JOIN nrm nb ON dots.doc_b = nb.doc_id
+             |WHERE dot / (na.nrm * nb.nrm) >= 0.3
+             |ORDER BY doc_a, doc_b""".stripMargin))
   )
 
   val byName: Map[String, Query] = all.map(q => q.name -> q).toMap

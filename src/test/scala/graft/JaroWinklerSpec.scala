@@ -81,4 +81,33 @@ class JaroWinklerSpec extends SparkSpec {
       .collect()(0)
     assert(n.isNullAt(0))
   }
+
+  test("q138's 16-char verify resolution is clamp-identical on the oracle corpus") {
+    import spark.implicits._
+    // p_name ≤ 12 chars at every SF, so substring(_, 1, 16) is the
+    // identity there — the clamp only ever binds on corpora with
+    // longer names (e.g. the replica-prefixed mutate model), where it
+    // bounds the O(len²) per-pair cost by contract.
+    val dir = "/root/testdata/sf0.001"
+    val p = graft.sources.Tables(spark, dir, "part")
+    assert(p.select(max(length($"p_name"))).collect()(0).getInt(0) <= 16)
+    val clamped = graft.queries.Catalog.queries("q138_entity_resolution")(spark, dir)
+      .collect().map(_.toSeq).toSet
+    val unclamped = {
+      val blk = p.withColumn("blk", concat($"p_brand", lit("|"),
+        split($"p_name", " ").getItem(0)))
+      val names = blk.select($"blk", $"p_name").distinct()
+      val np = names.as("x").join(names.as("y"),
+          $"x.blk" === $"y.blk" && $"x.p_name" < $"y.p_name")
+        .select($"x.blk".as("blk"), $"x.p_name".as("n1"), $"y.p_name".as("n2"))
+        .withColumn("jw", JaroWinkler($"n1", $"n2"))
+        .filter($"jw" >= 0.88)
+      np.join(blk.select($"blk", $"p_name".as("n1"), $"p_partkey".as("ka")), Seq("blk", "n1"))
+        .join(blk.select($"blk", $"p_name".as("n2"), $"p_partkey".as("kb")), Seq("blk", "n2"))
+        .select(least($"ka", $"kb").as("k1"), greatest($"ka", $"kb").as("k2"),
+                round($"jw", 4).as("jw_r"))
+        .collect().map(_.toSeq).toSet
+    }
+    assert(clamped == unclamped && clamped.nonEmpty)
+  }
 }
