@@ -91,13 +91,30 @@ object IngestDedup {
 
   /** Patch fingerprints into the bucketed index — the per-batch
     * advance, and the bootstrap path for seeding the index from an
-    * already-ingested corpus. Idempotent (set contract). */
+    * already-ingested corpus. Idempotent (set contract).
+    *
+    * Seeding into a directory that still holds legacy top-level
+    * (append-mode) parquet fragments is refused by default: the first
+    * patch would commit a manifest BESIDE the fragments, after which
+    * [[historyIndex]]/[[mergeBatch]] see a non-empty manifest, never
+    * fire their own append-layout guard again, and silently ignore
+    * whatever fragment content was not part of the seed. An in-place
+    * migration (read the fragments → seed them → this call) passes
+    * `migrateInPlace = true` and must delete the fragments afterwards. */
   def addToIndex(fps: DataFrame, indexDir: String,
-                 nBuckets: Int = DefaultIndexBuckets): Unit =
+                 nBuckets: Int = DefaultIndexBuckets,
+                 migrateInPlace: Boolean = false): Unit = {
+    if (!migrateInPlace &&
+        ManifestState.readManifest(indexDir).buckets.isEmpty)
+      FsUtil.requireNotAppendLayout(fps.sparkSession, indexDir,
+        "seeding here would strand the fragments beside a fresh manifest; " +
+        "pass migrateInPlace = true and delete them after the seed")
     ManifestState.patchBuckets(indexDir, nBuckets, "fp",
       fps.select(col("fp")), indexTemplate(fps.sparkSession)) { current =>
       current.unionByName(fps.select(col("fp"))).distinct()
     }
+    ()
+  }
 
   /** One micro-batch of the ingest pipeline: anti-join the batch
     * against ONLY the index buckets its fingerprints hash to, append
@@ -111,10 +128,27 @@ object IngestDedup {
     if (ManifestState.readManifest(indexDir).buckets.isEmpty)
       FsUtil.requireNotAppendLayout(spark, indexDir,
         "seed a bucketed index from the fragments via addToIndex first")
+    // Collapse IN-BATCH duplicates first: the anti-join below screens
+    // only against HISTORY, so a batch carrying two rows with one fp
+    // would append both, violating the out-is-fp-unique contract. The
+    // streaming path is already fp-unique within the watermark horizon
+    // (dropDuplicatesWithinWatermark), but this API is public for
+    // bootstrap/bench callers. The survivor is the min-struct
+    // representative over the remaining columns — DETERMINISTIC, so a
+    // crash-replay of the same batch picks the same row (an arbitrary
+    // dropDuplicates pick could append two different survivors of one
+    // fp across the crash window).
+    val others = batch.columns.filterNot(_ == "fp")
+    val unique =
+      if (others.isEmpty) batch.distinct()
+      else batch.groupBy(col("fp"))
+        .agg(min(struct(others.map(col): _*)).as("_r"))
+        .select(batch.columns.map(c =>
+          if (c == "fp") col("fp") else col(s"_r.$c").as(c)): _*)
     val buckets = ManifestState.bucketsOf(batch.select(col("fp")), "fp", nBuckets)
     val hist = ManifestState.readBucketsOf(
       spark, indexDir, buckets, indexTemplate(spark))
-    val fresh = batch
+    val fresh = unique
       .join(hist, Seq("fp"), "left_anti")
       .localCheckpoint() // two writes below; don't recompute the join
     fresh.write.mode("append").parquet(outDir)

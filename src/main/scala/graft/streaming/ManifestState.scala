@@ -54,11 +54,16 @@ object ManifestState {
     * the bound (local-filesystem walk: the probes run local). */
   def dataFileCount(root: String): Long = {
     val p = java.nio.file.Path.of(root)
+    // committed version dirs only (root/b=<k>/v-.../...): an in-flight
+    // or crashed-pre-cleanup write's .stage-<version>/b=<k>/ files also
+    // contain "/b=", and a probe sampling during a concurrent commit
+    // would spuriously breach the steady-state bound if they counted
+    val committed = java.util.regex.Pattern.compile("/b=\\d+/v-[^/]+/")
     if (!java.nio.file.Files.exists(p)) 0L
     else {
       val s = java.nio.file.Files.walk(p)
       try s.filter(f => java.nio.file.Files.isRegularFile(f) &&
-        f.toString.contains("/b=") && f.toString.endsWith(".parquet")).count()
+        committed.matcher(f.toString).find() && f.toString.endsWith(".parquet")).count()
       finally s.close()
     }
   }
@@ -118,12 +123,39 @@ object ManifestState {
 
   /** Manifest as of a past commit (time travel). Every commit archives
     * its manifest under `manifests/<epoch>` — a few bytes each, kept
-    * forever; whether the DATA a historical manifest references still
-    * exists is governed by `keepGenerations` at merge time. */
+    * until [[pruneArchivedManifests]]; whether the DATA a historical
+    * manifest references still exists is governed by `keepGenerations`
+    * at merge time. */
   def readManifestAt(root: String, epoch: Long): Manifest = {
     val p = Paths.get(root, "manifests", epoch.toString)
     require(Files.exists(p), s"no archived manifest for epoch $epoch at $p")
     parse(new String(Files.readAllBytes(p), StandardCharsets.UTF_8))
+  }
+
+  /** Archived-manifest retention: delete `root/manifests/<epoch>`
+    * files older than the most recent `keepLast` epochs, returning how
+    * many were removed. The archive otherwise grows by one tiny file
+    * per commit forever — harmless for weeks, but on a genuinely
+    * long-lived stream (millions of commits) the small-file count
+    * becomes its own filesystem-pressure problem, so a retention sweep
+    * is part of the operational contract (call it at checkpoint-
+    * compaction cadence). Pruning only bounds TIME TRAVEL depth
+    * ([[readAt]]/[[changesBetween]] need both endpoints' archives);
+    * the live MANIFEST, the data, and crash recovery are untouched.
+    * Never prunes below keepLast = 1. */
+  def pruneArchivedManifests(root: String, keepLast: Int): Long = {
+    require(keepLast >= 1, "must keep at least the latest archived manifest")
+    val hist = Paths.get(root, "manifests")
+    if (!Files.isDirectory(hist)) return 0L
+    val listing = Files.list(hist)
+    val epochs =
+      try listing.toArray.map(_.toString)
+        .flatMap(p => scala.util.Try(
+          p.substring(p.lastIndexOf('/') + 1).toLong).toOption)
+      finally listing.close()
+    val doomed = epochs.sorted.dropRight(keepLast)
+    doomed.foreach(e => Files.deleteIfExists(hist.resolve(e.toString)))
+    doomed.length.toLong
   }
 
   private def writeManifest(root: String, m: Manifest): Unit = {

@@ -84,6 +84,47 @@ class IngestDedupSpec extends SparkSpec {
     assert(out.count() == out.select("fp").distinct().count())
   }
 
+  test("a batch carrying in-batch fp duplicates appends ONE deterministic survivor") {
+    import spark.implicits._
+    def runOnce(): Seq[(Long, String)] = {
+      val root = Files.createTempDirectory("ingest-inbatch").toString
+      // docs 5 and 3 share a fingerprint (case/whitespace-equal text);
+      // the public batch API has no watermark state in front of it
+      val batch = IngestDedup.withFingerprint(
+        Seq((5L, "Copy  Me"), (3L, "copy me"), (7L, "unique")).toDF("doc_id", "text"),
+        "text")
+      IngestDedup.mergeBatch(batch, s"$root/out", s"$root/idx")
+      spark.read.parquet(s"$root/out")
+        .select($"doc_id", $"text").as[(Long, String)].collect().toSeq.sortBy(_._1)
+    }
+    val first = runOnce()
+    assert(first.map(_._1) == Seq(3L, 7L),
+      s"one survivor per fp, min-struct representative: $first")
+    // determinism: a replayed batch must pick the SAME survivor (an
+    // arbitrary pick could append two different rows of one fp across
+    // a crash window)
+    assert(runOnce() == first)
+  }
+
+  test("addToIndex refuses to seed beside legacy append-mode fragments unless migrating") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("ingest-seed").toString
+    Seq("legacy1", "legacy2").toDF("fp").write.parquet(s"$root/idx")
+    val fps = Seq("legacy1").toDF("fp")
+    // a blind seed would commit a manifest BESIDE the fragments, after
+    // which every later read silently ignores un-seeded fragment content
+    intercept[IllegalArgumentException] {
+      IngestDedup.addToIndex(fps, s"$root/idx")
+    }
+    // the declared in-place migration path: seed the fragments'
+    // content explicitly, then the caller deletes them
+    IngestDedup.addToIndex(
+      spark.read.parquet(s"$root/idx").select($"fp"),
+      s"$root/idx", migrateInPlace = true)
+    assert(IngestDedup.historyIndex(spark, s"$root/idx")
+      .as[String].collect().toSet == Set("legacy1", "legacy2"))
+  }
+
   test("a pre-bucketing append-mode index dir is refused loudly, never silently reset") {
     import spark.implicits._
     val root = Files.createTempDirectory("ingest-legacy").toString

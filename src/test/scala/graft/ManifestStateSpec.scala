@@ -268,4 +268,36 @@ class ManifestStateSpec extends SparkSpec {
     val st = ManifestState.read(spark, root).select("lsn").collect().map(_.getLong(0))
     assert(st.toSeq == Seq(6L))
   }
+
+  test("archived-manifest retention prunes old epochs; current state and recent time travel survive") {
+    val root = Files.createTempDirectory("mstate-prune").toString
+    (1 to 4).foreach { lsn =>
+      ManifestState.mergeBatch(changes(Seq(up("k", lsn.toLong))), root, 2)
+    }
+    assert(ManifestState.pruneArchivedManifests(root, keepLast = 2) == 2L)
+    // epochs 1-2 gone, 3-4 (and the live pointer) intact
+    intercept[IllegalArgumentException](ManifestState.readManifestAt(root, 1))
+    intercept[IllegalArgumentException](ManifestState.readManifestAt(root, 2))
+    assert(ManifestState.readManifestAt(root, 4).epoch == 4)
+    assert(ManifestState.readManifest(root).epoch == 4)
+    val st = ManifestState.readView(spark, root).select("lsn").collect().map(_.getLong(0))
+    assert(st.toSeq == Seq(4L))
+    // idempotent; never drops below one archive
+    assert(ManifestState.pruneArchivedManifests(root, keepLast = 2) == 0L)
+    intercept[IllegalArgumentException](
+      ManifestState.pruneArchivedManifests(root, keepLast = 0))
+  }
+
+  test("dataFileCount counts only committed version dirs, never in-flight staging files") {
+    val root = Files.createTempDirectory("mstate-dfc").toString
+    // committed layout: root/b=0/v-1-w1-1/part.parquet
+    Files.createDirectories(Paths.get(s"$root/b=0/v-1-w1-1"))
+    Files.write(Paths.get(s"$root/b=0/v-1-w1-1/part-0.parquet"), Array[Byte](1))
+    // a concurrent (or crashed, pre-cleanup) writer's stage dir ALSO
+    // contains /b=k/ segments — it must not count against the
+    // steady-state bound a probe samples mid-commit
+    Files.createDirectories(Paths.get(s"$root/.stage-v-2-w2-1/b=0"))
+    Files.write(Paths.get(s"$root/.stage-v-2-w2-1/b=0/part-0.parquet"), Array[Byte](1))
+    assert(ManifestState.dataFileCount(root) == 1L)
+  }
 }
