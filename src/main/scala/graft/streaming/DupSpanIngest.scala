@@ -19,10 +19,11 @@ import graft.operators.DupSpans
   *      distinct batch docs OR the INDEX knows a different document
   *      carrying it — history text is never re-read, per-batch cost
   *      follows batch size;
-  *   3. append per-doc coverage rows to `covDir` and PATCH the batch's
-  *      per-gram (min_id, max_id) into the bucketed index at
-  *      `indexDir` (ManifestState layout — see the bucket notes on
-  *      [[DefaultIndexBuckets]]).
+  *   3. PATCH per-doc coverage rows into the bucketed state at
+  *      `covDir` (bucket by doc_id, min-merged content — see
+  *      [[coverages]]) and the batch's per-gram (min_id, max_id) into
+  *      the bucketed index at `indexDir` (ManifestState layout — see
+  *      the bucket notes on [[DefaultIndexBuckets]]).
   *
   * Replay idempotence (at-least-once redelivery): the index stores
   * per-gram MIN and MAX document ids, not a bare hash set, and the
@@ -74,8 +75,13 @@ object DupSpanIngest {
     } else ManifestState.readSnapshot(spark, indexDir, m)
   }
 
+  private def covTemplate(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq.empty[(Long, Long, Long)].toDF("doc_id", "n_tokens", "dup_tokens")
+  }
+
   /** Coverage rows so far: (doc_id, n_tokens, dup_tokens), one row per
-    * ingested doc. The merge keeps the MINIMUM dup_tokens per doc —
+    * ingested doc. The state keeps the MINIMUM dup_tokens per doc —
     * the as-of-first-arrival score. Under structured streaming's
     * at-least-once contract (only the latest uncommitted batch
     * replays) re-emissions are value-identical anyway (see object
@@ -84,20 +90,25 @@ object DupSpanIngest {
     * ingests scores it against an index that has since gained
     * carriers — flagging strictly MORE positions. min deterministically
     * discards those retroactive re-scores instead of letting a bare
-    * doc-key dedup pick one emission arbitrarily. */
+    * doc-key dedup pick one emission arbitrarily.
+    *
+    * Like the gram index, the coverage state lives in
+    * [[ManifestState]]'s bucketed layout (bucket by doc_id) with the
+    * min-merge folded into the PATCH closure, so the stored content is
+    * pre-merged: this read is a plain snapshot scan over a file count
+    * bounded by nBuckets × (1 + keepGenerations) — an append-log
+    * emission would instead accumulate one fragment per batch forever
+    * and pay a full-log shuffle per readout (10k batches = 10k
+    * fragments re-aggregated on every read). */
   def coverages(spark: SparkSession, covDir: String): DataFrame = {
-    import spark.implicits._
-    if (FsUtil.exists(spark, covDir))
-      // min over the (dup_tokens, n_tokens) STRUCT, not each field
-      // independently: two emissions that differ in both fields must
-      // merge to a row one of them actually produced, never a
-      // cross-emission hybrid fraction
-      spark.read.parquet(covDir)
-        .groupBy($"doc_id")
-        .agg(min(struct($"dup_tokens", $"n_tokens")).as("m"))
-        .select($"doc_id", $"m.n_tokens".as("n_tokens"),
-          $"m.dup_tokens".as("dup_tokens"))
-    else Seq.empty[(Long, Long, Long)].toDF("doc_id", "n_tokens", "dup_tokens")
+    val m = ManifestState.readManifest(covDir)
+    if (m.buckets.isEmpty) {
+      // loud upgrade guard: a pre-round-15 append-mode coverage log
+      // must not silently read as empty
+      FsUtil.requireNotAppendLayout(spark, covDir,
+        "re-seed the bucketed coverage state from the fragments first")
+      covTemplate(spark)
+    } else ManifestState.readSnapshot(spark, covDir, m)
   }
 
   /** Merge one static micro-batch of documents (idCol, textCol).
@@ -116,9 +127,13 @@ object DupSpanIngest {
     synchronized {
       val spark = batch.sparkSession
       ManifestState.requireBucketCount(indexDir, nBuckets)
+      ManifestState.requireBucketCount(covDir, nBuckets)
       if (ManifestState.readManifest(indexDir).buckets.isEmpty)
         FsUtil.requireNotAppendLayout(spark, indexDir,
           "re-aggregate the fragments through a bucketed patch first")
+      if (ManifestState.readManifest(covDir).buckets.isEmpty)
+        FsUtil.requireNotAppendLayout(spark, covDir,
+          "re-seed the bucketed coverage state from the fragments first")
       val g = DupSpans.grams(batch, textCol, idCol, k)
         .localCheckpoint() // three consumers below + the index patch
       // ONE aggregation pass serves both per-gram consumers: the
@@ -151,10 +166,26 @@ object DupSpanIngest {
         .select(col(idCol),
           graft.functions.TextFunctions.tokenCount(col(textCol)).as("n_tokens"))
         .join(cov, Seq(idCol), "left")
-        .select(col(idCol), col("n_tokens"),
+        .select(col(idCol).as("doc_id"), col("n_tokens"),
           coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"))
+        .localCheckpoint() // bucket list + patch closure (and its retries)
 
-      rows.write.mode("append").parquet(covDir)
+      // Patch the coverage state's touched buckets with pre-merged
+      // content. min over the (dup_tokens, n_tokens) STRUCT, not each
+      // field independently: two emissions that differ in both fields
+      // must merge to a row one of them actually produced, never a
+      // cross-emission hybrid fraction. The min is associative, so
+      // folding it into the patch equals the old read-time merge over
+      // the full emission log — but the state stays one row per doc
+      // and the reader never re-aggregates.
+      ManifestState.patchBuckets(covDir, nBuckets, "doc_id",
+        rows.select(col("doc_id")), covTemplate(spark)) { current =>
+        current.unionByName(rows)
+          .groupBy(col("doc_id"))
+          .agg(min(struct(col("dup_tokens"), col("n_tokens"))).as("m"))
+          .select(col("doc_id"), col("m.n_tokens").as("n_tokens"),
+            col("m.dup_tokens").as("dup_tokens"))
+      }
       // Advance the index: rewrite the touched buckets with their
       // merged new content. min/max are order-independent and
       // idempotent under re-merge, so a replayed batch commits the
@@ -165,6 +196,7 @@ object DupSpanIngest {
           .groupBy(col("h"))
           .agg(min(col("min_id")).as("min_id"), max(col("max_id")).as("max_id"))
       }
+      graft.operators.Iterate.unpersistCheckpoint(rows)
       graft.operators.Iterate.unpersistCheckpoint(stats)
       graft.operators.Iterate.unpersistCheckpoint(g)
     }

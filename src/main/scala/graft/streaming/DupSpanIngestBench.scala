@@ -60,20 +60,30 @@ object DupSpanIngestBench {
     val root = Files.createTempDirectory("dupspaningestbench").toString
     val (idx, cov) = (s"$root/index", s"$root/cov")
 
-    val ms = (1 to batches).map { i =>
+    val timed = (1 to batches).map { i =>
       val t0 = System.nanoTime()
       DupSpanIngest.mergeBatch(docBatch(spark, i, docsPerBatch),
         "text", "doc_id", idx, cov, k = 5, nBuckets = nBuckets)
       val dt = (System.nanoTime() - t0) / 1e6
+      // read path probed EVERY batch: the coverage state's bucketed
+      // pre-merged layout must keep readout cost flat across stream
+      // age (an append log pays a growing full-log min-merge here)
+      val t1 = System.nanoTime()
+      DupSpanIngest.coverages(spark, cov).count()
+      val rt = (System.nanoTime() - t1) / 1e6
       if (i % 10 == 0 || i == 1)
-        println(f"DUPSPANINGEST batch=$i%3d ms=$dt%8.1f index_files=${countFiles(idx)} index_rows=${DupSpanIngest.index(spark, idx).count()}")
-      dt
+        println(f"DUPSPANINGEST batch=$i%3d ms=$dt%8.1f read_ms=$rt%7.1f index_files=${countFiles(idx)} index_rows=${DupSpanIngest.index(spark, idx).count()}")
+      (dt, rt)
     }
+    val (ms, rms) = timed.unzip
     val head = ms.slice(1, 11) // skip batch 1 (codegen warmup)
     val tail = ms.takeRight(10)
     val ratio = tail.sum / head.sum
     println(f"DUPSPANINGEST batches=$batches docs/batch=$docsPerBatch buckets=$nBuckets")
     println(f"DUPSPANINGEST first10(avg)=${head.sum / head.size}%.1f ms last10(avg)=${tail.sum / tail.size}%.1f ms last/first=$ratio%.2f")
+    val rHead = rms.slice(1, 11)
+    val rTail = rms.takeRight(10)
+    println(f"DUPSPANINGEST READ first10(avg)=${rHead.sum / rHead.size}%.1f ms last10(avg)=${rTail.sum / rTail.size}%.1f ms last/first=${rTail.sum / rHead.sum}%.2f")
     val files = countFiles(idx)
     val bound = nBuckets.toLong * (1 + ManifestState.DefaultKeepGenerations)
     // data files bounded by buckets x generations; manifest archive adds
@@ -83,6 +93,11 @@ object DupSpanIngestBench {
     val dataFiles = ManifestState.dataFileCount(idx)
     println(s"DUPSPANINGEST index_files_total=$files data_files=$dataFiles data_bound=$bound (nBuckets x (1+keepGenerations))")
     assert(dataFiles <= bound, s"data file count $dataFiles exceeds bucket bound $bound")
+    // round 15: the coverage EMISSION state holds to the same bound —
+    // previously an append log growing one fragment per batch forever
+    val covFiles = ManifestState.dataFileCount(cov)
+    println(s"DUPSPANINGEST cov_data_files=$covFiles data_bound=$bound")
+    assert(covFiles <= bound, s"coverage state file count $covFiles exceeds bucket bound $bound")
     spark.stop()
   }
 }

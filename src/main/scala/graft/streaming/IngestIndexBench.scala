@@ -29,21 +29,45 @@ object IngestIndexBench {
       concat(lit("src"), pmod($"id", lit(4)).cast("string")).as("source"))
   }
 
+  /** Per-batch merge AND per-batch readout probe. `readState` (when
+    * given) is executed after every merge — the round-15 claim is that
+    * the READ path is also flat across stream age, which an append-log
+    * emission state breaks (full-log groupBy/distinct per readout)
+    * even when the index itself is bucketed. Every dir in `stateDirs`
+    * must hold to the same data-file bound as the index. */
   private def probe(name: String, batches: Int, nBuckets: Int,
-                    indexDir: String)(runBatch: Int => Unit): Unit = {
+                    indexDir: String, stateDirs: Seq[String] = Nil,
+                    readState: Option[() => Long] = None)
+                   (runBatch: Int => Unit): Unit = {
     require(batches >= 21,
       s"flatness windows (skip-1 + first10 vs last10) need >= 21 batches, got $batches")
-    val ms = (1 to batches).map { i =>
+    val timed = (1 to batches).map { i =>
       val t0 = System.nanoTime()
       runBatch(i)
-      (System.nanoTime() - t0) / 1e6
+      val merge = (System.nanoTime() - t0) / 1e6
+      val read = readState.map { f =>
+        val t1 = System.nanoTime(); f(); (System.nanoTime() - t1) / 1e6
+      }
+      (merge, read)
     }
+    val (ms, readOpt) = timed.unzip
     val head = ms.slice(1, 11)
     val tail = ms.takeRight(10)
     val bound = nBuckets.toLong * (1 + ManifestState.DefaultKeepGenerations)
     val files = ManifestState.dataFileCount(indexDir)
     println(f"INGESTIDX $name batches=$batches first10(avg)=${head.sum / head.size}%.1f ms last10(avg)=${tail.sum / tail.size}%.1f ms last/first=${tail.sum / head.sum}%.2f data_files=$files bound=$bound")
     assert(files <= bound, s"$name: data file count $files exceeds bucket bound $bound")
+    val reads = readOpt.flatten
+    if (reads.nonEmpty) {
+      val rh = reads.slice(1, 11)
+      val rt = reads.takeRight(10)
+      println(f"INGESTIDX $name READ first10(avg)=${rh.sum / rh.size}%.1f ms last10(avg)=${rt.sum / rt.size}%.1f ms last/first=${rt.sum / rh.sum}%.2f")
+    }
+    stateDirs.foreach { d =>
+      val f = ManifestState.dataFileCount(d)
+      println(s"INGESTIDX $name state=$d data_files=$f bound=$bound")
+      assert(f <= bound, s"$name: state $d file count $f exceeds bucket bound $bound")
+    }
   }
 
   def main(args: Array[String]): Unit = {
@@ -62,7 +86,10 @@ object IngestIndexBench {
         s"$root/dedup/out", s"$root/dedup/idx", nBuckets)
     }
 
-    probe("leakage", batches, nBuckets, s"$root/leak/idx") { i =>
+    probe("leakage", batches, nBuckets, s"$root/leak/idx",
+      stateDirs = Seq(s"$root/leak/rows"),
+      readState = Some(() =>
+        LeakageIngest.leakage(spark, s"$root/leak/rows").count())) { i =>
       LeakageIngest.mergeBatch(docBatch(spark, i, docsPerBatch),
         "text", "doc_id", "source", s"$root/leak/idx", s"$root/leak/rows",
         k = 5, nBuckets = nBuckets)

@@ -19,11 +19,12 @@ import graft.operators.DupSpans
   *   2. counterpart sources = the batch's DISTINCT (h, source) ∪ the
   *      index rows in the batch's buckets — fanout per position stays
   *      bounded by |sources|, and history text is never re-read;
-  *   3. append per-(doc, counterpart) leakage rows
-  *      (doc_id, src, src_other, leaked_tokens) to `leakDir` and PATCH
-  *      the batch's (h, source) rows into the bucketed index at
-  *      `indexDir` ([[ManifestState]] layout, same discipline as
-  *      [[DupSpanIngest.DefaultIndexBuckets]]).
+  *   3. PATCH per-(doc, counterpart) leakage rows
+  *      (doc_id, src, src_other, leaked_tokens) into the bucketed
+  *      state at `leakDir` (bucket by doc_id, min-epoch content — see
+  *      [[leakage]]) and the batch's (h, source) rows into the
+  *      bucketed index at `indexDir` ([[ManifestState]] layout, same
+  *      discipline as [[DupSpanIngest.DefaultIndexBuckets]]).
   *
   * Replay idempotence (at-least-once redelivery of the LATEST batch):
   * the index at (h, source) grain is a SET contract — the patch
@@ -40,16 +41,16 @@ import graft.operators.DupSpans
   * (a logical arrival clock — each gram-bearing merge advances it via
   * the bucket patch), and every batch doc additionally emits one
   * same-source sentinel row, so each doc's FIRST arrival is always
-  * present in the log. [[leakage]] keeps only each doc's
+  * present in the state. The patch closure keeps only each doc's
   * minimum-epoch emission: a replayed latest batch re-emits at a
   * higher epoch and is dropped (its rows were value-identical
   * anyway), and an out-of-order re-merge of an OLDER batch — which
   * re-scores against a grown source set and would otherwise surface
   * retroactive (doc, src_other) rows the min-merge of shared keys
   * could not discard — is dropped wholesale for the same reason
-  * (spec-asserted). The crash window (rows appended, patch not yet
-  * committed) replays at the SAME epoch with identical rows; the
-  * reader's distinct collapses them.
+  * (spec-asserted). The crash window (leakage rows patched, index
+  * patch not yet committed) replays at the SAME epoch with identical
+  * rows; the patch closure's distinct collapses them.
   *
   * As-of-arrival semantics (the q177 contract transplanted): a batch
   * doc's leakage counts sources seen UP TO its arrival; earlier docs
@@ -76,22 +77,35 @@ object LeakageIngest {
     } else ManifestState.readSnapshot(spark, indexDir, m)
   }
 
+  private def leakTemplate(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq.empty[(Long, String, String, Long, Long)]
+      .toDF("doc_id", "src", "src_other", "leaked_tokens", "epoch")
+  }
+
   /** Per-doc leakage rows as of each doc's FIRST arrival:
-    * (doc_id, src, src_other, leaked_tokens). Keeps only the
-    * minimum-epoch emission per doc (see the object doc), drops the
-    * same-source sentinel rows, and collapses same-epoch crash-replay
-    * duplicates. */
+    * (doc_id, src, src_other, leaked_tokens). The min-epoch discipline
+    * (see the object doc) is folded into the PATCH closure, so the
+    * bucketed state (ManifestState layout, bucket by doc_id) holds
+    * exactly each doc's first-arrival rows — distinct, sentinel
+    * included as the arrival anchor. This read is therefore a plain
+    * snapshot scan that drops the sentinels; file count stays bounded
+    * by nBuckets × (1 + keepGenerations) instead of growing one
+    * fragment per batch, and no full-log groupBy/distinct happens per
+    * readout. */
   def leakage(spark: SparkSession, leakDir: String): DataFrame = {
     import spark.implicits._
-    if (FsUtil.exists(spark, leakDir)) {
-      val rows = spark.read.parquet(leakDir)
-      val first = rows.groupBy($"doc_id").agg(min($"epoch").as("epoch"))
-      rows.join(first, Seq("doc_id", "epoch"))
-        .filter($"src" =!= $"src_other")
-        .select($"doc_id", $"src", $"src_other", $"leaked_tokens")
-        .distinct()
-    } else Seq.empty[(Long, String, String, Long)]
-      .toDF("doc_id", "src", "src_other", "leaked_tokens")
+    val m = ManifestState.readManifest(leakDir)
+    if (m.buckets.isEmpty) {
+      // loud upgrade guard: a pre-round-15 append-mode leakage log
+      // must not silently read as empty
+      FsUtil.requireNotAppendLayout(spark, leakDir,
+        "re-seed the bucketed leakage state from the fragments first")
+      Seq.empty[(Long, String, String, Long)]
+        .toDF("doc_id", "src", "src_other", "leaked_tokens")
+    } else ManifestState.readSnapshot(spark, leakDir, m)
+      .filter($"src" =!= $"src_other")
+      .select($"doc_id", $"src", $"src_other", $"leaked_tokens")
   }
 
   /** The cumulative leakage matrix: (src, src_other, leaked_tokens)
@@ -112,9 +126,13 @@ object LeakageIngest {
     synchronized {
       val spark = batch.sparkSession
       ManifestState.requireBucketCount(indexDir, nBuckets)
+      ManifestState.requireBucketCount(leakDir, nBuckets)
       if (ManifestState.readManifest(indexDir).buckets.isEmpty)
         FsUtil.requireNotAppendLayout(spark, indexDir,
           "not a bucketed (h, source) gram index")
+      if (ManifestState.readManifest(leakDir).buckets.isEmpty)
+        FsUtil.requireNotAppendLayout(spark, leakDir,
+          "re-seed the bucketed leakage state from the fragments first")
       // The arrival clock: the index manifest epoch BEFORE this
       // batch's patch — every gram-bearing merge advances it, so a
       // later re-merge of this same batch stamps a higher epoch and
@@ -143,12 +161,30 @@ object LeakageIngest {
           col(sourceCol).as("src_other"), lit(0L).as("leaked_tokens"))
       val rows = real.unionByName(sentinel)
         .withColumn("epoch", lit(epoch))
+        .localCheckpoint() // bucket list + patch closure (and retries)
 
-      rows.write.mode("append").parquet(leakDir)
+      // Patch the leakage state's touched buckets. The closure IS the
+      // min-epoch discipline: per doc, only the minimum-epoch rows
+      // survive — the stored state therefore always holds exactly each
+      // doc's first-arrival emission (sentinel included as the
+      // anchor). A replayed latest batch re-stamps a higher epoch and
+      // loses here; a same-epoch crash replay collapses in the
+      // distinct; an out-of-order older-batch re-merge is dropped
+      // wholesale — identical outcomes to the old read-time filter
+      // over the full log, because the state inductively holds each
+      // doc's global min-epoch rows.
+      ManifestState.patchBuckets(leakDir, nBuckets, "doc_id",
+        rows.select(col("doc_id")), leakTemplate(spark)) { current =>
+        val u = current.unionByName(rows).distinct()
+        val first = u.groupBy(col("doc_id")).agg(min(col("epoch")).as("epoch"))
+        u.join(first, Seq("doc_id", "epoch"))
+          .select(rows.columns.map(col): _*)
+      }
       ManifestState.patchBuckets(indexDir, nBuckets, "h",
         bySrc.select(col("h")), indexTemplate(spark)) { current =>
         current.unionByName(bySrc).distinct()
       }
+      graft.operators.Iterate.unpersistCheckpoint(rows)
       graft.operators.Iterate.unpersistCheckpoint(bySrc)
       graft.operators.Iterate.unpersistCheckpoint(g)
     }

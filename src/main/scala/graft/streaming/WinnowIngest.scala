@@ -20,8 +20,10 @@ import graft.operators.Winnow
   *      batch-vs-batch; history never self-joins (the same asymmetric
   *      probe discipline as [[graft.operators.IncrementalDedup]]), so
   *      per-batch cost follows batch size, not corpus size;
-  *   3. append flagged pairs to `pairsDir` and the batch's
-  *      fingerprints to `indexDir` so the NEXT batch sees them.
+  *   3. PATCH flagged pairs into the bucketed state at `pairsDir`
+  *      (bucket by doc_a, max-merged content — see [[pairs]]) and
+  *      append the batch's fingerprints to `indexDir` so the NEXT
+  *      batch sees them.
   *
   * Replay idempotence mirrors IngestDedup: a crash between appends can
   * double-append fingerprints, so the index is a SET contract
@@ -47,6 +49,12 @@ object WinnowIngest {
     else Seq.empty[(Long, Long)].toDF("doc_id", "h")
   }
 
+  private def pairsTemplate(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq.empty[(Long, Long, Long, Double)]
+      .toDF("doc_a", "doc_b", "n_shared", "overlap_r")
+  }
+
   /** Flagged pairs so far: (doc_a, doc_b, n_shared, overlap_r),
     * deduped on the pair key (replay contract). The same pair can be
     * re-emitted by later batches with different stats (n_shared and
@@ -54,25 +62,56 @@ object WinnowIngest {
     * survivor must be deterministic: the strongest evidence wins —
     * max n_shared, with overlap_r taken from that same emission
     * (max_by). A bare dropDuplicates would keep an arbitrary row and
-    * make repeated reads disagree. */
+    * make repeated reads disagree.
+    *
+    * The max-merge is folded into the PATCH closure and the state
+    * lives in [[ManifestState]]'s bucketed layout (bucket by doc_a,
+    * pre-merged one-row-per-pair content), so this read is a plain
+    * snapshot scan: file count bounded by nBuckets ×
+    * (1 + keepGenerations) instead of one fragment per batch, and no
+    * full-log groupBy per readout. */
   def pairs(spark: SparkSession, pairsDir: String): DataFrame = {
-    import spark.implicits._
-    if (FsUtil.exists(spark, pairsDir))
-      spark.read.parquet(pairsDir)
-        .groupBy($"doc_a", $"doc_b")
-        .agg(max(struct($"n_shared", $"overlap_r")).as("s"))
-        .select($"doc_a", $"doc_b",
-                $"s.n_shared".as("n_shared"), $"s.overlap_r".as("overlap_r"))
-    else Seq.empty[(Long, Long, Long, Double)]
-      .toDF("doc_a", "doc_b", "n_shared", "overlap_r")
+    val m = ManifestState.readManifest(pairsDir)
+    if (m.buckets.isEmpty) {
+      // loud upgrade guard: a pre-round-15 append-mode pair log must
+      // not silently read as empty
+      FsUtil.requireNotAppendLayout(spark, pairsDir,
+        "re-seed the bucketed pair state from the fragments first")
+      pairsTemplate(spark)
+    } else ManifestState.readSnapshot(spark, pairsDir, m)
+  }
+
+  /** Patch pair emissions into the bucketed state's touched buckets
+    * with pre-merged strongest-evidence content (max over the
+    * (n_shared, overlap_r) struct — associative, so the folded merge
+    * equals a read-time merge over the full emission history).
+    * Package-visible so the determinism contract is spec-testable
+    * against synthetic double-emissions. */
+  private[graft] def patchPairs(newPairs: DataFrame, pairsDir: String,
+                                nBuckets: Int): Unit = {
+    ManifestState.patchBuckets(pairsDir, nBuckets, "doc_a",
+      newPairs.select(col("doc_a")), pairsTemplate(newPairs.sparkSession)) { current =>
+      current.unionByName(newPairs)
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(max(struct(col("n_shared"), col("overlap_r"))).as("s"))
+        .select(col("doc_a"), col("doc_b"),
+                col("s.n_shared").as("n_shared"),
+                col("s.overlap_r").as("overlap_r"))
+    }
+    ()
   }
 
   /** Merge one static micro-batch of documents (idCol, textCol). */
   def mergeBatch(batch: DataFrame, textCol: String, idCol: String,
                  indexDir: String, pairsDir: String,
                  k: Int = 5, w: Int = 4, minShared: Long = 3L,
-                 maxDf: Long = 20L): Unit = synchronized {
+                 maxDf: Long = 20L,
+                 nBuckets: Int = DupSpanIngest.DefaultIndexBuckets): Unit = synchronized {
     val spark = batch.sparkSession
+    ManifestState.requireBucketCount(pairsDir, nBuckets)
+    if (ManifestState.readManifest(pairsDir).buckets.isEmpty)
+      FsUtil.requireNotAppendLayout(spark, pairsDir,
+        "re-seed the bucketed pair state from the fragments first")
     val batchSel = Winnow.selectFingerprints(batch, textCol, idCol, k, w)
       .withColumnRenamed(idCol, "doc_id")
       .localCheckpoint() // joined twice below + appended; compute once
@@ -104,8 +143,10 @@ object WinnowIngest {
         round(col("n_shared").cast("double") /
           least(col("na"), col("nb")).cast("double"), 4).as("overlap_r"))
 
-    newPairs.write.mode("append").parquet(pairsDir)
+    val np = newPairs.localCheckpoint() // bucket list + patch closure
+    patchPairs(np, pairsDir, nBuckets)
     batchSel.write.mode("append").parquet(indexDir)
+    graft.operators.Iterate.unpersistCheckpoint(np)
     graft.operators.Iterate.unpersistCheckpoint(batchSel)
   }
 
@@ -116,13 +157,14 @@ object WinnowIngest {
           checkpointDir: String, indexDir: String, pairsDir: String,
           trigger: Trigger = Trigger.AvailableNow(),
           k: Int = 5, w: Int = 4, minShared: Long = 3L,
-          maxDf: Long = 20L): StreamingQuery =
+          maxDf: Long = 20L,
+          nBuckets: Int = DupSpanIngest.DefaultIndexBuckets): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         mergeBatch(batch, textCol, idCol, indexDir, pairsDir,
-          k, w, minShared, maxDf)
+          k, w, minShared, maxDf, nBuckets)
       }
       .start()
 }

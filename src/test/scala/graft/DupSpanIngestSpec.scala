@@ -96,6 +96,21 @@ class DupSpanIngestSpec extends SparkSpec {
     assert(after(1L)._2 == 0L, "doc 1 keeps its as-of-arrival coverage")
   }
 
+  test("a pre-round-15 append-mode coverage log is refused loudly, never silently reset") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("dupspanlegacy").toString
+    // the round-14 layout: bare coverage fragments at the top level
+    Seq((1L, 10L, 0L)).toDF("doc_id", "n_tokens", "dup_tokens")
+      .write.parquet(s"$root/cov")
+    intercept[IllegalArgumentException] {
+      DupSpanIngest.coverages(spark, s"$root/cov")
+    }
+    intercept[IllegalArgumentException] {
+      DupSpanIngest.mergeBatch(docs(batch1), "text", "doc_id",
+        s"$root/index", s"$root/cov")
+    }
+  }
+
   test("a third batch sees grams from every earlier batch through the merged index") {
     val root = Files.createTempDirectory("dupspanthree").toString
     val (idx, cov) = (s"$root/index", s"$root/cov")

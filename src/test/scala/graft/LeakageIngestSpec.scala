@@ -98,6 +98,22 @@ class LeakageIngestSpec extends SparkSpec {
     assert(!after.contains((1L, "A", "B")), "no retroactive re-score of doc 1")
   }
 
+  test("a pre-round-15 append-mode leakage log is refused loudly, never silently reset") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("leaklegacy").toString
+    // the round-14 layout: bare leakage fragments at the top level
+    Seq((1L, "A", "B", 7L, 3L))
+      .toDF("doc_id", "src", "src_other", "leaked_tokens", "epoch")
+      .write.parquet(s"$root/leak")
+    intercept[IllegalArgumentException] {
+      LeakageIngest.leakage(spark, s"$root/leak")
+    }
+    intercept[IllegalArgumentException] {
+      LeakageIngest.mergeBatch(docs(batch1), "text", "doc_id", "source",
+        s"$root/index", s"$root/leak")
+    }
+  }
+
   test("a third batch sees sources from every earlier batch; the matrix aggregates") {
     import spark.implicits._
     val root = Files.createTempDirectory("leakthree").toString

@@ -77,19 +77,37 @@ class WinnowIngestSpec extends SparkSpec {
     // Two emissions of the same pair with different stats — possible
     // when a later redelivery recomputes against an index where the
     // hot-gram guard has since swallowed one of the shared spans. The
-    // read must surface the strongest evidence, not an arbitrary
-    // survivor that varies between invocations.
-    Seq((1L, 2L, 5L, 0.5)).toDF("doc_a", "doc_b", "n_shared", "overlap_r")
-      .write.mode("append").parquet(prs)
-    Seq((1L, 2L, 2L, 0.2), (3L, 4L, 1L, 1.0))
-      .toDF("doc_a", "doc_b", "n_shared", "overlap_r")
-      .write.mode("append").parquet(prs)
+    // state must keep the strongest evidence, not an arbitrary
+    // survivor that varies between invocations. (Emissions go through
+    // the same patch path mergeBatch uses.)
+    graft.streaming.WinnowIngest.patchPairs(
+      Seq((1L, 2L, 5L, 0.5)).toDF("doc_a", "doc_b", "n_shared", "overlap_r"),
+      prs, nBuckets = 8)
+    graft.streaming.WinnowIngest.patchPairs(
+      Seq((1L, 2L, 2L, 0.2), (3L, 4L, 1L, 1.0))
+        .toDF("doc_a", "doc_b", "n_shared", "overlap_r"),
+      prs, nBuckets = 8)
     def read(): Set[(Long, Long, Long, Double)] =
       WinnowIngest.pairs(spark, prs).collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
     val got = read()
     assert(got == Set((1L, 2L, 5L, 0.5), (3L, 4L, 1L, 1.0)), got)
     assert(read() == got, "repeated reads disagreed")
+  }
+
+  test("a pre-round-15 append-mode pair log is refused loudly, never silently reset") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("winnowlegacy").toString
+    // the round-14 layout: bare pair fragments at the top level
+    Seq((1L, 2L, 5L, 0.5)).toDF("doc_a", "doc_b", "n_shared", "overlap_r")
+      .write.parquet(s"$root/pairs")
+    intercept[IllegalArgumentException] {
+      WinnowIngest.pairs(spark, s"$root/pairs")
+    }
+    intercept[IllegalArgumentException] {
+      WinnowIngest.mergeBatch(docs(batch1), "text", "doc_id",
+        s"$root/index", s"$root/pairs")
+    }
   }
 
   test("hot-gram guard stops pair emission once df exceeds maxDf") {
