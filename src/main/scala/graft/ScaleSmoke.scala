@@ -609,10 +609,12 @@ object ScaleSmoke {
     section(s"winnow_ingest_500_vs_${factor}x_index") {
       val idx = s"$smokeRoot/wi_index"
       val prs = s"$smokeRoot/wi_pairs"
-      // history = the factor-x corpus's fingerprints (written once);
-      // the timed merge ingests a 500-doc batch against it
-      graft.operators.Winnow.selectFingerprints(docs, "text", "doc_id")
-        .write.mode("overwrite").parquet(idx)
+      // history = the factor-x corpus's fingerprints (seeded once into
+      // the bucketed index, no pair emission); the timed merge ingests
+      // a 500-doc batch against it
+      graft.streaming.WinnowIngest.seedIndex(
+        graft.operators.Winnow.selectFingerprints(docs, "text", "doc_id"),
+        idx, maxDf = 20L * factor)
       val batch = graft.sources.Tables.documents(spark, dir)
         .limit(500).withColumn("doc_id", $"doc_id" + 900000000L)
       timeOnce(s"winnow_ingest_500_vs_${factor}x_index") {

@@ -95,6 +95,21 @@ object IngestIndexBench {
         k = 5, nBuckets = nBuckets)
     }
 
+    // winnow: round 15 — both index sub-states (byh + bydoc) and the
+    // pair state are bucketed; previously each batch re-scanned the
+    // whole append-mode fingerprint log three corpus-sized shuffles
+    // deep (distinct + global df + global sel_n), so per-batch cost
+    // grew with stream age. The planted cross-batch span stays under
+    // the guard; the unique filler grows the index every batch.
+    probe("winnow", batches, nBuckets, s"$root/win/idx/byh",
+      stateDirs = Seq(s"$root/win/idx/bydoc", s"$root/win/pairs"),
+      readState = Some(() =>
+        WinnowIngest.pairs(spark, s"$root/win/pairs").count())) { i =>
+      WinnowIngest.mergeBatch(docBatch(spark, i, docsPerBatch),
+        "text", "doc_id", s"$root/win/idx", s"$root/win/pairs",
+        minShared = 1L, maxDf = 1000L, nBuckets = nBuckets)
+    }
+
     spark.stop()
   }
 }

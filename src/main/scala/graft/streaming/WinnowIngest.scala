@@ -21,32 +21,117 @@ import graft.operators.Winnow
   *      probe discipline as [[graft.operators.IncrementalDedup]]), so
   *      per-batch cost follows batch size, not corpus size;
   *   3. PATCH flagged pairs into the bucketed state at `pairsDir`
-  *      (bucket by doc_a, max-merged content — see [[pairs]]) and
-  *      append the batch's fingerprints to `indexDir` so the NEXT
-  *      batch sees them.
+  *      (bucket by doc_a, max-merged content — see [[pairs]]) and the
+  *      batch's fingerprints into the bucketed index under `indexDir`
+  *      so the NEXT batch sees them.
   *
-  * Replay idempotence mirrors IngestDedup: a crash between appends can
-  * double-append fingerprints, so the index is a SET contract
-  * (readers distinct on (doc_id, h)) and re-emitted pairs dedup on
-  * (doc_a, doc_b).
+  * Index layout (round 15 — previously an append log re-scanned WHOLE
+  * per batch: full-index distinct + a GLOBAL df aggregate + a GLOBAL
+  * per-doc selected-count, three corpus-sized shuffles per batch).
+  * Two [[ManifestState]] bucketed states under `indexDir`, kept
+  * consistent by every merge:
+  *
+  *   - `indexDir/byh` (bucket by h): the occurrence rows (h, doc_id)
+  *     of every LIVE fingerprint — one whose document frequency has
+  *     never exceeded `maxDf`. A fingerprint that crosses `maxDf`
+  *     collapses to a single (h, null) HOT MARKER forever (df only
+  *     grows, so the guard verdict is monotone): a boilerplate gram
+  *     is one index row no matter how many documents carry it — the
+  *     same hot-key discipline as [[DupSpanIngest]]'s min/max index,
+  *     and the live rows per fingerprint are ≤ maxDf by construction.
+  *   - `indexDir/bydoc` (bucket by doc_id): the SAME live occurrences
+  *     keyed by document. A doc's current guarded-fingerprint count
+  *     (`sel_n`, the overlap_r denominator) is a bucket-local count
+  *     here — the quantity the append-mode design had to recompute
+  *     globally per batch because a history doc's fingerprints span
+  *     arbitrary h-buckets (the limitation docs/SCALE.md named; this
+  *     side table is the design it called for).
+  *
+  * Both states change only for the batch's fingerprints (df is
+  * unchanged elsewhere), so each merge reads and rewrites only the
+  * touched buckets; per-batch cost follows the batch's bucket
+  * footprint and data files stay bounded by
+  * nBuckets × (1 + keepGenerations) per state.
+  *
+  * Replay idempotence: every patch closure is a deterministic
+  * function of (stored ∪ batch) under SET semantics — a replayed
+  * batch finds its rows already stored, recomputes identical df
+  * verdicts, and commits identical bucket content; re-emitted pairs
+  * max-merge to the same survivors. Crash windows between the three
+  * patches replay the same way (the df aggregate over
+  * stored ∪ batch is unchanged once the byh patch landed).
   *
   * The hot-gram guard is evaluated at EMISSION time against the
   * current (index ∪ batch) document frequency: once a fingerprint's
   * df exceeds `maxDf` (site boilerplate), it stops generating new
-  * candidate pairs from that batch on. Pairs already emitted stand —
-  * the guard bounds future quadratic blowup, it does not rewrite
-  * history. With no hot grams in the corpus the cumulative pair set
-  * is EXACTLY the batch recompute (spec-asserted).
+  * candidate pairs from that batch on — and stops being stored or
+  * counted in sel_n (exactly the guard the append-mode code computed
+  * globally). Pairs already emitted stand — the guard bounds future
+  * quadratic blowup, it does not rewrite history. With no hot grams
+  * in the corpus the cumulative pair set is EXACTLY the batch
+  * recompute (spec-asserted). `maxDf` is part of the state's
+  * semantics: use one value for a state's lifetime (the hot markers
+  * bake in the verdicts of the values used so far; raising maxDf
+  * later does not resurrect a collapsed fingerprint).
   */
 object WinnowIngest {
 
-  /** Current fingerprint index as a set (replay double-appends
-    * removed). Empty if nothing ingested yet. */
-  def index(spark: SparkSession, indexDir: String): DataFrame = {
+  private def byH(indexDir: String) = s"$indexDir/byh"
+  private def byDoc(indexDir: String) = s"$indexDir/bydoc"
+
+  private def hTemplate(spark: SparkSession): DataFrame = {
     import spark.implicits._
-    if (FsUtil.exists(spark, indexDir))
-      spark.read.parquet(indexDir).select($"doc_id", $"h").distinct()
-    else Seq.empty[(Long, Long)].toDF("doc_id", "h")
+    Seq.empty[(Long, Option[Long])].toDF("h", "doc_id")
+  }
+
+  private def docTemplate(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq.empty[(Long, Long)].toDF("doc_id", "h")
+  }
+
+  /** Current LIVE fingerprint index as a set: (doc_id, h) of every
+    * fingerprint whose df has never exceeded the guard. Hot
+    * fingerprints are present in the state only as single (h, null)
+    * markers and are omitted here — they no longer pair, count, or
+    * store occurrences. Empty if nothing ingested yet. */
+  def index(spark: SparkSession, indexDir: String): DataFrame = {
+    val m = ManifestState.readManifest(byH(indexDir))
+    if (m.buckets.isEmpty) {
+      // loud upgrade guard: a pre-round-15 append-mode index must not
+      // silently read as empty
+      FsUtil.requireNotAppendLayout(spark, indexDir,
+        "seed the bucketed fingerprint index from the fragments via seedIndex first")
+      docTemplate(spark)
+    } else ManifestState.readSnapshot(spark, byH(indexDir), m)
+      .filter(col("doc_id").isNotNull)
+      .select(col("doc_id"), col("h"))
+  }
+
+  /** Bootstrap: seed the bucketed index from an already-winnowed
+    * corpus of (doc_id, h) fingerprints WITHOUT emitting pairs — the
+    * "history written once" path (and the migration path from a
+    * pre-round-15 append-mode fragment dir: read the fragments, seed,
+    * delete them). Applies the hot-gram guard at seed time with the
+    * same `maxDf` later merges will use. Requires an empty state: a
+    * seed is a statement of the FULL occurrence set of its
+    * fingerprints, which cannot be merged into existing verdicts. */
+  def seedIndex(fps: DataFrame, indexDir: String, maxDf: Long = 20L,
+                nBuckets: Int = DupSpanIngest.DefaultIndexBuckets): Unit = {
+    val spark = fps.sparkSession
+    require(ManifestState.readManifest(byH(indexDir)).buckets.isEmpty,
+      s"seedIndex requires an empty state at $indexDir — merge batches instead")
+    val s = fps.select(col("doc_id"), col("h")).distinct().localCheckpoint()
+    val hot = s.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf).select(col("h")).localCheckpoint()
+    val live = s.join(hot, Seq("h"), "left_anti").localCheckpoint()
+    val hRows = live.select(col("h"), col("doc_id"))
+      .unionByName(hot.select(col("h"), lit(null).cast("long").as("doc_id")))
+    ManifestState.patchBuckets(byH(indexDir), nBuckets, "h",
+      hRows.select(col("h")), hTemplate(spark))(_.unionByName(hRows))
+    ManifestState.patchBuckets(byDoc(indexDir), nBuckets, "doc_id",
+      live.select(col("doc_id")), docTemplate(spark))(
+      _.unionByName(live.select(col("doc_id"), col("h"))))
+    Seq(live, hot, s).foreach(graft.operators.Iterate.unpersistCheckpoint)
   }
 
   private def pairsTemplate(spark: SparkSession): DataFrame = {
@@ -109,45 +194,97 @@ object WinnowIngest {
                  nBuckets: Int = DupSpanIngest.DefaultIndexBuckets): Unit = synchronized {
     val spark = batch.sparkSession
     ManifestState.requireBucketCount(pairsDir, nBuckets)
+    ManifestState.requireBucketCount(byH(indexDir), nBuckets)
+    ManifestState.requireBucketCount(byDoc(indexDir), nBuckets)
     if (ManifestState.readManifest(pairsDir).buckets.isEmpty)
       FsUtil.requireNotAppendLayout(spark, pairsDir,
         "re-seed the bucketed pair state from the fragments first")
+    if (ManifestState.readManifest(byH(indexDir)).buckets.isEmpty)
+      FsUtil.requireNotAppendLayout(spark, indexDir,
+        "seed the bucketed fingerprint index from the fragments via seedIndex first")
     val batchSel = Winnow.selectFingerprints(batch, textCol, idCol, k, w)
       .withColumnRenamed(idCol, "doc_id")
-      .localCheckpoint() // joined twice below + appended; compute once
-    val hist = index(spark, indexDir)
+      .localCheckpoint() // probed, paired, and stored; compute once
+    val hKeys = batchSel.select(col("h")).distinct().localCheckpoint()
 
-    // Asymmetric probe: every candidate pair has >=1 side in the batch.
-    // Seen = history ∪ batch; guard df computed over Seen (emission-
-    // time df). The join keeps (batch x seen) then a < b orientation
-    // dedups batch-vs-batch pairs counted twice.
-    val seen = hist.unionByName(batchSel).distinct()
-    val guardOk = seen.groupBy(col("h")).agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxDf).select(col("h"))
-    val gBatch = batchSel.join(guardOk, "h")
-    val gSeen = seen.join(guardOk, "h")
-    val selN = gSeen.groupBy(col("doc_id")).agg(count(lit(1)).as("sel_n"))
+    // Only the batch's fingerprints can change state (df is untouched
+    // elsewhere) — read exactly their buckets, restricted to them.
+    val buckets = ManifestState.bucketsOf(hKeys, "h", nBuckets)
+    val stored = ManifestState.readBucketsOf(
+        spark, byH(indexDir), buckets, hTemplate(spark))
+      .join(hKeys, Seq("h"), "left_semi")
+    val hotAlready = stored.filter(col("doc_id").isNull)
+      .select(col("h")).distinct()
+    // occurrences of an already-hot fingerprint neither pair nor store
+    val liveBatch = batchSel.join(hotAlready, Seq("h"), "left_anti")
+    val seen = stored.filter(col("doc_id").isNotNull)
+      .select(col("h"), col("doc_id"))
+      .unionByName(liveBatch.select(col("h"), col("doc_id")))
+      .distinct()
+      .localCheckpoint() // df aggregate + pair join + both patches
+    // Emission-time guard over stored ∪ batch — exact: every
+    // occurrence of a batch fingerprint lives in a touched bucket.
+    val newlyHot = seen.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf).select(col("h")).localCheckpoint()
+    val live = seen.join(newlyHot, Seq("h"), "left_anti").localCheckpoint()
 
-    val newPairs = gBatch.select(col("doc_id").as("p"), col("h"))
-      .join(gSeen.select(col("doc_id").as("q"), col("h")), "h")
+    // 1) byh: replace the batch fingerprints' rows — live occurrences
+    //    survive, hot fingerprints collapse to one null-doc marker.
+    val hotMarkers = hotAlready.unionByName(newlyHot).distinct()
+      .select(col("h"), lit(null).cast("long").as("doc_id"))
+    ManifestState.patchBuckets(byH(indexDir), nBuckets, "h",
+      hKeys, hTemplate(spark)) { current =>
+      current.join(hKeys, Seq("h"), "left_anti")
+        .unionByName(live.select(col("h"), col("doc_id")))
+        .unionByName(hotMarkers)
+    }
+    // 2) bydoc: the same replacement keyed by document. A (doc, h)
+    //    row with h in the batch exists only for docs in `seen`
+    //    (stored carriers ∪ batch docs), so the touched-doc set is
+    //    exactly seen's docs and no colocated doc loses rows.
+    ManifestState.patchBuckets(byDoc(indexDir), nBuckets, "doc_id",
+      seen.select(col("doc_id")), docTemplate(spark)) { current =>
+      current.join(hKeys, Seq("h"), "left_anti")
+        .unionByName(live.select(col("doc_id"), col("h")))
+    }
+
+    // Asymmetric probe: every candidate pair has >=1 side in the
+    // batch; a < b orientation dedups batch-vs-batch pairs counted
+    // from both sides.
+    val gBatch = liveBatch.join(newlyHot, Seq("h"), "left_anti")
+    val rawPairs = gBatch.select(col("doc_id").as("p"), col("h"))
+      .join(live.select(col("doc_id").as("q"), col("h")), "h")
       .filter(col("p") =!= col("q"))
       .select(least(col("p"), col("q")).as("doc_a"),
               greatest(col("p"), col("q")).as("doc_b"), col("h"))
-      .distinct() // batch-vs-batch pairs appear once per orientation
+      .distinct()
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
+      .localCheckpoint()
+    // sel_n (the overlap denominator) = each pair doc's CURRENT
+    // guarded-fingerprint count — a bucket-local count over bydoc,
+    // read AFTER the patch so batch arrivals and this batch's hot
+    // crossings are reflected (the global-recompute semantics of the
+    // append-mode design, now O(touched buckets)).
+    val pairDocs = rawPairs.select(col("doc_a").as("doc_id"))
+      .unionByName(rawPairs.select(col("doc_b").as("doc_id")))
+      .distinct()
+    val docBuckets = ManifestState.bucketsOf(pairDocs, "doc_id", nBuckets)
+    val selN = ManifestState.readBucketsOf(
+        spark, byDoc(indexDir), docBuckets, docTemplate(spark))
+      .join(pairDocs, Seq("doc_id"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("sel_n"))
+    val newPairs = rawPairs
       .join(selN.select(col("doc_id").as("doc_a"), col("sel_n").as("na")), "doc_a")
       .join(selN.select(col("doc_id").as("doc_b"), col("sel_n").as("nb")), "doc_b")
       .select(col("doc_a"), col("doc_b"), col("n_shared"),
         round(col("n_shared").cast("double") /
           least(col("na"), col("nb")).cast("double"), 4).as("overlap_r"))
-
-    val np = newPairs.localCheckpoint() // bucket list + patch closure
-    patchPairs(np, pairsDir, nBuckets)
-    batchSel.write.mode("append").parquet(indexDir)
-    graft.operators.Iterate.unpersistCheckpoint(np)
-    graft.operators.Iterate.unpersistCheckpoint(batchSel)
+      .localCheckpoint() // bucket list + patch closure
+    patchPairs(newPairs, pairsDir, nBuckets)
+    Seq(newPairs, rawPairs, live, newlyHot, seen, hKeys, batchSel)
+      .foreach(graft.operators.Iterate.unpersistCheckpoint)
   }
 
   /** Wire the merge into a document stream (any streaming DataFrame

@@ -3,6 +3,7 @@ package graft
 import java.nio.file.Files
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.{count, lit}
 
 import graft.operators.Winnow
 import graft.streaming.WinnowIngest
@@ -108,6 +109,85 @@ class WinnowIngestSpec extends SparkSpec {
       WinnowIngest.mergeBatch(docs(batch1), "text", "doc_id",
         s"$root/index", s"$root/pairs")
     }
+  }
+
+  test("a pre-round-15 append-mode fingerprint INDEX is refused loudly; seedIndex migrates it") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("winnowlegacyidx").toString
+    // the round-14 layout: bare (doc_id, h) fragments at the top level
+    Winnow.selectFingerprints(docs(batch1), "text", "doc_id")
+      .write.parquet(s"$root/index")
+    intercept[IllegalArgumentException] {
+      WinnowIngest.index(spark, s"$root/index")
+    }
+    intercept[IllegalArgumentException] {
+      WinnowIngest.mergeBatch(docs(batch2), "text", "doc_id",
+        s"$root/index", s"$root/pairs")
+    }
+    // the declared migration: read the fragments, seed the bucketed
+    // index (sub-states live BESIDE the fragments; the manifest check
+    // then short-circuits the top-level guard), caller deletes them
+    val legacy = spark.read.parquet(s"$root/index").select($"doc_id", $"h")
+    WinnowIngest.seedIndex(legacy, s"$root/index", maxDf = 1000L)
+    val want = legacy.distinct().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = WinnowIngest.index(spark, s"$root/index")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want && got.nonEmpty)
+    // and a later batch merges cleanly against the migrated state
+    WinnowIngest.mergeBatch(docs(batch2), "text", "doc_id",
+      s"$root/index", s"$root/pairs", minShared = 1L, maxDf = 1000L)
+    assert(WinnowIngest.pairs(spark, s"$root/pairs")
+      .filter($"doc_a" === 1L).count() >= 2, "cross-batch pairs vs migrated history")
+  }
+
+  test("a history doc's overlap denominator reflects the CURRENT guard (hot crossing shrinks sel_n)") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("winnowseln").toString
+    val (idx, prs) = (s"$root/index", s"$root/pairs")
+    // Batch A: docs 1 and 2 share span S1; doc 1 also carries span S2.
+    // Batch B: 20 docs copy S2, pushing its grams' df past maxDf = 10.
+    // Batch C: doc 50 shares S1 — the (1, 50) pair's denominator must
+    // count doc 1's fingerprints with S2's now-hot grams EXCLUDED,
+    // exactly as the append-mode global recompute with the same
+    // cumulative dfs would.
+    val s1 = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    val s2 = "zulu yankee xray whiskey victor uniform tango sierra romeo quebec"
+    val a = Seq((1L, s"$s1 pad1a pad1b $s2"), (2L, s"two2a $s1 two2b two2c"))
+    val b = (10L until 30L).map(i => (i, s"f${i}a f${i}b $s2 f${i}c f${i}d"))
+    val c = Seq((50L, s"c50a c50b $s1 c50c c50d"))
+    val maxDf = 10L
+    WinnowIngest.mergeBatch(docs(a), "text", "doc_id", idx, prs,
+      minShared = 1L, maxDf = maxDf)
+    WinnowIngest.mergeBatch(docs(b), "text", "doc_id", idx, prs,
+      minShared = 1L, maxDf = maxDf)
+    WinnowIngest.mergeBatch(docs(c), "text", "doc_id", idx, prs,
+      minShared = 1L, maxDf = maxDf)
+    // expected (1, 50) row via the append-mode formula at batch-C time:
+    // guard df over ALL selected fingerprints so far, sel_n per doc
+    // over guard survivors
+    val sel = Winnow.selectFingerprints(docs(a ++ b ++ c), "text", "doc_id")
+      .select($"doc_id", $"h").distinct()
+    val guardOk = sel.groupBy($"h").agg(count(lit(1)).as("df"))
+      .filter($"df" <= maxDf).select($"h")
+    val g = sel.join(guardOk, "h")
+    val selN = g.groupBy($"doc_id").agg(count(lit(1)).as("sel_n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val nShared = g.filter($"doc_id" === 1L).select($"h")
+      .intersect(g.filter($"doc_id" === 50L).select($"h")).count()
+    assert(nShared >= 1, "fixture must share a live fingerprint across A and C")
+    val wantR = BigDecimal(nShared.toDouble / math.min(selN(1L), selN(50L)))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = WinnowIngest.pairs(spark, prs)
+      .filter($"doc_a" === 1L && $"doc_b" === 50L)
+      .select($"n_shared", $"overlap_r").collect()
+    assert(got.length == 1)
+    assert(got(0).getLong(0) == nShared, s"n_shared ${got(0).getLong(0)} != $nShared")
+    assert(got(0).getDouble(1) == wantR, s"overlap_r ${got(0).getDouble(1)} != $wantR")
+    // and the crossing genuinely shrank doc 1's denominator — the
+    // guarded count is strictly below its total fingerprint count
+    val total1 = sel.filter($"doc_id" === 1L).count()
+    assert(selN(1L) < total1,
+      s"S2's grams should be hot: sel_n ${selN(1L)} vs total $total1")
   }
 
   test("hot-gram guard stops pair emission once df exceeds maxDf") {
