@@ -50,10 +50,20 @@ object SparseCosine {
       val rel = col("df") <= lit(maxDfFrac) * col("n") && col("df") > lit(minDf)
       if (maxDfAbs == Long.MaxValue) rel else rel && col("df") <= lit(maxDfAbs)
     }
-    val w = tf.join(dfreq, "term").crossJoin(broadcast(nd))
-      .filter(prune)
-      .select(col(idCol), col("term"),
-        (col("tf") * log(col("n").cast("double") / col("df"))).as("w"))
+    // Four consumers read the weight frame (both sides of the pair
+    // join + both norm lookups), and upstream of it sits the full
+    // tokenize→explode→double-aggregate chain — the static plan
+    // repeats that chain per consumer (24 scans of the corpus in
+    // q107's formatted plan). AQE's runtime exchange reuse recovers
+    // some of it, but materializing the pruned weight triples once is
+    // strictly smaller work (measured; the frame is the POST-prune
+    // posting list, far smaller than the corpus).
+    val w = graft.operators.Checkpoints.track(
+      tf.join(dfreq, "term").crossJoin(broadcast(nd))
+        .filter(prune)
+        .select(col(idCol), col("term"),
+          (col("tf") * log(col("n").cast("double") / col("df"))).as("w"))
+        .localCheckpoint(eager = false))
     val nrm = w.groupBy(col(idCol)).agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
     val dots = w.as("a").join(w.as("b"),
         col("a.term") === col("b.term") &&
