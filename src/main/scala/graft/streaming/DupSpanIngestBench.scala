@@ -98,6 +98,13 @@ object DupSpanIngestBench {
     val covFiles = ManifestState.dataFileCount(cov)
     println(s"DUPSPANINGEST cov_data_files=$covFiles data_bound=$bound")
     assert(covFiles <= bound, s"coverage state file count $covFiles exceeds bucket bound $bound")
+    // The manifests/ archive is the one thing that grows per commit
+    // (tiny files, bookkeeping not scan surface). Exercise the
+    // retention knob the way a long-lived stream's compaction cadence
+    // would, and show the post-sweep steady state.
+    val prunedIdx = ManifestState.pruneArchivedManifests(idx, keepLast = 2)
+    val prunedCov = ManifestState.pruneArchivedManifests(cov, keepLast = 2)
+    println(s"DUPSPANINGEST manifest_retention pruned_idx=$prunedIdx pruned_cov=$prunedCov files_after=${countFiles(idx)}/${countFiles(cov)}")
     spark.stop()
   }
 }
