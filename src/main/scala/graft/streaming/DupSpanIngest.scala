@@ -123,7 +123,24 @@ object DupSpanIngest {
     * re-score (spec-asserted). */
   def mergeBatch(batch: DataFrame, textCol: String, idCol: String,
                  indexDir: String, covDir: String, k: Int = 5,
-                 nBuckets: Int = DefaultIndexBuckets): Unit =
+                 nBuckets: Int = DefaultIndexBuckets): Unit = {
+    val g = DupSpans.grams(batch, textCol, idCol, k)
+      .localCheckpoint() // three consumers below + the index patch
+    mergeFromGrams(batch, g, textCol, idCol, indexDir, covDir, k, nBuckets)
+    graft.operators.Iterate.unpersistCheckpoint(g)
+  }
+
+  /** The merge body over a PRECOMPUTED (and materialized) gram frame —
+    * the seam [[SpanIngest]] uses to share ONE gram pass between this
+    * twin and [[LeakageIngest]] (the pass is each twin's dominant
+    * map-side cost). `g` must be `DupSpans.grams(batch, textCol,
+    * idCol, k)` content-wise; extra carried columns (e.g. the source)
+    * are ignored by every consumer here, so a carried frame serves
+    * both twins. */
+  private[streaming] def mergeFromGrams(batch: DataFrame, g: DataFrame,
+                 textCol: String, idCol: String,
+                 indexDir: String, covDir: String, k: Int,
+                 nBuckets: Int): Unit =
     synchronized {
       val spark = batch.sparkSession
       ManifestState.requireBucketCount(indexDir, nBuckets)
@@ -134,8 +151,6 @@ object DupSpanIngest {
       if (ManifestState.readManifest(covDir).buckets.isEmpty)
         FsUtil.requireNotAppendLayout(spark, covDir,
           "re-seed the bucketed coverage state from the fragments first")
-      val g = DupSpans.grams(batch, textCol, idCol, k)
-        .localCheckpoint() // three consumers below + the index patch
       // ONE aggregation pass serves both per-gram consumers: the
       // index delta (min/max id) and the within-batch duplicate
       // predicate (distinct-doc count) — two separate groupBys would
@@ -198,7 +213,6 @@ object DupSpanIngest {
       }
       graft.operators.Iterate.unpersistCheckpoint(rows)
       graft.operators.Iterate.unpersistCheckpoint(stats)
-      graft.operators.Iterate.unpersistCheckpoint(g)
     }
 
   /** Wire the merge into a document stream (any streaming DataFrame

@@ -122,7 +122,22 @@ object LeakageIngest {
   def mergeBatch(batch: DataFrame, textCol: String, idCol: String,
                  sourceCol: String, indexDir: String, leakDir: String,
                  k: Int = 5,
-                 nBuckets: Int = DupSpanIngest.DefaultIndexBuckets): Unit =
+                 nBuckets: Int = DupSpanIngest.DefaultIndexBuckets): Unit = {
+    val g = DupSpans.grams(batch, textCol, idCol, k, carry = Seq(sourceCol))
+      .localCheckpoint() // counterpart build + leakage join
+    mergeFromGrams(batch, g, textCol, idCol, sourceCol, indexDir, leakDir,
+      k, nBuckets)
+    graft.operators.Iterate.unpersistCheckpoint(g)
+  }
+
+  /** The merge body over a PRECOMPUTED (and materialized) gram frame —
+    * the seam [[SpanIngest]] uses to share ONE gram pass between this
+    * twin and [[DupSpanIngest]]. `g` must be `DupSpans.grams(batch,
+    * textCol, idCol, k, carry = Seq(sourceCol))` content-wise. */
+  private[streaming] def mergeFromGrams(batch: DataFrame, g: DataFrame,
+                 textCol: String, idCol: String,
+                 sourceCol: String, indexDir: String, leakDir: String,
+                 k: Int, nBuckets: Int): Unit =
     synchronized {
       val spark = batch.sparkSession
       ManifestState.requireBucketCount(indexDir, nBuckets)
@@ -138,8 +153,6 @@ object LeakageIngest {
       // later re-merge of this same batch stamps a higher epoch and
       // loses the reader's min-epoch filter.
       val epoch = ManifestState.readManifest(indexDir).epoch
-      val g = DupSpans.grams(batch, textCol, idCol, k, carry = Seq(sourceCol))
-        .localCheckpoint() // counterpart build + leakage join
       val bySrc = g.select(col("h"), col(sourceCol).as("source")).distinct()
         .localCheckpoint() // bucket list + counterpart union + patch retries
       val buckets = ManifestState.bucketsOf(bySrc, "h", nBuckets)
@@ -186,7 +199,6 @@ object LeakageIngest {
       }
       graft.operators.Iterate.unpersistCheckpoint(rows)
       graft.operators.Iterate.unpersistCheckpoint(bySrc)
-      graft.operators.Iterate.unpersistCheckpoint(g)
     }
 
   /** Wire the merge into a document stream (any streaming DataFrame
