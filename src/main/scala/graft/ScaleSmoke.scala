@@ -620,7 +620,12 @@ object ScaleSmoke {
       timeOnce(s"winnow_ingest_500_vs_${factor}x_index") {
         graft.streaming.WinnowIngest.mergeBatch(
           batch, "text", "doc_id", idx, prs, minShared = 3L, maxDf = 20L * factor)
-        spark.read.parquet(prs).count()
+        // read through the ManifestState-aware reader: the pair state
+        // is a bucketed layout (MANIFEST + manifests/<epoch> + nested
+        // bucket dirs), which a raw parquet read of the root cannot
+        // parse — and would double-count superseded generations if it
+        // could
+        graft.streaming.WinnowIngest.pairs(spark, prs).count()
       }
     }
     spark.stop()

@@ -139,12 +139,27 @@ object IngestDedup {
     // dropDuplicates pick could append two different survivors of one
     // fp across the crash window).
     val others = batch.columns.filterNot(_ == "fp")
+    // min(struct(...)) needs an ordering over every non-fp column —
+    // validate up front with a named error instead of letting the
+    // analyzer throw mid-plan (a map column, say, is not orderable).
+    others.foreach { c =>
+      val dt = batch.schema(c).dataType
+      require(org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(dt),
+        s"mergeBatch picks a deterministic min-struct survivor per fp, " +
+        s"which requires orderable columns; column '$c' is $dt — drop or " +
+        s"re-encode it before ingest")
+    }
+    // backtick-quote source names for the same reason (col("a.b") would
+    // parse as a nested-field path, not the column literally named a.b)
+    def q(c: String) = col(s"`${c.replace("`", "``")}`")
     val unique =
       if (others.isEmpty) batch.distinct()
       else batch.groupBy(col("fp"))
-        .agg(min(struct(others.map(col): _*)).as("_r"))
+        .agg(min(struct(others.map(q): _*)).as("_r"))
+        // getField, not col("_r." + c): a dotted source column name
+        // would mis-resolve through the string path
         .select(batch.columns.map(c =>
-          if (c == "fp") col("fp") else col(s"_r.$c").as(c)): _*)
+          if (c == "fp") col("fp") else col("_r").getField(c).as(c)): _*)
     val buckets = ManifestState.bucketsOf(batch.select(col("fp")), "fp", nBuckets)
     val hist = ManifestState.readBucketsOf(
       spark, indexDir, buckets, indexTemplate(spark))
@@ -165,18 +180,20 @@ object IngestDedup {
                 tsCol: String, watermark: String, checkpointDir: String,
                 outDir: String, indexDir: String,
                 trigger: Trigger = Trigger.ProcessingTime(0),
-                nBuckets: Int = DefaultIndexBuckets): StreamingQuery =
+                nBuckets: Int = DefaultIndexBuckets,
+                retention: Option[ManifestState.Retention] = None): StreamingQuery =
     dedupStream(docs, textCol, tsCol, watermark)
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         // The in-stream dedup guarantees fp-uniqueness only across
         // the stateful horizon; a batch can still carry one row per
         // fp that collides with history — and the index must be the
         // CURRENT one (previous batches' patches included), so its
         // touched buckets are read here, not captured at stream build.
         mergeBatch(batch, outDir, indexDir, nBuckets)
+        retention.foreach(_.maybePrune(batchId + 1, Seq(indexDir)))
       }
       .start()
 }

@@ -58,8 +58,14 @@ import graft.operators.Winnow
   * batch finds its rows already stored, recomputes identical df
   * verdicts, and commits identical bucket content; re-emitted pairs
   * max-merge to the same survivors. Crash windows between the three
-  * patches replay the same way (the df aggregate over
-  * stored ∪ batch is unchanged once the byh patch landed).
+  * patches replay the same way because the patches commit in
+  * dependency order — bydoc BEFORE byh: the touched-doc set is
+  * derived from the pre-patch byh snapshot, so a crash between them
+  * replays with the hot-crossing fingerprints' carriers still live in
+  * byh, re-deriving the same touched set and re-committing identical
+  * bydoc content; once byh has landed, the df aggregate over
+  * stored ∪ batch is unchanged and the pair patch max-merges to the
+  * same survivors.
   *
   * The hot-gram guard is evaluated at EMISSION time against the
   * current (index ∪ batch) document frequency: once a fingerprint's
@@ -78,6 +84,12 @@ object WinnowIngest {
 
   private def byH(indexDir: String) = s"$indexDir/byh"
   private def byDoc(indexDir: String) = s"$indexDir/bydoc"
+
+  /** Test seam: invoked after each of [[mergeBatch]]'s three state
+    * commits (bydoc, byh, pairs — in that order), so specs can crash
+    * at every patch prefix and assert replay convergence (the
+    * JoinView crash-prefix discipline). */
+  private[graft] var onPatchCommitted: () => Unit = () => ()
 
   private def hTemplate(spark: SparkSession): DataFrame = {
     import spark.implicits._
@@ -114,12 +126,27 @@ object WinnowIngest {
     * delete them). Applies the hot-gram guard at seed time with the
     * same `maxDf` later merges will use. Requires an empty state: a
     * seed is a statement of the FULL occurrence set of its
-    * fingerprints, which cannot be merged into existing verdicts. */
+    * fingerprints, which cannot be merged into existing verdicts.
+    *
+    * Seeding into a directory that still holds legacy top-level
+    * (append-mode) parquet fragments is refused by default — the same
+    * stranding guard as [[IngestDedup.addToIndex]]: the seed would
+    * commit manifests BESIDE the fragments, after which
+    * [[index]]/[[mergeBatch]] see a non-empty manifest, never fire
+    * their append-layout guard again, and silently ignore whatever
+    * fragment content the seed missed. An in-place migration (read
+    * the fragments → seed them → this call) passes
+    * `migrateInPlace = true` and must delete the fragments after. */
   def seedIndex(fps: DataFrame, indexDir: String, maxDf: Long = 20L,
-                nBuckets: Int = DupSpanIngest.DefaultIndexBuckets): Unit = {
+                nBuckets: Int = DupSpanIngest.DefaultIndexBuckets,
+                migrateInPlace: Boolean = false): Unit = {
     val spark = fps.sparkSession
     require(ManifestState.readManifest(byH(indexDir)).buckets.isEmpty,
       s"seedIndex requires an empty state at $indexDir — merge batches instead")
+    if (!migrateInPlace)
+      FsUtil.requireNotAppendLayout(spark, indexDir,
+        "seeding here would strand the fragments beside a fresh manifest; " +
+        "pass migrateInPlace = true and delete them after the seed")
     val s = fps.select(col("doc_id"), col("h")).distinct().localCheckpoint()
     val hot = s.groupBy(col("h")).agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDf).select(col("h")).localCheckpoint()
@@ -228,7 +255,27 @@ object WinnowIngest {
       .filter(col("df") > maxDf).select(col("h")).localCheckpoint()
     val live = seen.join(newlyHot, Seq("h"), "left_anti").localCheckpoint()
 
-    // 1) byh: replace the batch fingerprints' rows — live occurrences
+    // 1) bydoc FIRST: the replacement keyed by document. A (doc, h)
+    //    row with h in the batch exists only for docs in `seen`
+    //    (stored carriers ∪ batch docs), so the touched-doc set is
+    //    exactly seen's docs and no colocated doc loses rows.
+    //    ORDER MATTERS for crash replay: `seen` is derived from the
+    //    PRE-patch byh snapshot. If byh were patched first and the
+    //    merge crashed before this patch, a fingerprint that crossed
+    //    maxDf in the batch would replay as already-hot (byh holds
+    //    only its null marker), its history carriers would never enter
+    //    `seen`, and their stale bydoc rows for the now-hot h would
+    //    survive forever — silently inflating sel_n. With bydoc
+    //    committed first, a crash in between replays with the carriers
+    //    still live in byh, re-deriving the same `seen` set and
+    //    re-committing identical bydoc content (set semantics).
+    ManifestState.patchBuckets(byDoc(indexDir), nBuckets, "doc_id",
+      seen.select(col("doc_id")), docTemplate(spark)) { current =>
+      current.join(hKeys, Seq("h"), "left_anti")
+        .unionByName(live.select(col("doc_id"), col("h")))
+    }
+    onPatchCommitted()
+    // 2) byh: replace the batch fingerprints' rows — live occurrences
     //    survive, hot fingerprints collapse to one null-doc marker.
     val hotMarkers = hotAlready.unionByName(newlyHot).distinct()
       .select(col("h"), lit(null).cast("long").as("doc_id"))
@@ -238,15 +285,7 @@ object WinnowIngest {
         .unionByName(live.select(col("h"), col("doc_id")))
         .unionByName(hotMarkers)
     }
-    // 2) bydoc: the same replacement keyed by document. A (doc, h)
-    //    row with h in the batch exists only for docs in `seen`
-    //    (stored carriers ∪ batch docs), so the touched-doc set is
-    //    exactly seen's docs and no colocated doc loses rows.
-    ManifestState.patchBuckets(byDoc(indexDir), nBuckets, "doc_id",
-      seen.select(col("doc_id")), docTemplate(spark)) { current =>
-      current.join(hKeys, Seq("h"), "left_anti")
-        .unionByName(live.select(col("doc_id"), col("h")))
-    }
+    onPatchCommitted()
 
     // Asymmetric probe: every candidate pair has >=1 side in the
     // batch; a < b orientation dedups batch-vs-batch pairs counted
@@ -283,6 +322,7 @@ object WinnowIngest {
           least(col("na"), col("nb")).cast("double"), 4).as("overlap_r"))
       .localCheckpoint() // bucket list + patch closure
     patchPairs(newPairs, pairsDir, nBuckets)
+    onPatchCommitted()
     Seq(newPairs, rawPairs, live, newlyHot, seen, hKeys, batchSel)
       .foreach(graft.operators.Iterate.unpersistCheckpoint)
   }
@@ -295,13 +335,16 @@ object WinnowIngest {
           trigger: Trigger = Trigger.AvailableNow(),
           k: Int = 5, w: Int = 4, minShared: Long = 3L,
           maxDf: Long = 20L,
-          nBuckets: Int = DupSpanIngest.DefaultIndexBuckets): StreamingQuery =
+          nBuckets: Int = DupSpanIngest.DefaultIndexBuckets,
+          retention: Option[ManifestState.Retention] = None): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         mergeBatch(batch, textCol, idCol, indexDir, pairsDir,
           k, w, minShared, maxDf, nBuckets)
+        retention.foreach(_.maybePrune(batchId + 1,
+          Seq(byH(indexDir), byDoc(indexDir), pairsDir)))
       }
       .start()
 }

@@ -106,6 +106,29 @@ class IngestDedupSpec extends SparkSpec {
     assert(runOnce() == first)
   }
 
+  test("in-batch collapse survives dotted column names and refuses non-orderable ones") {
+    import spark.implicits._
+    // dotted name: col("_r." + c) would have parsed this as a nested
+    // field path; getField + backtick-quoted sources resolve it
+    val root = Files.createTempDirectory("ingest-dotted").toString
+    val batch = IngestDedup.withFingerprint(
+      Seq((5L, "Copy  Me"), (3L, "copy me")).toDF("doc.id", "text"), "text")
+    IngestDedup.mergeBatch(batch, s"$root/out", s"$root/idx")
+    val out = spark.read.parquet(s"$root/out")
+      .select(col("`doc.id`"), $"text").as[(Long, String)].collect().toSeq
+    assert(out.map(_._1) == Seq(3L), s"min-struct survivor through dotted name: $out")
+
+    // non-orderable column (map): min(struct(...)) has no ordering —
+    // the contract is a loud, named refusal, not an analyzer stack trace
+    val root2 = Files.createTempDirectory("ingest-maps").toString
+    val mapBatch = IngestDedup.withFingerprint(
+      Seq((1L, "x", Map("k" -> 1))).toDF("doc_id", "text", "props"), "text")
+    val err = intercept[IllegalArgumentException] {
+      IngestDedup.mergeBatch(mapBatch, s"$root2/out", s"$root2/idx")
+    }
+    assert(err.getMessage.contains("orderable"), err.getMessage)
+  }
+
   test("addToIndex refuses to seed beside legacy append-mode fragments unless migrating") {
     import spark.implicits._
     val root = Files.createTempDirectory("ingest-seed").toString

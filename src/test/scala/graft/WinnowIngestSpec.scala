@@ -126,9 +126,17 @@ class WinnowIngestSpec extends SparkSpec {
     }
     // the declared migration: read the fragments, seed the bucketed
     // index (sub-states live BESIDE the fragments; the manifest check
-    // then short-circuits the top-level guard), caller deletes them
+    // then short-circuits the top-level guard), caller deletes them.
+    // Without the explicit migrate flag the seed is refused — it would
+    // strand whatever fragment content it missed beside a fresh
+    // manifest, invisible to every later guard (ADVICE r15).
     val legacy = spark.read.parquet(s"$root/index").select($"doc_id", $"h")
-    WinnowIngest.seedIndex(legacy, s"$root/index", maxDf = 1000L)
+    val refused = intercept[IllegalArgumentException] {
+      WinnowIngest.seedIndex(legacy, s"$root/index", maxDf = 1000L)
+    }
+    assert(refused.getMessage.contains("strand"), refused.getMessage)
+    WinnowIngest.seedIndex(legacy, s"$root/index", maxDf = 1000L,
+      migrateInPlace = true)
     val want = legacy.distinct().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val got = WinnowIngest.index(spark, s"$root/index")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -188,6 +196,59 @@ class WinnowIngestSpec extends SparkSpec {
     val total1 = sel.filter($"doc_id" === 1L).count()
     assert(selN(1L) < total1,
       s"S2's grams should be hot: sel_n ${selN(1L)} vs total $total1")
+  }
+
+  test("crash at every patch prefix replays to the no-crash state (hot crossing in the crashed batch)") {
+    import spark.implicits._
+    // The ADVICE-r15 scenario: a fingerprint crosses maxDf DURING the
+    // crashed batch while history docs still carry it. The commit
+    // order (bydoc BEFORE byh) exists so the replay can still derive
+    // the carriers' touched-doc set from the pre-patch byh snapshot;
+    // the old order stranded their stale bydoc rows forever, silently
+    // inflating sel_n. Crash after each of the 3 patches, replay, then
+    // pair a later batch against a carrier and require the EXACT
+    // no-crash pair stats.
+    val s1 = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    val s2 = "zulu yankee xray whiskey victor uniform tango sierra romeo quebec"
+    val a = Seq((1L, s"$s1 pad1a pad1b $s2"), (2L, s"two2a $s1 two2b two2c"))
+    val b = (10L until 30L).map(i => (i, s"f${i}a f${i}b $s2 f${i}c f${i}d"))
+    val c = Seq((50L, s"c50a c50b $s1 c50c c50d"))
+    val maxDf = 10L
+
+    def runSeq(root: String, crashAfter: Int): Set[(Long, Long, Long, Double)] = {
+      val (idx, prs) = (s"$root/index", s"$root/pairs")
+      WinnowIngest.mergeBatch(docs(a), "text", "doc_id", idx, prs,
+        minShared = 1L, maxDf = maxDf)
+      if (crashAfter > 0) {
+        var patches = 0
+        WinnowIngest.onPatchCommitted = () => {
+          patches += 1
+          if (patches == crashAfter)
+            throw new RuntimeException(s"injected crash after patch $crashAfter")
+        }
+        try intercept[RuntimeException] {
+          WinnowIngest.mergeBatch(docs(b), "text", "doc_id", idx, prs,
+            minShared = 1L, maxDf = maxDf)
+        } finally WinnowIngest.onPatchCommitted = () => ()
+      }
+      // at-least-once: the crashed batch replays in full
+      WinnowIngest.mergeBatch(docs(b), "text", "doc_id", idx, prs,
+        minShared = 1L, maxDf = maxDf)
+      WinnowIngest.mergeBatch(docs(c), "text", "doc_id", idx, prs,
+        minShared = 1L, maxDf = maxDf)
+      WinnowIngest.pairs(spark, prs)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+    }
+
+    val want = runSeq(Files.createTempDirectory("winnowcrash-ref").toString, 0)
+    assert(want.exists(p => p._1 == 1L && p._2 == 50L),
+      s"fixture must produce the carrier pair: $want")
+    for (crashAfter <- 1 to 3) {
+      val got = runSeq(
+        Files.createTempDirectory(s"winnowcrash-$crashAfter").toString, crashAfter)
+      assert(got == want, s"crashAfter=$crashAfter: got $got, want $want")
+    }
   }
 
   test("hot-gram guard stops pair emission once df exceeds maxDf") {
