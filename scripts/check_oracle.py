@@ -15,12 +15,22 @@ Usage: python3 scripts/check_oracle.py [outDir]
 --scale-spellings  substitute the SCALE_SPELLINGS rewrites (equivalence
            proven at sf0.01, see the dict) for oracles whose catalog
            spelling is over budget at sf0.1.
+--oracle-cache DIR  persist each successful oracle result (gzipped
+           JSON keyed by query name, oracle-SQL md5, and sf dir) and,
+           when a later run's oracle blows the budget, compare the
+           engine dump against the CACHED result instead of skipping —
+           the DuckDB recompute is a convenience, not the contract; the
+           cache entry is itself a past successful recompute of the
+           IDENTICAL SQL on the IDENTICAL tables, so the comparison is
+           as strong, minus only oracle-side nondeterminism (none: the
+           oracles are deterministic SQL). A changed oracle SQL or sf
+           dir invalidates the entry (the md5/sf key mismatch).
 
 Compare rule (mirrors the driver contract as documented in the builder
 prompt): sort columns by name, sort rows, compare values with doubles
 rounded to a tolerance-free canonical repr.
 """
-import sys, os, json, subprocess, math, threading
+import sys, os, json, subprocess, math, threading, gzip, hashlib
 import duckdb
 
 SF_DIR = "/root/testdata/sf0.01"
@@ -126,11 +136,40 @@ def frame_rows(rel):
     return cols, rows
 
 
+def cache_key(sql, sf_dir):
+    return hashlib.md5((sql + "\n@" + os.path.abspath(sf_dir)).encode()).hexdigest()
+
+
+def cache_load(cache_dir, name, sql, sf_dir):
+    p = os.path.join(cache_dir, f"{name}.json.gz")
+    if not os.path.exists(p):
+        return None
+    try:
+        with gzip.open(p, "rt") as f:
+            d = json.load(f)
+    except Exception:
+        return None
+    if d.get("key") != cache_key(sql, sf_dir):
+        return None  # oracle SQL or table dir changed — stale entry
+    return d["cols"], [tuple(r) for r in d["rows"]]
+
+
+def cache_store(cache_dir, name, sql, sf_dir, cols, rows):
+    os.makedirs(cache_dir, exist_ok=True)
+    p = os.path.join(cache_dir, f"{name}.json.gz")
+    tmp = p + ".tmp"
+    with gzip.open(tmp, "wt") as f:
+        json.dump({"key": cache_key(sql, sf_dir), "sf": sf_dir,
+                   "cols": cols, "rows": [list(r) for r in rows]}, f)
+    os.replace(tmp, p)
+
+
 def main():
     out_dir = sys.argv[1] if len(sys.argv) > 1 and not sys.argv[1].startswith("--") else "/tmp/verify_out"
     sf_dir = opt("--sf", SF_DIR)
     excluded = set(filter(None, opt("--exclude", "").split(",")))
     timeout = float(opt("--timeout", "0"))
+    cache_dir = opt("--oracle-cache", "")
     if "--run" in sys.argv:
         subprocess.run(["sbt", "-batch", f'runMain graft.Verify {sf_dir} {out_dir}'],
                        check=True, capture_output=True, text=True)
@@ -163,20 +202,35 @@ def main():
             print(f"FAIL {name}: cannot read spark output: {e}")
             n_fail += 1
             continue
+        def budget_blown():
+            cached = cache_load(cache_dir, name, sql, sf_dir) if cache_dir else None
+            if cached is not None:
+                print(f"INFO {name}: oracle exceeded {timeout:.0f}s budget — "
+                      "comparing against the cached oracle result")
+            else:
+                print(f"SKIP {name}: oracle exceeded {timeout:.0f}s budget")
+            return cached
         try:
             ocols, orows = with_timeout(con, sql, timeout)
+            if cache_dir:
+                cache_store(cache_dir, name, sql, sf_dir, ocols, orows)
         except duckdb.InterruptException:
-            print(f"SKIP {name}: oracle exceeded {timeout:.0f}s budget")
-            n_skip += 1
-            continue
-        except Exception as e:
-            if "INTERRUPT" in str(e).upper():
-                print(f"SKIP {name}: oracle exceeded {timeout:.0f}s budget")
+            cached = budget_blown()
+            if cached is None:
                 n_skip += 1
                 continue
-            print(f"FAIL {name}: oracle SQL error: {e}")
-            n_fail += 1
-            continue
+            ocols, orows = cached
+        except Exception as e:
+            if "INTERRUPT" in str(e).upper():
+                cached = budget_blown()
+                if cached is None:
+                    n_skip += 1
+                    continue
+                ocols, orows = cached
+            else:
+                print(f"FAIL {name}: oracle SQL error: {e}")
+                n_fail += 1
+                continue
         if scols != ocols:
             print(f"FAIL {name}: columns spark={scols} oracle={ocols}")
             n_fail += 1

@@ -7133,7 +7133,160 @@ object Catalog {
              |FROM dots JOIN nrm na ON dots.doc_a = na.doc_id
              |          JOIN nrm nb ON dots.doc_b = nb.doc_id
              |WHERE dot / (na.nrm * nb.nrm) >= 0.3
-             |ORDER BY doc_a, doc_b""".stripMargin))
+             |ORDER BY doc_a, doc_b""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Q180: NEAR-dup dedup ON INGEST (streaming.NearDedupIngest) — the
+    // streaming twin of q143's IncrementalDedup contract, run here as
+    // three sequential micro-batches of the documents table (split by
+    // source, batch 1 additionally carrying synthesized case-mutated
+    // copies so the exact tier is exercised — the corpus has no natural
+    // fingerprint duplicates). Each batch probes the BUCKETED states of
+    // everything kept so far: fp equi-probe (exact tier), then the
+    // one-sided PPJoin prefix index + sorted-merge Jaccard verify (near
+    // tier, recall EXACT by the prefix theorem — see the operator doc),
+    // and survivors patch back so the next batch sees them. The oracle
+    // replays the identical sequential semantics as chained all-pairs
+    // SQL: per batch, in-batch fp collapse (min-id survivor), exact vs
+    // the accumulated kept corpus, best Jaccard >= 0.5 vs that corpus,
+    // corpus += kept. 100 TB: per-batch cost follows the batch's
+    // bucket footprint, never corpus size — candidates are an
+    // equi-join on stored PREFIX shingles (bounded by the prefix
+    // theorem + size/positional filters), verification reads only the
+    // candidate docs' array buckets, and the all-pairs product here
+    // exists only in the ORACLE.
+    Query(
+      "q180_neardup_ingest",
+      (s, dir) => {
+        import s.implicits._
+        val d = t(s, dir, "documents")
+          .withColumn("src_n", substring($"source", 4, 10).cast("int"))
+        val r0 = d.filter($"src_n" < 7).select($"doc_id", $"text")
+        val r1 = d.filter($"src_n".between(7, 13)).select($"doc_id", $"text")
+          .unionByName(d.filter($"src_n" < 7 && $"doc_id" % 50 === 0)
+            .select(($"doc_id" + 100000L).as("doc_id"),
+                    upper($"text").as("text")))
+        val r2 = d.filter($"src_n" >= 14).select($"doc_id", $"text")
+        val root = java.nio.file.Files.createTempDirectory("q180").toString
+        val vs = Seq(r0, r1, r2).zipWithIndex.map { case (b, e) =>
+          graft.streaming.NearDedupIngest.mergeBatch(
+              b, "text", "doc_id", s"$root/out", s"$root/idx",
+              epoch = e.toLong, thr = 0.5, ngram = 3, nBuckets = 16)
+            .withColumn("epoch", lit(e.toLong))
+        }
+        val out = vs.reduce(_ unionByName _)
+          .select($"epoch", $"doc_id", $"verdict", $"match_id", $"j_r")
+          .orderBy($"epoch", $"doc_id")
+        // verdicts are eagerly checkpointed; the scratch state can go
+        graft.streaming.NearDedupIngest.deleteRecursively(root)
+        out
+      },
+      Some("""WITH d AS (SELECT doc_id, text, CAST(substr(source, 4) AS INT) AS src_n
+             |           FROM documents),
+             |r0 AS (SELECT doc_id, text FROM d WHERE src_n < 7),
+             |r1 AS (SELECT doc_id, text FROM d WHERE src_n BETWEEN 7 AND 13
+             |       UNION ALL
+             |       SELECT doc_id + 100000, upper(text) FROM d
+             |       WHERE src_n < 7 AND doc_id % 50 = 0),
+             |r2 AS (SELECT doc_id, text FROM d WHERE src_n >= 14),
+             |b0 AS (SELECT doc_id, fp, list_distinct(list_transform(
+             |         generate_series(1, len(tk) - 2),
+             |         i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
+             |       FROM (SELECT doc_id,
+             |               md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp,
+             |               string_split_regex(trim(text), '\s+') AS tk FROM r0)),
+             |b1 AS (SELECT doc_id, fp, list_distinct(list_transform(
+             |         generate_series(1, len(tk) - 2),
+             |         i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
+             |       FROM (SELECT doc_id,
+             |               md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp,
+             |               string_split_regex(trim(text), '\s+') AS tk FROM r1)),
+             |b2 AS (SELECT doc_id, fp, list_distinct(list_transform(
+             |         generate_series(1, len(tk) - 2),
+             |         i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
+             |       FROM (SELECT doc_id,
+             |               md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp,
+             |               string_split_regex(trim(text), '\s+') AS tk FROM r2)),
+             |s0 AS (SELECT *, CASE WHEN fp IS NULL THEN doc_id
+             |                 ELSE min(doc_id) OVER (PARTITION BY fp) END AS surv FROM b0),
+             |v0 AS (SELECT CAST(0 AS BIGINT) AS epoch, doc_id,
+             |              CASE WHEN doc_id <> surv THEN 'exact' ELSE 'kept' END AS verdict,
+             |              CASE WHEN doc_id <> surv THEN surv END AS match_id,
+             |              CAST(NULL AS DOUBLE) AS j_r
+             |       FROM s0),
+             |c0 AS (SELECT doc_id, fp, sh FROM s0 WHERE doc_id = surv),
+             |s1 AS (SELECT *, CASE WHEN fp IS NULL THEN doc_id
+             |                 ELSE min(doc_id) OVER (PARTITION BY fp) END AS surv FROM b1),
+             |e1 AS (SELECT s.doc_id, min(c.doc_id) AS hid
+             |       FROM s1 s JOIN c0 c ON c.fp = s.fp
+             |       WHERE s.doc_id = s.surv GROUP BY 1),
+             |n1 AS (SELECT s.doc_id, c.doc_id AS hid,
+             |              len(list_intersect(s.sh, c.sh))::DOUBLE /
+             |                len(list_distinct(list_concat(s.sh, c.sh))) AS j
+             |       FROM s1 s CROSS JOIN c0 c
+             |       WHERE s.doc_id = s.surv
+             |         AND s.doc_id NOT IN (SELECT doc_id FROM e1)),
+             |w1 AS (SELECT doc_id, hid, j FROM (
+             |         SELECT doc_id, hid, j, row_number() OVER (
+             |           PARTITION BY doc_id ORDER BY j DESC, hid) AS rn
+             |         FROM n1 WHERE j >= 0.5) WHERE rn = 1),
+             |v1 AS (SELECT CAST(1 AS BIGINT) AS epoch, s.doc_id,
+             |              CASE WHEN s.doc_id <> s.surv THEN 'exact'
+             |                   WHEN e1.hid IS NOT NULL THEN 'exact'
+             |                   WHEN w1.hid IS NOT NULL THEN 'neardup'
+             |                   ELSE 'kept' END AS verdict,
+             |              CASE WHEN s.doc_id <> s.surv THEN s.surv
+             |                   ELSE coalesce(e1.hid, w1.hid) END AS match_id,
+             |              CASE WHEN s.doc_id = s.surv AND e1.hid IS NULL
+             |                        AND w1.hid IS NOT NULL
+             |                   THEN round(w1.j, 4) END AS j_r
+             |       FROM s1 s LEFT JOIN e1 ON e1.doc_id = s.doc_id
+             |                 LEFT JOIN w1 ON w1.doc_id = s.doc_id),
+             |c1 AS (SELECT s.doc_id, s.fp, s.sh FROM s1 s
+             |       WHERE s.doc_id = s.surv
+             |         AND s.doc_id NOT IN (SELECT doc_id FROM e1)
+             |         AND s.doc_id NOT IN (SELECT doc_id FROM w1)
+             |       UNION ALL SELECT * FROM c0),
+             |s2 AS (SELECT *, CASE WHEN fp IS NULL THEN doc_id
+             |                 ELSE min(doc_id) OVER (PARTITION BY fp) END AS surv FROM b2),
+             |e2 AS (SELECT s.doc_id, min(c.doc_id) AS hid
+             |       FROM s2 s JOIN c1 c ON c.fp = s.fp
+             |       WHERE s.doc_id = s.surv GROUP BY 1),
+             |n2 AS (SELECT s.doc_id, c.doc_id AS hid,
+             |              len(list_intersect(s.sh, c.sh))::DOUBLE /
+             |                len(list_distinct(list_concat(s.sh, c.sh))) AS j
+             |       FROM s2 s CROSS JOIN c1 c
+             |       WHERE s.doc_id = s.surv
+             |         AND s.doc_id NOT IN (SELECT doc_id FROM e2)),
+             |w2 AS (SELECT doc_id, hid, j FROM (
+             |         SELECT doc_id, hid, j, row_number() OVER (
+             |           PARTITION BY doc_id ORDER BY j DESC, hid) AS rn
+             |         FROM n2 WHERE j >= 0.5) WHERE rn = 1),
+             |v2 AS (SELECT CAST(2 AS BIGINT) AS epoch, s.doc_id,
+             |              CASE WHEN s.doc_id <> s.surv THEN 'exact'
+             |                   WHEN e2.hid IS NOT NULL THEN 'exact'
+             |                   WHEN w2.hid IS NOT NULL THEN 'neardup'
+             |                   ELSE 'kept' END AS verdict,
+             |              CASE WHEN s.doc_id <> s.surv THEN s.surv
+             |                   ELSE coalesce(e2.hid, w2.hid) END AS match_id,
+             |              CASE WHEN s.doc_id = s.surv AND e2.hid IS NULL
+             |                        AND w2.hid IS NOT NULL
+             |                   THEN round(w2.j, 4) END AS j_r
+             |       FROM s2 s LEFT JOIN e2 ON e2.doc_id = s.doc_id
+             |                 LEFT JOIN w2 ON w2.doc_id = s.doc_id)
+             |SELECT epoch, doc_id, verdict, match_id, j_r FROM (
+             |  SELECT * FROM v0 UNION ALL SELECT * FROM v1
+             |  UNION ALL SELECT * FROM v2)
+             |ORDER BY epoch, doc_id""".stripMargin),
+      // verify-only: the row exists for the CORRECTNESS gate (the twin
+      // vs the chained all-pairs oracle). Its wall-time is ~95%
+      // transactional state-commit overhead — 3 sequential horizons ×
+      // (1 corpus append + 4 manifest commits), each a staged write +
+      // manifest swap — which a live stream amortizes per trigger and
+      // which is FLAT in corpus size (IngestIndexBench's neardedup
+      // probe pins merge+read flatness and the file bound); the
+      // near-dup math itself already has headline rows (q98/q143).
+      headline = false)
   )
 
   val byName: Map[String, Query] = all.map(q => q.name -> q).toMap

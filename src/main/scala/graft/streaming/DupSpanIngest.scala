@@ -220,12 +220,14 @@ object DupSpanIngest {
   def run(docs: DataFrame, textCol: String, idCol: String,
           checkpointDir: String, indexDir: String, covDir: String,
           trigger: Trigger = Trigger.AvailableNow(),
-          k: Int = 5, nBuckets: Int = DefaultIndexBuckets): StreamingQuery =
+          k: Int = 5, nBuckets: Int = DefaultIndexBuckets,
+          retention: Option[ManifestState.Retention] = None): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         mergeBatch(batch, textCol, idCol, indexDir, covDir, k, nBuckets)
+        retention.foreach(_.maybePrune(batchId + 1, Seq(indexDir, covDir)))
       }
       .start()
 }

@@ -5,11 +5,12 @@ import java.nio.file.{Files, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Flatness probe for the OTHER two bucketed-index ingest twins
-  * ([[IngestDedup]], [[LeakageIngest]]) — same claim
-  * [[DupSpanIngestBench]] pins for [[DupSpanIngest]]: per-batch
-  * wall-time flat across stream age, index data files bounded by
-  * nBuckets × (1 + keepGenerations) no matter how many batches ran.
+/** Flatness probe for the bucketed-index ingest twins
+  * ([[IngestDedup]], [[LeakageIngest]], [[WinnowIngest]],
+  * [[NearDedupIngest]]) — same claim [[DupSpanIngestBench]] pins for
+  * [[DupSpanIngest]]: per-batch wall-time flat across stream age,
+  * index data files bounded by nBuckets × (1 + keepGenerations) no
+  * matter how many batches ran.
   *
   * Usage: runMain graft.streaming.IngestIndexBench [batches] [docsPerBatch] [nBuckets]
   */
@@ -101,6 +102,33 @@ object IngestIndexBench {
     // deep (distinct + global df + global sel_n), so per-batch cost
     // grew with stream age. The planted cross-batch span stays under
     // the guard; the unique filler grows the index every batch.
+    // neardedup: round 16 — the two-tier near-dup twin. Per batch:
+    // ~10% exact copies of a constant planted span (exact tier fires
+    // against history from batch 2 on), ~10% one-token near variants
+    // of it (the prefix probe + sorted-merge verify fire, against an
+    // ever-growing set of stored variant prefixes), the rest unique
+    // (grows all four states every batch).
+    probe("neardedup", batches, nBuckets, s"$root/near/idx/fp",
+      stateDirs = Seq(s"$root/near/idx/pre", s"$root/near/idx/doc",
+                      s"$root/near/idx/df"),
+      readState = Some(() =>
+        NearDedupIngest.fpIndex(spark, s"$root/near/idx").count())) { i =>
+      val base = i.toLong * 1000000L
+      val batch = spark.range(docsPerBatch.toLong).select(
+        (lit(base) + col("id")).as("doc_id"),
+        when(pmod(col("id"), lit(10)) === 0,
+            lit("cross batch planted span alpha beta gamma delta epsilon"))
+          .when(pmod(col("id"), lit(10)) === 5,
+            concat(lit("cross batch planted span alpha beta gamma delta epsilon x"),
+                   (lit(base) + col("id")).cast("string")))
+          .otherwise(concat(lit(s"uniq b$i d"), col("id").cast("string"),
+            lit(" w1 w2 w3 w4 tail"), col("id").cast("string"))).as("text"))
+      val v = NearDedupIngest.mergeBatch(batch, "text", "doc_id",
+        s"$root/near/out", s"$root/near/idx",
+        epoch = i.toLong, thr = 0.5, ngram = 3, nBuckets = nBuckets)
+      graft.operators.Iterate.unpersistCheckpoint(v)
+    }
+
     probe("winnow", batches, nBuckets, s"$root/win/idx/byh",
       stateDirs = Seq(s"$root/win/idx/bydoc", s"$root/win/pairs"),
       readState = Some(() =>

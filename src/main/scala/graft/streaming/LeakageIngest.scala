@@ -207,12 +207,14 @@ object LeakageIngest {
           sourceCol: String, checkpointDir: String, indexDir: String,
           leakDir: String, trigger: Trigger = Trigger.AvailableNow(),
           k: Int = 5,
-          nBuckets: Int = DupSpanIngest.DefaultIndexBuckets): StreamingQuery =
+          nBuckets: Int = DupSpanIngest.DefaultIndexBuckets,
+          retention: Option[ManifestState.Retention] = None): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         mergeBatch(batch, textCol, idCol, sourceCol, indexDir, leakDir, k, nBuckets)
+        retention.foreach(_.maybePrune(batchId + 1, Seq(indexDir, leakDir)))
       }
       .start()
 }

@@ -41,6 +41,33 @@ import graft.operators.CdcMerge
   */
 object ManifestState {
 
+  /** Every-N-batches archived-manifest retention for the ingest twins'
+    * run paths — the automated spelling of the
+    * [[pruneArchivedManifests]] operational contract, so a long-lived
+    * production stream no longer needs an out-of-band sweep. Attach
+    * via the twins' `retention` parameter; after every `everyBatches`
+    * micro-batches the twin prunes each of its state roots down to
+    * `keepLast` archived epochs.
+    *
+    * Crash safety: the prune runs AFTER the batch's state commits,
+    * deletes only archive files strictly older than the `keepLast`
+    * newest, and is idempotent — a crash mid-prune leaves a partial
+    * archive that the replayed batch's next prune finishes; the live
+    * MANIFEST, data files, and crash recovery never depend on the
+    * archive. Pruning only bounds time-travel depth
+    * ([[readAt]]/[[changesBetween]]). */
+  final case class Retention(everyBatches: Int, keepLast: Int = 8) {
+    require(everyBatches >= 1, s"everyBatches must be >= 1, got $everyBatches")
+    require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
+
+    /** Prune `stateRoots` if this batch count hits the cadence;
+      * returns archives removed (0 on off-cadence batches). */
+    def maybePrune(batchesDone: Long, stateRoots: Seq[String]): Long =
+      if (batchesDone % everyBatches == 0)
+        stateRoots.map(pruneArchivedManifests(_, keepLast)).sum
+      else 0L
+  }
+
   /** Superseded versions per bucket that survive GC. Shared constant so
     * anything asserting the steady-state file bound (nBuckets ×
     * (1 + keepGenerations), see IncrementalMergeBench) derives it from

@@ -67,13 +67,16 @@ object SpanIngest {
           leakIndexDir: String, leakDir: String,
           trigger: Trigger = Trigger.AvailableNow(),
           k: Int = 5,
-          nBuckets: Int = DupSpanIngest.DefaultIndexBuckets): StreamingQuery =
+          nBuckets: Int = DupSpanIngest.DefaultIndexBuckets,
+          retention: Option[ManifestState.Retention] = None): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         mergeBatch(batch, textCol, idCol, sourceCol,
           covIndexDir, covDir, leakIndexDir, leakDir, k, nBuckets)
+        retention.foreach(_.maybePrune(batchId + 1,
+          Seq(covIndexDir, covDir, leakIndexDir, leakDir)))
       }
       .start()
 }

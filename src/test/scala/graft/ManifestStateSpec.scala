@@ -288,6 +288,33 @@ class ManifestStateSpec extends SparkSpec {
       ManifestState.pruneArchivedManifests(root, keepLast = 0))
   }
 
+  test("Retention fires on cadence, survives a partial prune, and never breaks live reads") {
+    val root = Files.createTempDirectory("mstate-retention").toString
+    val ret = ManifestState.Retention(everyBatches = 2, keepLast = 2)
+    (1 to 6).foreach { lsn =>
+      ManifestState.mergeBatch(changes(Seq(up("k", lsn.toLong))), root, 2)
+      ret.maybePrune(lsn.toLong, Seq(root))
+    }
+    // after 6 batches at cadence 2, only the newest 2 archives remain
+    val archives = Files.list(Paths.get(root, "manifests")).toArray
+      .map(_.toString.split('/').last.toLong).sorted.toSeq
+    assert(archives == Seq(5L, 6L), s"archives: $archives")
+    // off-cadence batch counts are a no-op
+    assert(ret.maybePrune(7L, Seq(root)) == 0L)
+    // partial prune (crash window): an already-deleted doomed archive
+    // is skipped, the rest still goes, live reads unaffected
+    ManifestState.mergeBatch(changes(Seq(up("k", 7L))), root, 2)
+    ManifestState.mergeBatch(changes(Seq(up("k", 8L))), root, 2)
+    Files.deleteIfExists(Paths.get(root, "manifests", "5"))
+    assert(ret.maybePrune(8L, Seq(root)) == 1L) // 6 doomed; 5 already gone
+    assert(ManifestState.readManifest(root).epoch == 8)
+    val live = ManifestState.readView(spark, root).select("lsn").collect().map(_.getLong(0))
+    assert(live.toSeq == Seq(8L))
+    // knob validation is loud
+    intercept[IllegalArgumentException](ManifestState.Retention(0, 2))
+    intercept[IllegalArgumentException](ManifestState.Retention(2, 0))
+  }
+
   test("dataFileCount counts only committed version dirs, never in-flight staging files") {
     val root = Files.createTempDirectory("mstate-dfc").toString
     // committed layout: root/b=0/v-1-w1-1/part.parquet
