@@ -58,7 +58,21 @@ object IvfAnn {
     * a sample (the cells only need the density shape), re-label the
     * full corpus with one final broadcast assignment pass.
     */
-  def fitCells(e: DataFrame, nlist: Int, iters: Int = 5): DataFrame = {
+  def fitCells(e: DataFrame, nlist: Int, iters: Int = 5): DataFrame =
+    fitCellsWithCentroids(e, nlist, iters)._1
+
+  /** [[fitCells]] with the fitted coarse quantizer itself exposed:
+    * (relabeled corpus, centroids (c_label, cv)). The centroid frame
+    * is what [[graft.streaming.IvfIngest]] persists so ARRIVING
+    * embeddings can be assigned to the same cells the batch fit
+    * produced — [[assignTo]] with these centroids returns exactly
+    * this function's first component (same valid-filter, same
+    * deterministic tie-breaks), which is the streamed-postings ==
+    * batch-postings equivalence the ingest spec pins. The centroid
+    * plan is lazy; callers that only consume the corpus (fitCells)
+    * never pay for it. */
+  def fitCellsWithCentroids(e: DataFrame, nlist: Int,
+                            iters: Int = 5): (DataFrame, DataFrame) = {
     require(nlist > 0 && iters >= 0, s"nlist=$nlist iters=$iters")
     // Pinned, with the norm hoisted: the seed selection, EVERY Lloyd
     // iteration's assignment pass, and the final relabeling all
@@ -110,7 +124,35 @@ object IvfAnn {
         .select(col("c_label"), expr("transform(pairs, p -> p.cx)").as("cv"))
         .localCheckpoint()
     }
-    assign(valid, centroids)
+    (assign(valid, centroids)
+       .select(col("vec_id"), col("c_label").as("label"), col("v")),
+     centroids.select(col("c_label"), col("cv")))
+  }
+
+  /** Assign (vec_id, v) rows to the given coarse-quantizer cells —
+    * the per-batch spelling of [[fitCells]]'s final pass, bit-equal
+    * to it for the same centroids: the same validity filter
+    * (null/zero-norm rows are EXCLUDED, the usableVec contract — an
+    * unusable vector has no cell and is not stored), the same
+    * degenerate-centroid guard, and the same deterministic tie-break
+    * (max cosine, ties to the smaller cell id). One broadcast of
+    * nlist·dim centroid doubles against the batch — map-side but for
+    * the per-vec_id rank. */
+  def assignTo(e: DataFrame, centroids: DataFrame): DataFrame = {
+    val valid = e
+      .filter(col("v").isNotNull && VF.dot(col("v"), col("v")) > 0)
+      .withColumn("nrm", sqrt(VF.dot(col("v"), col("v"))))
+    val cb = broadcast(
+      centroids.withColumn("cnrm", sqrt(VF.dot(col("cv"), col("cv")))))
+    val wv = Window.partitionBy(col("vec_id"))
+      .orderBy(col("csim").desc, col("c_label"))
+    valid
+      .join(cb)
+      .select(col("vec_id"), col("v"), col("c_label"),
+              when(col("cnrm") > 0,
+                   VF.dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")))
+                .otherwise(lit(-2.0)).as("csim"))
+      .withColumn("rn", row_number().over(wv)).filter(col("rn") === 1)
       .select(col("vec_id"), col("c_label").as("label"), col("v"))
   }
 
