@@ -12,7 +12,9 @@ import org.apache.spark.sql.functions._
   * ingest the identical batch stream into separate state roots; the
   * probe prints per-batch averages, the fused/solo ratio, and
   * cross-checks the final states row-for-row (count grain — the spec
-  * asserts full equality).
+  * asserts full equality). A second section does the same for the
+  * 3-way fold ([[SpanIngest.mergeBatchAll]] vs the three solo twins,
+  * [[WinnowIngest.mergeBatch]] included).
   *
   * Usage: runMain graft.streaming.SpanIngestBench [batches] [docsPerBatch]
   */
@@ -70,6 +72,41 @@ object SpanIngestBench {
     val leakF = LeakageIngest.leakage(spark, s"$fused/leak").count()
     println(s"SPANINGEST states cov=$covF/$covS leak=$leakF/$leakS")
     assert(covS == covF && leakS == leakF, "fused and solo states diverged")
+
+    // ---- 3-way section: + WinnowIngest ----
+    val solo3 = Files.createTempDirectory("spanbench-solo3").toString
+    val fused3 = Files.createTempDirectory("spanbench-fused3").toString
+    val (solo3Ms, fused3Ms) = (1 to batches).map { i =>
+      val b = docBatch(spark, i, docsPerBatch).localCheckpoint()
+      val s = timed {
+        DupSpanIngest.mergeBatch(b, "text", "doc_id", s"$solo3/covidx", s"$solo3/cov")
+        LeakageIngest.mergeBatch(b, "text", "doc_id", "source",
+          s"$solo3/leakidx", s"$solo3/leak")
+        WinnowIngest.mergeBatch(b, "text", "doc_id",
+          s"$solo3/winidx", s"$solo3/winpairs")
+      }
+      val f = timed {
+        SpanIngest.mergeBatchAll(b, "text", "doc_id", "source",
+          s"$fused3/covidx", s"$fused3/cov", s"$fused3/leakidx", s"$fused3/leak",
+          s"$fused3/winidx", s"$fused3/winpairs")
+      }
+      graft.operators.Iterate.unpersistCheckpoint(b)
+      (s, f)
+    }.unzip
+    val s3Avg = solo3Ms.drop(1).sum / (batches - 1)
+    val f3Avg = fused3Ms.drop(1).sum / (batches - 1)
+    println(f"SPANINGEST3 batches=$batches docs/batch=$docsPerBatch solo(avg)=$s3Avg%.1f ms fused(avg)=$f3Avg%.1f ms fused/solo=${f3Avg / s3Avg}%.2f")
+    val cov3S = DupSpanIngest.coverages(spark, s"$solo3/cov").count()
+    val cov3F = DupSpanIngest.coverages(spark, s"$fused3/cov").count()
+    val leak3S = LeakageIngest.leakage(spark, s"$solo3/leak").count()
+    val leak3F = LeakageIngest.leakage(spark, s"$fused3/leak").count()
+    val win3S = WinnowIngest.pairs(spark, s"$solo3/winpairs").count()
+    val win3F = WinnowIngest.pairs(spark, s"$fused3/winpairs").count()
+    val idx3S = WinnowIngest.index(spark, s"$solo3/winidx").count()
+    val idx3F = WinnowIngest.index(spark, s"$fused3/winidx").count()
+    println(s"SPANINGEST3 states cov=$cov3F/$cov3S leak=$leak3F/$leak3S winpairs=$win3F/$win3S winidx=$idx3F/$idx3S")
+    assert(cov3S == cov3F && leak3S == leak3F && win3S == win3F && idx3S == idx3F,
+      "3-way fused and solo states diverged")
     spark.stop()
   }
 }

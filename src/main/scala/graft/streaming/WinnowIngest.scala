@@ -85,6 +85,13 @@ object WinnowIngest {
   private def byH(indexDir: String) = s"$indexDir/byh"
   private def byDoc(indexDir: String) = s"$indexDir/bydoc"
 
+  /** The twin's ManifestState roots, for retention sweeps
+    * ([[ManifestState.Retention]]) — the sub-state layout under
+    * `indexDir` is private. */
+  private[streaming] def stateRoots(indexDir: String,
+                                    pairsDir: String): Seq[String] =
+    Seq(byH(indexDir), byDoc(indexDir), pairsDir)
+
   /** Test seam: invoked after each of [[mergeBatch]]'s three state
     * commits (bydoc, byh, pairs — in that order), so specs can crash
     * at every patch prefix and assert replay convergence (the
@@ -218,8 +225,24 @@ object WinnowIngest {
                  indexDir: String, pairsDir: String,
                  k: Int = 5, w: Int = 4, minShared: Long = 3L,
                  maxDf: Long = 20L,
-                 nBuckets: Int = DupSpanIngest.DefaultIndexBuckets): Unit = synchronized {
-    val spark = batch.sparkSession
+                 nBuckets: Int = DupSpanIngest.DefaultIndexBuckets): Unit = {
+    val batchSel = Winnow.selectFingerprints(batch, textCol, idCol, k, w)
+      .withColumnRenamed(idCol, "doc_id")
+      .localCheckpoint() // probed, paired, and stored; compute once
+    mergeFromSelection(batch.sparkSession, batchSel, indexDir, pairsDir,
+      minShared, maxDf, nBuckets)
+  }
+
+  /** Merge a precomputed winnow SELECTION — (doc_id, h) rows, caller-
+    * localCheckpointed (unpersisted here) — into the states. The seam
+    * [[SpanIngest]]'s fused path uses to derive the selection from its
+    * shared gram frame instead of re-tokenizing; [[mergeBatch]]
+    * delegates here, so the two paths cannot diverge semantically. */
+  private[streaming] def mergeFromSelection(spark: SparkSession,
+                 batchSel: DataFrame,
+                 indexDir: String, pairsDir: String,
+                 minShared: Long, maxDf: Long,
+                 nBuckets: Int): Unit = synchronized {
     ManifestState.requireBucketCount(pairsDir, nBuckets)
     ManifestState.requireBucketCount(byH(indexDir), nBuckets)
     ManifestState.requireBucketCount(byDoc(indexDir), nBuckets)
@@ -229,9 +252,6 @@ object WinnowIngest {
     if (ManifestState.readManifest(byH(indexDir)).buckets.isEmpty)
       FsUtil.requireNotAppendLayout(spark, indexDir,
         "seed the bucketed fingerprint index from the fragments via seedIndex first")
-    val batchSel = Winnow.selectFingerprints(batch, textCol, idCol, k, w)
-      .withColumnRenamed(idCol, "doc_id")
-      .localCheckpoint() // probed, paired, and stored; compute once
     val hKeys = batchSel.select(col("h")).distinct().localCheckpoint()
 
     // Only the batch's fingerprints can change state (df is untouched
@@ -344,7 +364,7 @@ object WinnowIngest {
         mergeBatch(batch, textCol, idCol, indexDir, pairsDir,
           k, w, minShared, maxDf, nBuckets)
         retention.foreach(_.maybePrune(batchId + 1,
-          Seq(byH(indexDir), byDoc(indexDir), pairsDir)))
+          stateRoots(indexDir, pairsDir)))
       }
       .start()
 }
