@@ -189,6 +189,36 @@ object NearDedupIngest {
     else ManifestState.readSnapshot(spark, fpDir(indexDir), m)
   }
 
+  /** The stored prefix index (shingle, hid, n, rn) — spec/probe seam. */
+  private[graft] def preIndex(spark: SparkSession, indexDir: String): DataFrame = {
+    val m = ManifestState.readManifest(preDir(indexDir))
+    if (m.buckets.isEmpty) preTemplate(spark)
+    else ManifestState.readSnapshot(spark, preDir(indexDir), m)
+  }
+
+  /** The (thr, ngram) a state was built with, from `indexDir/META`. */
+  private def readMeta(spark: SparkSession, indexDir: String): (Double, Int) = {
+    val p = metaPath(indexDir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(p),
+      s"$indexDir has no META — nothing was merged or seeded here yet")
+    val in = fs.open(p)
+    val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+            finally in.close()
+    val re = "thr=(\\S+) ngram=(\\d+)".r
+    s match {
+      case re(t, g) => (t.toDouble, g.toInt)
+      case _ => throw new IllegalStateException(
+        s"unparseable META '$s' at $indexDir")
+    }
+  }
+
+  /** Probe seam: when set, [[mergeBatch]] reports its near-tier
+    * candidate count (post size/positional filters, pre verify) — the
+    * quantity prefix staleness inflates. Default stays a no-op so the
+    * production path never pays the extra count job. */
+  private[graft] var onCandidates: Option[Long => Unit] = None
+
   /** One micro-batch: verdict every doc, append the kept ones to
     * `outDir`, patch all four states. Returns the verdict frame
     * (doc_id, verdict, match_id, j_r) — `IncrementalDedup.against`'s
@@ -262,6 +292,7 @@ object NearDedupIngest {
       .filter(col("hid") =!= col("doc_id")) // self only under replay
       .select(col("doc_id"), col("hid")).distinct()
       .localCheckpoint(eager = false)
+    onCandidates.foreach(f => f(cand.count()))
     val hids = cand.select(col("hid").as("doc_id")).distinct()
     val docStored = ManifestState.readBucketsOf(spark, docDir(indexDir),
         ManifestState.bucketsOf(hids, "doc_id", nBuckets), docTemplate(spark))
@@ -423,6 +454,73 @@ object NearDedupIngest {
       newFp.select(col("fp")), fpTemplate(spark))(
       _.unionByName(newFp).groupBy(col("fp")).agg(min(col("hid")).as("hid")))
     Seq(newPre, ex, uniq).foreach(graft.operators.Iterate.unpersistCheckpoint)
+  }
+
+  /** Periodic prefix RE-CUT — the pruning-freshness refit the class
+    * doc names (the [[graft.operators.IvfAnn]] quantizer-refit knob,
+    * applied to PPJoin prefixes). A stored prefix is cut rare-first
+    * under the df order current at ITS storage time; as the corpus
+    * drifts, a shingle that was rare then can turn boilerplate-hot —
+    * and every stored prefix carrying it becomes a hot probe target:
+    * each new doc containing the shingle candidates against ALL its
+    * prefix carriers, and the verify tier pays the fanout even though
+    * (J < thr) rejects the pairs. CORRECTNESS never degrades — the
+    * one-sided theorem binds for any per-doc order, so stale prefixes
+    * cost work, not recall (the class doc's argument) — which is
+    * exactly why this is a periodic refit knob and not a per-batch
+    * obligation.
+    *
+    * Restates the `pre` state from (kept corpus text × the CURRENT df
+    * state): per doc, the same rare-first cut [[mergeBatch]] uses
+    * (order by (df, shingle), keep rn ≤ n − ⌈n·thr⌉ + 1), so per-doc
+    * prefix LENGTHS are invariant and a second re-cut is a content
+    * no-op (both spec-asserted). The restatement commits through ONE
+    * [[ManifestState.patchBuckets]] over (old ∪ new) shingle buckets —
+    * stale rows in buckets the new cut no longer touches are dropped
+    * in the same atomic manifest swap, and a crash mid-recut leaves
+    * the previous committed state current. fp/doc/df states are
+    * untouched; `thr`/`ngram` come from `indexDir/META` (the cut they
+    * bake in is the one being re-applied). O(corpus) by design — run
+    * it on the [[IvfAnn.fitCells]] cadence, not per batch
+    * (docs/probes/neardeduprecut_r16.txt measures the drift cost and
+    * the restored pruning). */
+  def recutPrefixes(spark: SparkSession, corpusDir: String,
+                    indexDir: String,
+                    nBuckets: Int = DefaultIndexBuckets): Unit = synchronized {
+    val (thr, ngram) = readMeta(spark, indexDir)
+    Seq(preDir(indexDir), dfDir(indexDir))
+      .foreach(ManifestState.requireBucketCount(_, nBuckets))
+    // the documented replay anomaly can double-append a kept doc —
+    // collapse by id so the restatement stays deterministic
+    val corpus = spark.read.parquet(corpusDir)
+      .select(col("doc_id"), col("text")).dropDuplicates("doc_id")
+    val ex = corpus
+      .withColumn("sh", distinctShingles(col("text"), ngram))
+      .withColumn("n", size(col("sh")))
+      .select(col("doc_id"), col("n"), explode(col("sh")).as("shingle"))
+      .localCheckpoint(eager = false)
+    val dfSnap = {
+      val m = ManifestState.readManifest(dfDir(indexDir))
+      if (m.buckets.isEmpty) dfTemplate(spark)
+      else ManifestState.readSnapshot(spark, dfDir(indexDir), m)
+    }.select(col("shingle"), col("df"))
+    val wPre = Window.partitionBy(col("doc_id"))
+      .orderBy(col("dfc"), col("shingle"))
+    val newPre = ex.join(dfSnap, Seq("shingle"), "left")
+      .withColumn("dfc", coalesce(col("df"), lit(0L)))
+      .withColumn("rn", row_number().over(wPre))
+      .filter(col("rn") <= col("n") - ceil(col("n") * thr) + 1)
+      .select(col("shingle"), col("doc_id").as("hid"), col("n"), col("rn"))
+      .localCheckpoint()
+    // old ∪ new keys: buckets whose stale rows must die are rewritten
+    // in the SAME commit that lands the new cut
+    val touched = newPre.select(col("shingle"))
+      .unionByName(preIndex(spark, indexDir).select(col("shingle")))
+      .distinct().localCheckpoint()
+    ManifestState.patchBuckets(preDir(indexDir), nBuckets, "shingle",
+      touched, preTemplate(spark))(_ => newPre)
+    Seq(touched, newPre, ex)
+      .foreach(graft.operators.Iterate.unpersistCheckpoint)
   }
 
   /** Wire the merge into a document stream: watermarked in-stream

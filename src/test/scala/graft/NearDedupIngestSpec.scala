@@ -272,4 +272,89 @@ class NearDedupIngestSpec extends SparkSpec {
       assert(archives == 1, s"state $s: $archives archives survived retention")
     }
   }
+
+  private def preRows(idx: String): Set[(String, Long, Int, Int)] =
+    NearDedupIngest.preIndex(spark, idx).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getInt(3))).toSet
+
+  test("recutPrefixes: lengths invariant, idempotent, later verdicts unchanged") {
+    val a = Files.createTempDirectory("neardedup-recut-a").toString
+    val b = Files.createTempDirectory("neardedup-recut-b").toString
+    for (root <- Seq(a, b); (rows, e) <- Seq(b1, b2).zipWithIndex)
+      NearDedupIngest.mergeBatch(docs(rows), "text", "doc_id",
+        s"$root/out", s"$root/idx", epoch = e.toLong, thr = thr)
+        .unpersist()
+    val before = preRows(s"$a/idx")
+    NearDedupIngest.recutPrefixes(spark, s"$a/out", s"$a/idx")
+    val after = preRows(s"$a/idx")
+    // per-doc prefix LENGTH depends only on (n, thr) — invariant
+    def lens(s: Set[(String, Long, Int, Int)]): Map[Long, Int] =
+      s.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(lens(after) == lens(before))
+    // a second re-cut is a content no-op
+    NearDedupIngest.recutPrefixes(spark, s"$a/out", s"$a/idx")
+    assert(preRows(s"$a/idx") == after)
+    // recall: the next batch verdicts identically against the re-cut
+    // index and the untouched control
+    val va = NearDedupIngest.mergeBatch(docs(b3), "text", "doc_id",
+      s"$a/out", s"$a/idx", epoch = 2L, thr = thr)
+    val vb = NearDedupIngest.mergeBatch(docs(b3), "text", "doc_id",
+      s"$b/out", s"$b/idx", epoch = 2L, thr = thr)
+    assert(collectVerdicts(va) == collectVerdicts(vb))
+    Seq(va, vb).foreach(_.unpersist())
+  }
+
+  test("a df inversion rots prefix pruning; recutPrefixes restores it with recall intact") {
+    val root = Files.createTempDirectory("neardedup-inv").toString
+    val (out, idx) = (s"$root/out", s"$root/idx")
+    def merge(rows: Seq[(Long, String)], e: Long): DataFrame =
+      NearDedupIngest.mergeBatch(docs(rows), "text", "doc_id",
+        out, idx, epoch = e, thr = thr)
+    // B2 is hot from the start (8 carriers); B1 is rare at the
+    // variants' storage time, so rare-first cuts B1 — not B2 — into
+    // the variants' 4th prefix slot (3 unique boundary shingles + 1).
+    val B1 = "w1 w2 w3 w4"; val B2 = "z1 z2 z3 z4"
+    val hotmakers = (0 until 8).map(i =>
+      (100L + i, s"f${i}a f${i}b f${i}c f${i}d $B2"))
+    val variants = (0 until 3).map(i => (200L + i, s"q${i}x $B1 $B2"))
+    merge(hotmakers, 1L).unpersist()
+    merge(variants, 2L).unpersist()
+    val b1Interior = Set("w1 w2 w3", "w2 w3 w4")
+    def variantPrefixShingles: Set[String] =
+      preRows(idx).filter(r => r._2 >= 200L && r._2 < 300L).map(_._1)
+    assert((variantPrefixShingles & b1Interior).nonEmpty,
+      "fixture: B1 must sit in the variants' stored prefixes")
+    // drift: every probe doc carries B1 (4 unique tokens keep B1 out
+    // of the PROBES' own prefixes, so the rot stays variant-bound and
+    // the candidate counts deterministic: 5 probes x 3 variants)
+    val cands = scala.collection.mutable.ArrayBuffer.empty[Long]
+    NearDedupIngest.onCandidates = Some(cands += _)
+    try {
+      var e = 3L
+      for (k <- 0 until 4) {
+        merge((0 until 5).map(j =>
+          (1000L + 100 * k + j,
+           s"u${k}_${j}a u${k}_${j}b u${k}_${j}c u${k}_${j}d $B1")), e)
+          .unpersist()
+        e += 1
+      }
+      assert(cands.toSeq == Seq(15L, 15L, 15L, 15L),
+        s"each drift batch must candidate 5x3 against the stale prefixes: $cands")
+      NearDedupIngest.recutPrefixes(spark, out, idx)
+      // B1's df (3 + 20) now exceeds B2's (11): the 4th slot flips
+      assert((variantPrefixShingles & b1Interior).isEmpty,
+        "re-cut must evict the now-hot B1 from the variants' prefixes")
+      assert(variantPrefixShingles.contains("z1 z2 z3"),
+        "the rarer B2 interior takes the freed slot")
+      cands.clear()
+      merge((0 until 5).map(j =>
+        (2000L + j, s"v${j}a v${j}b v${j}c v${j}d $B1")), 10L).unpersist()
+      assert(cands.toSeq == Seq(0L),
+        s"post-recut drift probes share no prefix shingle: $cands")
+      // recall intact: a TRUE near-dup of variant 200 must still flag
+      val v = merge(Seq((3000L, s"q0x $B1 $B2 extra")), 11L)
+      val got = collectVerdicts(v); v.unpersist()
+      assert(got == Set((3000L, "neardup", Some(200L), Some(0.875))), got)
+    } finally NearDedupIngest.onCandidates = None
+  }
 }
