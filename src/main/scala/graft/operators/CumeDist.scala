@@ -34,10 +34,16 @@ object CumeDist {
   def annotate(df: DataFrame, keys: Seq[String], valueCol: String,
                csCol: String, nrCol: String, partitions: Int): DataFrame = {
     val keyCols = keys.map(col)
-    val grain = df.groupBy(keyCols :+ col(valueCol): _*)
-      .agg(count(lit(1)).as("__cd_cnt"))
+    // Pinned ONCE and shared by PrefixScan and the group-total branch:
+    // `tot` broadcasts, so without the shared pin it re-ran the full
+    // input scan + grain aggregate (the q141 class — see PrefixScan's
+    // inputPinned doc).
+    val grain = Checkpoints.track(
+      df.groupBy(keyCols :+ col(valueCol): _*)
+        .agg(count(lit(1)).as("__cd_cnt"))
+        .localCheckpoint(eager = false))
     val cum = PrefixScan.scan(grain, keys, valueCol, "__cd_cnt",
-      csCol, "sum", partitions)
+      csCol, "sum", partitions, inputPinned = true)
       .select(keys.map(k => col(k).as(s"__cd_k_$k")) ++
         Seq(col(valueCol).as("__cd_v"), col(csCol)): _*)
     val tot = grain.groupBy(keyCols: _*)

@@ -33,11 +33,18 @@ object Ntile {
              tieCols: Seq[String], k: Int, out: String,
              partitions: Int): DataFrame = {
     require(k > 0, s"ntile bucket count must be positive, got $k")
-    val ranked = PrefixScan.scan(df.withColumn("__nt_one", lit(1L)),
-      keys, orderCol, "__nt_one", "__nt_rk", "sum", partitions, tieCols)
+    // Pinned ONCE and shared by the rank pass and the size branch:
+    // `sizes` broadcasts, so without the shared pin it re-ran the
+    // whole input lineage (PrefixScan pins its own copy internally,
+    // but a BroadcastExchange cannot reuse it — the q141 class).
+    val pinned = Checkpoints.track(
+      df.withColumn("__nt_one", lit(1L)).localCheckpoint(eager = false))
+    val ranked = PrefixScan.scan(pinned,
+      keys, orderCol, "__nt_one", "__nt_rk", "sum", partitions, tieCols,
+      inputPinned = true)
     // null-SAFE size match (`<=>`): the ntile window keeps a null-key
     // partition, so a plain using-join would silently drop those rows
-    val sizes = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__nt_nr"))
+    val sizes = pinned.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__nt_nr"))
       .select(keys.map(k => col(k).as(s"__nt_k_$k")) :+ col("__nt_nr"): _*)
     val joined =
       if (keys.isEmpty) ranked.crossJoin(broadcast(sizes))

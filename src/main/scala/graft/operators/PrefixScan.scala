@@ -53,9 +53,18 @@ object PrefixScan {
   // (|key groups| × P ≈ tens to hundreds).
   private val maxCarry = 1 << 12
 
+  /** @param inputPinned the caller has ALREADY localCheckpoint'd (and
+    *   [[Checkpoints]]-tracked) `df`, typically because another branch
+    *   of its plan (a broadcast group-total) reads the same frame —
+    *   skip the internal checkpoint and its early release so both
+    *   branches share ONE materialization instead of the broadcast
+    *   side silently re-running the input lineage (the q141
+    *   duplicated-subplan class: a BroadcastExchange never reuses the
+    *   other side's shuffle subplan). */
   def scan(df: DataFrame, keys: Seq[String], orderCol: String,
            valueCol: String, out: String, op: String,
-           partitions: Int, tieCols: Seq[String] = Nil): DataFrame = {
+           partitions: Int, tieCols: Seq[String] = Nil,
+           inputPinned: Boolean = false): DataFrame = {
     require(op == "sum" || op == "max", s"op must be sum|max, got $op")
     val p = math.max(1, partitions)
     def aggc(c: Column): Column = if (op == "sum") sum(c) else max(c)
@@ -89,7 +98,7 @@ object PrefixScan {
     // canonicalization can never disagree; the limit guard fails
     // loudly rather than building a degenerate map if a caller breaks
     // the low-cardinality-keys contract.
-    val ckpt = df.localCheckpoint(eager = false)
+    val ckpt = if (inputPinned) df else df.localCheckpoint(eager = false)
     val qs = (1 until p).map(_.toDouble / p).toArray
     val bounds = ckpt.stat.approxQuantile(orderCol, qs, 0.001).distinct.sorted
     // Cheap budget pre-check on the input the quantile collect just
@@ -111,8 +120,14 @@ object PrefixScan {
     // stage — the common tiny-cardinality callers skip straight to the
     // exact post-collect guard. Unknown estimates (Catalyst defaults
     // them to huge) keep the pre-check, which is the safe direction.
+    // inputPinned: the caller's frame is a LogicalRDD whose stats
+    // default to huge, which would force the HLL stage on every tiny
+    // pinned grain; the input is also already materialized by the
+    // quantile collect, so the fact-scale work the pre-check exists to
+    // save is mostly spent by the time it could fire. The exact
+    // post-collect guard below stays authoritative for pinned callers.
     val inputBytesEst = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    if (keys.nonEmpty && inputBytesEst > (128L << 20)) {
+    if (!inputPinned && keys.nonEmpty && inputBytesEst > (128L << 20)) {
       val estGroups = ckpt
         .select(approx_count_distinct(struct(keys.map(col): _*)).as("g"))
         .head.getLong(0)
@@ -186,7 +201,9 @@ object PrefixScan {
       .withColumn("__ps_carry", aggc(col("__ps_ptot")).over(wCarry))
       .select(keyStr.as("__ps_k"), col("__ps_carry"))
     val carryRows = carryQ.limit(maxCarry + 1).collect()
-    Iterate.unpersistCheckpoint(ckpt)
+    // a caller-pinned input is released at the caller's quiesce point
+    // (Checkpoints.releaseAll) — other branches still read it
+    if (!inputPinned) Iterate.unpersistCheckpoint(ckpt)
     require(carryRows.length <= maxCarry,
       s"PrefixScan carry frame exceeds the literal-map budget ($maxCarry " +
         "entries): keys are not low-cardinality — use partitions <= 1 or re-key")

@@ -57,13 +57,23 @@ object WeightedQuantile {
     // percentile functions do) — left in, a null-value group would
     // order first and silently inflate every cumulative
     val clean = df.filter(value.isNotNull && weight.isNotNull)
-    val grain = clean.groupBy((g :+ value.as("v")): _*).agg(sum(weight).as("w"))
+    // Pinned ONCE and shared by the totals branch and PrefixScan
+    // (inputPinned): `totals` broadcasts, and a BroadcastExchange
+    // never reuses the other side's shuffle subplan (the q141 class),
+    // so the un-pinned spelling re-ran the full fact scan + grain
+    // aggregate just to build the ≤|groups|-row total table —
+    // measured as a second FileScan+Exchange chain in q160's final
+    // adaptive plan.
+    val grain = Checkpoints.track(
+      clean.groupBy((g :+ value.as("v")): _*).agg(sum(weight).as("w"))
+        .localCheckpoint(eager = false))
     // null-SAFE totals match (`<=>`, mirroring Ntile.closed): groupBy
     // keeps a null-keyed group and PrefixScan scans it, so a plain
     // using-join here would silently drop those groups from the output
     val totals = grain.groupBy(g: _*).agg(sum(col("w")).as("totw"))
       .select(groupCols.map(k => col(k).as(s"__wq_k_$k")) :+ col("totw"): _*)
-    val scanned = PrefixScan.scan(grain, groupCols, "v", "w", "cumw", "sum", partitions)
+    val scanned = PrefixScan.scan(grain, groupCols, "v", "w", "cumw", "sum",
+      partitions, inputPinned = true)
     val joined =
       if (groupCols.isEmpty) scanned.crossJoin(broadcast(totals))
       else scanned.join(broadcast(totals),

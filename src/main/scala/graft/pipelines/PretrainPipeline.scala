@@ -110,7 +110,19 @@ object PretrainPipeline {
     val exRanked = s2.withColumn("rn", row_number().over(
       Window.partitionBy(TF.fingerprint($"text")).orderBy($"doc_id")))
     val exactDrop = exRanked.filter($"rn" > 1).select($"doc_id")
-    val s3 = pin(exRanked.filter($"rn" === 1).select($"doc_id", $"text"))
+    val s3 = exRanked.filter($"rn" === 1).select($"doc_id", $"text")
+
+    // The pin sits on the SHINGLED survivor frame, not the text frame
+    // (round-16 optimization): PPJoin consumes its input three times
+    // (explode for df/prefix, the hashed-verify sides) and the
+    // decontamination stage explodes the same 5-gram sets again — with
+    // the text pinned, every consumer re-ran tokenize + 5-gram concat
+    // + array_distinct over the full survivor corpus; with the shingle
+    // arrays pinned, that pass runs ONCE and all consumers read the
+    // materialized arrays. s3's text itself now has a single consumer
+    // (this shingle pass), so it no longer needs its own checkpoint.
+    val s3sh = pin(s3.select($"doc_id",
+      array_distinct(TF.shingles($"text", 5)).as("sh")))
 
     // pinned: a tiny id frame whose lineage is the whole PPJoin — it
     // is consumed twice (survivor anti-join + manifest flag join)
@@ -118,23 +130,25 @@ object PretrainPipeline {
     // identical shingle-sets are already gone and PPJoin's duplicate
     // collapse would be pure overhead (measured ~30% at 30×)
     val nearDrop = pin(graft.operators.PPJoin.similarPairs(
-        s3.select($"doc_id", array_distinct(TF.shingles($"text", 5)).as("sh")),
-        "doc_id", "sh", jaccardThr, collapse = false)
+        s3sh, "doc_id", "sh", jaccardThr, collapse = false)
       .select($"doc_b".as("doc_id")).distinct())
-    val s4 = s3.join(nearDrop, Seq("doc_id"), "left_anti")
+    // near-dup survivors WITH their already-materialized shingle sets
+    // — the decontamination probe below reads `sh` instead of
+    // re-shingling the text
+    val s4sh = s3sh.join(nearDrop, Seq("doc_id"), "left_anti")
 
     // Eval reference: the distinct 5-gram set of the held-out docs
     // (1/evalMod of the corpus — broadcast-sized by construction).
     val evalGrams = flagged.filter($"is_eval")
       .select(explode(array_distinct(TF.shingles($"text", 5))).as("g"))
       .distinct()
-    val contamDrop = pin(s4
-      .select($"doc_id", explode(array_distinct(TF.shingles($"text", 5))).as("g"))
+    val contamDrop = pin(s4sh
+      .select($"doc_id", explode($"sh").as("g"))
       .join(broadcast(evalGrams), Seq("g"))
       .groupBy($"doc_id").agg(count(lit(1)).as("n_shared"))
       .filter($"n_shared" >= contamMinShared)
       .select($"doc_id"))
-    val s5 = s4.join(contamDrop, Seq("doc_id"), "left_anti")
+    val s5 = s4sh.select($"doc_id").join(contamDrop, Seq("doc_id"), "left_anti")
 
     // --- split + pack (q43 + q77 semantics) --------------------------
     // The packing cumsum runs through PrefixScan's two-level
@@ -151,7 +165,10 @@ object PretrainPipeline {
       .select($"doc_id", $"lang", $"source", $"split", $"ws".as("ntok")))
     val curated = graft.operators.PrefixScan.scan(
         curatedBase, keys = Seq("split"), orderCol = "doc_id",
-        valueCol = "ntok", out = "cum", op = "sum", partitions = 32)
+        valueCol = "ntok", out = "cum", op = "sum", partitions = 32,
+        // curatedBase is pin()'d above — share that materialization
+        // instead of PrefixScan stamping a second copy
+        inputPinned = materialize)
       .select($"doc_id", $"lang", $"source", $"split", $"ntok",
         (($"cum" - $"ntok") / seqLen).cast("long").as("start_block"),
         (($"cum" - 1) / seqLen).cast("long").as("end_block"))

@@ -613,11 +613,18 @@ object Catalog {
         // volume. Candidate pairs dedupe BEFORE the cosine, so each
         // surviving pair pays one DotProduct however many tables it
         // collides in.
-        val e = t(s, dir, "embeddings")
-          .filter(VF.usableVec($"embedding")) // zero-norm/empty: no geometry (ANSI /0)
-          .select($"vec_id", VF.asDouble($"embedding").as("v"))
-          .withColumn("bucket",
-            explode(VF.hyperplaneBuckets($"v", bits = 6, tables = 16)))
+        // pinned: the q side and the candidate side both read this
+        // frame, and un-pinned each re-evaluated the 96-hyperplane
+        // bucketing expression (16 tables × 6 bits of dot products —
+        // the final plan carried the Generate twice, q141's class)
+        val e = graft.operators.Checkpoints.track(
+          t(s, dir, "embeddings")
+            .filter(VF.usableVec($"embedding")) // zero-norm/empty: no geometry (ANSI /0)
+            .select($"vec_id", VF.asDouble($"embedding").as("v"))
+            .withColumn("bucket",
+              explode(VF.hyperplaneBuckets($"v", bits = 6, tables = 16)))
+            .select($"vec_id", $"bucket")
+            .localCheckpoint(eager = false))
         val q = e.filter($"vec_id" < 10)
           .select($"vec_id".as("qid"), $"bucket")
         val cands = e.select($"vec_id".as("nid"), $"bucket")
@@ -966,6 +973,11 @@ object Catalog {
         val annotated = graft.operators.DupCollapse.withRep(
           docs, "doc_id", xxhash64(array_sort($"sh")))
         val d = graft.operators.DupCollapse.reps(annotated, "doc_id")
+        // NOT pinned despite the band self-join reading both sides:
+        // the band-keyed exchange under both sides is identical, so
+        // the runtime plan computes the signature pass once and
+        // ReusedExchange serves the second side — a localCheckpoint
+        // here measured 1.02× (alternating A/B, min-of-3 at sf0.1).
         val sig = d.select($"doc_id",
           TF.minhashSignature($"sh", lsh.signatureLength).as("sig"))
         val bands = sig.select($"doc_id",
@@ -1518,7 +1530,14 @@ object Catalog {
       (s, dir) => {
         import s.implicits._
         val docs = t(s, dir, "documents")
-        val nDocs = docs.count().toDouble // tiny table; plan constant
+        // corpus size folded into the plan as a broadcast one-row
+        // aggregate instead of an eager driver count() — one fewer
+        // full job per execution, same value enters the IDF arithmetic
+        val nDocs = docs.agg(count(lit(1)).cast("double").as("__nd"))
+        // tf stays UN-pinned even though the df rollup broadcasts and
+        // re-runs the tokenize chain: a localCheckpoint here measured
+        // net-neutral-to-worse at sf0.1 (the blocking materialization
+        // of the (doc, tok) grain ≈ the second tokenize pass).
         val toks = docs
           .select($"doc_id", explode(split(trim($"text"), "\\s+")).as("tok"))
         val tf = toks.groupBy($"doc_id", $"tok").agg(count(lit(1)).as("tf"))
@@ -1527,8 +1546,9 @@ object Catalog {
         // distinct-expansion aggregate
         val df = tf.groupBy($"tok").agg(count(lit(1)).as("df"))
         val scored = tf.join(broadcast(df), "tok")
+          .crossJoin(broadcast(nDocs))
           .select($"doc_id", $"tok",
-            round($"tf" * log(lit(nDocs) / $"df"), 4).as("tfidf"))
+            round($"tf" * log($"__nd" / $"df"), 4).as("tfidf"))
         val w = Window.partitionBy($"doc_id").orderBy($"tfidf".desc, $"tok")
         scored.withColumn("rnk", row_number().over(w).cast("long"))
           .filter($"rnk" <= 3)
@@ -2884,7 +2904,16 @@ object Catalog {
           .select($"doc_id", explode(expr(
             "transform(sequence(0, size(ts) - 2), i -> struct(ts[i] AS w1, ts[i+1] AS w2))")).as("b"))
           .select($"doc_id", $"b.w1".as("w1"), $"b.w2".as("w2"))
-        val cnt = bg.groupBy($"w1", $"w2").agg(count(lit(1)).as("c12"))
+        // cnt is consumed twice and BOTH consumers broadcast (the
+        // bigram probe and the unigram rollup) — a BroadcastExchange
+        // never reuses the other side's shuffle subplan (q141's
+        // class), so un-pinned the tokenize + bigram explode + count
+        // chain executed three times. Pinned, the explode pass runs
+        // twice (cnt build + the probe side) and the unigram rollup
+        // reads the bigram-grain checkpoint.
+        val cnt = graft.operators.Checkpoints.track(
+          bg.groupBy($"w1", $"w2").agg(count(lit(1)).as("c12"))
+            .localCheckpoint(eager = false))
         val uni = cnt.groupBy($"w1").agg(sum($"c12").as("c1"))
         bg.join(broadcast(cnt), Seq("w1", "w2"))
           .join(broadcast(uni), Seq("w1"))
@@ -3254,6 +3283,10 @@ object Catalog {
                 $"l_suppkey" === $"s_suppkey")
           .groupBy($"c_nationkey".as("un"), $"s_nationkey".as("vn"))
           .agg(count(lit(1)).as("w"))
+        // NOT pinned despite the out-degree/contribution double
+        // consumption: the runtime plan already reuses the fact-join
+        // exchanges (3 ReusedExchange nodes), and a localCheckpoint
+        // here measured +6% (alternating A/B, min-of-3 at sf0.1).
         val nodes = t(s, dir, "nation").select($"n_nationkey", $"n_name")
         val nN = nodes.agg(count(lit(1)).cast("double").as("nn"))
         val outd = edges.groupBy($"un").agg(sum($"w").as("wout"))
@@ -5451,6 +5484,12 @@ object Catalog {
       "q147_label_prop",
       (s, dir) => {
         import s.implicits._
+        // NOT pinned despite the symmetrize union consuming this
+        // subplan twice: measured +22% WITH a localCheckpoint here
+        // (alternating A/B, min-of-3 at sf0.1) — the blocking
+        // materialization of the distinct edge set costs more than the
+        // second straight-line execution, matching the operator's own
+        // single-round no-checkpoint posture.
         val edges = t(s, dir, "lineitem").select($"l_orderkey", $"l_suppkey")
           .join(t(s, dir, "orders").select($"o_orderkey", $"o_custkey"),
                 $"l_orderkey" === $"o_orderkey")
@@ -5494,13 +5533,25 @@ object Catalog {
       (s, dir) => {
         import s.implicits._
         val docs = t(s, dir, "documents").select($"doc_id", $"lang", $"text")
-        val tr = docs.filter($"doc_id" % 5 =!= 0)
-          .select($"doc_id", $"lang", explode(TF.tokens($"text")).as("tok"))
+        // the train-token frame feeds FOUR consumers (per-(lang, tok)
+        // counts, per-lang totals, the vocabulary, the priors) — each
+        // re-ran the scan + tokenize + explode un-pinned, because the
+        // consumers broadcast or take different aggregation keys (no
+        // reusable exchange)
+        val tr = graft.operators.Checkpoints.track(
+          docs.filter($"doc_id" % 5 =!= 0)
+            .select($"doc_id", $"lang", explode(TF.tokens($"text")).as("tok"))
+            .localCheckpoint(eager = false))
         val cnt = tr.groupBy($"lang", $"tok").agg(count(lit(1)).as("n"))
         val tot = tr.groupBy($"lang").agg(count(lit(1)).as("t"))
         val vocab = tr.select($"tok").distinct()
-        val vocabSize = vocab.count()
-        val nTrain = docs.filter($"doc_id" % 5 =!= 0).count()
+        // vocabulary size and train-doc count folded into the plan as
+        // broadcast one-row aggregates instead of eager driver
+        // count()s — two fewer full jobs per execution, identical
+        // values enter the smoothing/prior arithmetic
+        val vocabN = vocab.agg(count(lit(1)).as("__v"))
+        val nTrainA = docs.filter($"doc_id" % 5 =!= 0)
+          .agg(count(lit(1)).cast("double").as("__ntd"))
         val priors = tr.select($"lang", $"doc_id").distinct()
           .groupBy($"lang").agg(count(lit(1)).as("nd"))
         val te = docs.filter($"doc_id" % 5 === 0)
@@ -5508,13 +5559,15 @@ object Catalog {
           .groupBy($"doc_id", $"true_lang", $"tok").agg(count(lit(1)).as("c"))
           .join(vocab, "tok") // in-vocab only
         val term = $"c" * log((coalesce($"n", lit(0L)) + 1L).cast("double") /
-                              ($"t" + lit(vocabSize)).cast("double"))
+                              ($"t" + $"__v").cast("double"))
         val sc = te.crossJoin(broadcast(tot.select($"lang", $"t")))
+          .crossJoin(broadcast(vocabN))
           .join(cnt, Seq("lang", "tok"), "left")
           .groupBy($"doc_id", $"true_lang", $"lang")
           .agg(sum(term).as("s"))
         val ll = sc.join(broadcast(priors), "lang")
-          .withColumn("llh", log($"nd".cast("double") / lit(nTrain.toDouble)) + $"s")
+          .crossJoin(broadcast(nTrainA))
+          .withColumn("llh", log($"nd".cast("double") / $"__ntd") + $"s")
         val w = Window.partitionBy($"doc_id").orderBy($"llh".desc, $"lang")
         ll.withColumn("rk", row_number().over(w)).filter($"rk" === 1)
           .select($"doc_id", $"true_lang", $"lang".as("pred_lang"),
@@ -5578,8 +5631,15 @@ object Catalog {
         // twin (streaming.WinnowIngest) provably computes the same
         // span-overlap contract — k=5 grams, w=4 windows, df<=20 hot-
         // gram guard, >=3 shared selected fingerprints.
-        val sel = graft.operators.Winnow.selectFingerprints(
-          t(s, dir, "documents"), "text", "doc_id", k = 5, w = 4)
+        // pinned: overlapPairs consumes the selection for the df
+        // guard, both pair sides, and the two sel_n rollups —
+        // un-pinned, the posexplode + md5 + per-doc window selection
+        // chain re-ran for the consumers the runtime could not serve
+        // from an identical exchange
+        val sel = graft.operators.Checkpoints.track(
+          graft.operators.Winnow.selectFingerprints(
+            t(s, dir, "documents"), "text", "doc_id", k = 5, w = 4)
+          .localCheckpoint(eager = false))
         graft.operators.Winnow.overlapPairs(sel, "doc_id", minShared = 3L,
             maxDf = Some(20L))
           .orderBy($"doc_a", $"doc_b")
@@ -5961,7 +6021,14 @@ object Catalog {
       (s, dir) => {
         import s.implicits._
         val W = graft.operators.Winnow
-        val selP = W.selectedPositions(t(s, dir, "documents"), "text", "doc_id")
+        // pinned: selP feeds the pair machinery (via sel), the df
+        // guard, AND both position-attach sides — un-pinned, the
+        // posexplode + md5 + per-doc window selection chain re-ran for
+        // each consumer the runtime could not serve from an identical
+        // exchange
+        val selP = graft.operators.Checkpoints.track(
+          W.selectedPositions(t(s, dir, "documents"), "text", "doc_id")
+            .localCheckpoint(eager = false))
         val sel = selP.select($"doc_id", $"h").distinct()
         val ok = sel.groupBy($"h").agg(count(lit(1)).as("df"))
           .filter($"df" <= 20).select($"h")
