@@ -46,9 +46,8 @@ object ConnectedComponents {
 
     val Array(srcName, dstName) = edges.columns.take(2)
     // Symmetrize once: propagation then only needs one join direction.
-    val sym = edges
-      .select(col(srcName).as("src"), col(dstName).as("dst"))
-      .union(edges.select(col(dstName).as("src"), col(srcName).as("dst")))
+    val sym = Symmetrize(edges
+        .select(col(srcName).as("src"), col(dstName).as("dst")))
       .filter($"src" =!= $"dst")
       .distinct()
       .localCheckpoint()

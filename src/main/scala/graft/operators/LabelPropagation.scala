@@ -58,9 +58,8 @@ object LabelPropagation {
     // sf0.1).
     val multiRound = maxRounds > 1
     def cp(df: DataFrame): DataFrame = if (multiRound) df.localCheckpoint() else df
-    val sym = cp(edges
-      .select(col(srcName).as("src"), col(dstName).as("dst"))
-      .union(edges.select(col(dstName).as("src"), col(srcName).as("dst")))
+    val sym = cp(Symmetrize(edges
+        .select(col(srcName).as("src"), col(dstName).as("dst")))
       .filter($"src" =!= $"dst")
       .distinct())
 

