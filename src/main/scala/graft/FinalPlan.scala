@@ -40,15 +40,21 @@ object FinalPlan {
           // the listener fires asynchronously on the listener bus;
           // wait until the queue stops growing (3 consecutive stable
           // 200 ms checks) so a late-arriving execution cannot be
-          // mis-attributed to the NEXT query's section
+          // mis-attributed to the NEXT query's section. Bounded: if
+          // the bus drops the event (or a query shape fires none),
+          // give up after ~6 s instead of spinning forever.
           var stable = 0
           var last = -1
-          while (stable < 3) {
+          var waits = 0
+          while (stable < 3 && waits < 30) {
             Thread.sleep(200)
+            waits += 1
             val n = plans.size
             if (n == last && n > 0) stable += 1 else stable = 0
             last = n
           }
+          if (plans.isEmpty)
+            println(s"[finalplan] ${q.name}: no executions captured (listener event lost?)")
           println(f"[finalplan] ${q.name} $sec%.3f s, ${plans.size} executions")
           plans.forEach(p => println(p))
           plans.clear()

@@ -49,6 +49,31 @@ object Checkpoints {
     df
   }
 
+  /** Size-guarded pin (round-17 scale-posture guard): lazy
+    * localCheckpoint + [[track]] ONLY when the optimizer's estimated
+    * size of `df` fits the pin budget; above it, return `df`
+    * unchanged — the recompute posture. A localCheckpoint
+    * materializes the frame in executor memory+disk AND truncates
+    * lineage (executor loss loses the only copy), which is the right
+    * trade for grain-level frames whose lineage holds shuffles or
+    * windows, and the wrong one for fact-scale frames at 100 TB —
+    * there the pin IS the memory problem, and re-running a map-only
+    * slice is cheaper than holding it (the PqAnn rejection rule).
+    * Budget: `SPARK_GRAFT_PIN_BUDGET_MB`, default 4096 — far above
+    * every sf0.1 frame (local behavior unchanged) and far below
+    * fact scale on a production cluster. Unknown estimates (Catalyst
+    * defaults them to huge, e.g. over a LogicalRDD) do NOT pin,
+    * which is the safe direction. Posture notes: docs/SCALE.md.
+    */
+  def pinIfSmall(df: DataFrame): DataFrame = {
+    val budget = BigInt(sys.env.getOrElse("SPARK_GRAFT_PIN_BUDGET_MB", "4096").toLong) << 20
+    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val pin = est <= budget
+    if (sys.env.contains("SPARK_GRAFT_PIN_DEBUG"))
+      System.err.println(s"[pinIfSmall] est=$est budget=$budget pin=$pin")
+    if (pin) track(df.localCheckpoint(eager = false)) else df
+  }
+
   private def drain(q: ConcurrentLinkedQueue[DataFrame]): Unit = {
     var df = q.poll()
     while (df != null) { Iterate.unpersistCheckpoint(df); df = q.poll() }

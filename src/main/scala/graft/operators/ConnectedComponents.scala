@@ -46,10 +46,10 @@ object ConnectedComponents {
 
     val Array(srcName, dstName) = edges.columns.take(2)
     // Symmetrize once: propagation then only needs one join direction.
-    val sym = Symmetrize(edges
+    // undirected(): dedup on the canonical orientation before the 2×
+    // explode (round-17 respelling, row-set identical).
+    val sym = Symmetrize.undirected(edges
         .select(col(srcName).as("src"), col(dstName).as("dst")))
-      .filter($"src" =!= $"dst")
-      .distinct()
       .localCheckpoint()
 
     var labels = sym.select($"src".as("node")).distinct()

@@ -49,20 +49,33 @@ object IncrementalDedup {
     val fpH = history.select(TF.fingerprint(col("text")).as("fp"), col("doc_id"))
       .groupBy(col("fp")).agg(min(col("doc_id")).as("hid"))
     val fpB = batch.select(col("doc_id"), TF.fingerprint(col("text")).as("fp"))
-    val exact = fpB.join(fpH, "fp")
-      .select(col("doc_id"), col("hid").as("exact_id"))
+    // pinned (size-guarded): consumed by the residue anti-join AND the
+    // final verdict join, and its lineage holds the history
+    // fingerprint groupBy shuffle — the class where a checkpoint pays
+    val exact = Checkpoints.pinIfSmall(fpB.join(fpH, "fp")
+      .select(col("doc_id"), col("hid").as("exact_id")))
 
     // ---- near-dup tier on the non-exact residue -----------------------
+    // HASH-ELEMENT FORM (round 17, PPJoin's discipline, guide §2.3):
+    // each side's tokenize + shingle + hash + sort runs ONCE into a
+    // size-guarded pin — the explode side and the verify side used to
+    // re-run the whole chain per consumer (the final plan scanned
+    // documents 11×) — and every downstream exchange keys on an
+    // 8-byte long instead of a ~25-byte shingle string. The prefix
+    // order becomes (df, hash) — another consistent global order, so
+    // recall is exactly preserved — and the verify arrays are
+    // byte-identical to the old hashed() output.
     val residue = batch.join(exact, Seq("doc_id"), "left_anti")
-    val shB = residue.select(col("doc_id"),
-      array_distinct(TF.shingles(col("text"), ngram)).as("sh"))
-    val shH = history.select(col("doc_id"),
-      array_distinct(TF.shingles(col("text"), ngram)).as("sh"))
+    def hashedShingles(df: DataFrame) = Checkpoints.pinIfSmall(
+      df.select(col("doc_id"), array_sort(transform(
+        array_distinct(TF.shingles(col("text"), ngram)), x => xxhash64(x))).as("hh")))
+    val hhB = hashedShingles(residue)
+    val hhH = hashedShingles(history)
 
-    def exploded(sh: DataFrame) = sh.select(
-      col("doc_id"), size(col("sh")).as("n"), explode(col("sh")).as("shingle"))
-    val exB = exploded(shB)
-    val exH = exploded(shH)
+    def exploded(h: DataFrame) = h.select(
+      col("doc_id"), size(col("hh")).as("n"), explode(col("hh")).as("shingle"))
+    val exB = exploded(hhB)
+    val exH = exploded(hhH)
     // One consistent rarity order for both sides: df over the union.
     // Deliberately NOT checkpointed: measured at sf0.1, letting AQE
     // reuse/recompute the two identical dfreq subtrees (3.1 s) beats
@@ -87,11 +100,9 @@ object IncrementalDedup {
       .select(col("a.doc_id").as("doc_id"), col("b.doc_id").as("hid"))
       .dropDuplicates("doc_id", "hid")
 
-    val hashed = (sh: DataFrame) => sh.select(col("doc_id"),
-      array_sort(transform(col("sh"), x => xxhash64(x))).as("hh"))
     val verified = cand
-      .join(hashed(shB).select(col("doc_id"), col("hh").as("ha")), "doc_id")
-      .join(hashed(shH).select(col("doc_id").as("hid"), col("hh").as("hb")), "hid")
+      .join(hhB.select(col("doc_id"), col("hh").as("ha")), "doc_id")
+      .join(hhH.select(col("doc_id").as("hid"), col("hh").as("hb")), "hid")
       .withColumn("j", JaccardSortedLongs(col("ha"), col("hb")))
       .filter(col("j") >= thr)
     val wBest = Window.partitionBy(col("doc_id")).orderBy(col("j").desc, col("hid"))

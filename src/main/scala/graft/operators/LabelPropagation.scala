@@ -58,10 +58,11 @@ object LabelPropagation {
     // sf0.1).
     val multiRound = maxRounds > 1
     def cp(df: DataFrame): DataFrame = if (multiRound) df.localCheckpoint() else df
-    val sym = cp(Symmetrize(edges
-        .select(col(srcName).as("src"), col(dstName).as("dst")))
-      .filter($"src" =!= $"dst")
-      .distinct())
+    // undirected(): the dedup exchange runs on the canonical
+    // orientation BEFORE the 2× explode (half the distinct's shuffle
+    // rows; round-17 respelling, row-set identical)
+    val sym = cp(Symmetrize.undirected(edges
+      .select(col(srcName).as("src"), col(dstName).as("dst"))))
 
     var labeled = cp(seeds
       .select(col(nodeName).as("node"), col(labelName).as("lbl"))

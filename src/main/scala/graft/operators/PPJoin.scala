@@ -54,27 +54,46 @@ object PPJoin {
   def similarPairs(docs: DataFrame, idCol: String, shCol: String,
                    thr: Double, collapse: Boolean = true): DataFrame = {
     require(thr > 0 && thr <= 1, s"threshold must be in (0, 1], got $thr")
-    val base = docs.select(col(idCol).as("doc_id"), col(shCol).as("sh"))
-    if (!collapse) return similarPairsDistinct(base, thr)
-    // Content fingerprint: xxhash64 of the SORTED shingle array
-    // (canonical element order). An empty set never pairs — same
+    // HASH-ELEMENT FORM (round 17, guide §2.3 — shuffle keys, not
+    // payloads): every stage downstream of this projection consumes
+    // shingles only as (a) equi-join/groupBy keys, (b) a per-doc size,
+    // and (c) the sorted arrays the verify merges — none needs the
+    // STRINGS. Hashing once here makes every exchange key an 8-byte
+    // long instead of a ~25-byte string, the verify arrays 8 B/elem,
+    // and removes the two hash+sort passes the verify sides used to
+    // re-run (the hh arrays below are byte-identical to the old
+    // docsH). Candidates can differ (the prefix order becomes
+    // (df, hash), another consistent total order — PPJoin is exact
+    // under any), but the verified output is unchanged: xxhash64
+    // collisions were already the accepted ~n²/2⁶⁴ class of the old
+    // verify and fingerprint.
+    val base = docs.select(col(idCol).as("doc_id"),
+      array_sort(transform(col(shCol), x => xxhash64(x))).as("hh"))
+    if (!collapse)
+      // no DupCollapse pin on this path — share one materialization of
+      // the hash+sort across the explode and both verify sides
+      // (size-guarded: fact-scale inputs recompute, docs/SCALE.md)
+      return similarPairsDistinct(Checkpoints.pinIfSmall(base), thr)
+    // Content fingerprint: xxhash64 of the sorted hash array —
+    // identical grouping to the old sorted-string fingerprint modulo
+    // the accepted collision class. An empty set never pairs — same
     // contract as the all-pairs oracle, where an empty union makes
     // jaccard undefined.
-    val annotated = DupCollapse.withRep(base, "doc_id",
-      xxhash64(array_sort(col("sh"))))
+    val annotated = DupCollapse.withRep(base, "doc_id", xxhash64(col("hh")))
     val repPairs = similarPairsDistinct(
       DupCollapse.reps(annotated, "doc_id"), thr)
     DupCollapse.expandCross(repPairs, annotated, "doc_id")
       .unionByName(DupCollapse.withinPairs(annotated, "doc_id",
-        size(col("sh")) > 0, Seq("jaccard" -> lit(1.0))))
+        size(col("hh")) > 0, Seq("jaccard" -> lit(1.0))))
   }
 
-  /** The pair machinery proper, over a frame of (doc_id, sh) whose
-    * shingle-sets are assumed DISTINCT across rows (duplicates are
+  /** The pair machinery proper, over a frame of (doc_id, hh) where
+    * hh is the SORTED xxhash64 array of a doc's distinct shingles,
+    * and the hh-sets are assumed distinct across rows (duplicates are
     * handled — and far cheaper — by [[similarPairs]]'s collapse). */
   private def similarPairsDistinct(d: DataFrame, thr: Double): DataFrame = {
-    val ex = d.select(col("doc_id"), size(col("sh")).as("n"),
-      explode(col("sh")).as("shingle"))
+    val ex = d.select(col("doc_id"), size(col("hh")).as("n"),
+      explode(col("hh")).as("shingle"))
     val dfreq = ex.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
     // Prefix: the (n - ceil(n*t) + 1) globally-rarest shingles of each
     // doc. Two docs with J >= t MUST share a prefix shingle.
@@ -100,13 +119,12 @@ object PPJoin {
           (col("a.n") + col("b.n")) * thr - 1e-9)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
-    // Verify over sorted xxhash64'd shingles: 8-byte elements through
-    // the join and a single merge pass per pair (collision probability
-    // |shingles|²/2⁶⁵ — far below the 1e-4 rounding callers report).
-    val docsH = d.select(col("doc_id"),
-      array_sort(transform(col("sh"), x => xxhash64(x))).as("hh"))
-    val sa = docsH.select(col("doc_id").as("doc_a"), col("hh").as("sha"))
-    val sb = docsH.select(col("doc_id").as("doc_b"), col("hh").as("shb"))
+    // Verify over the sorted hash arrays the input already carries:
+    // 8-byte elements through the join and a single merge pass per
+    // pair (collision probability |shingles|²/2⁶⁵ — far below the
+    // 1e-4 rounding callers report).
+    val sa = d.select(col("doc_id").as("doc_a"), col("hh").as("sha"))
+    val sb = d.select(col("doc_id").as("doc_b"), col("hh").as("shb"))
     cand.join(sa, "doc_a").join(sb, "doc_b")
       .withColumn("jaccard",
         graft.functions.JaccardSortedLongs(col("sha"), col("shb")))

@@ -19,10 +19,9 @@ import graft.functions.{VectorFunctions => VF}
   * only.
   *
   * Everything is deterministic and distributed:
-  *   - codebooks train per subspace with Lloyd iterations expressed
-  *     as join+groupBy (same machinery as q71's k-means step);
-  *     initial codewords are the subvectors of the `k` corpus rows
-  *     with the lowest xxhash64(vec_id) — a seedless stable sample;
+  *   - codebooks train per subspace with Lloyd iterations; initial
+  *     codewords are the subvectors of the `k` corpus rows with the
+  *     lowest xxhash64(vec_id) — a seedless stable sample;
   *   - codeword components round to 6 dp so partial-sum order cannot
   *     leak into assignments (q31's contract);
   *   - the asymmetric-distance (ADC) scan is a relational join of
@@ -32,59 +31,148 @@ import graft.functions.{VectorFunctions => VF}
   *     packed code arrays; the join spelling keeps the plan
   *     shuffle-explicit and AQE-plannable here.
   *
+  * CODEBOOK-AS-LITERAL (round 17, guide §2.3/§2.4): a codebook is
+  * m·k tiny rows (128 at the q139 shape) but the old spelling kept
+  * it a DataFrame, so every Lloyd assignment was a broadcast join +
+  * a fact-grain groupBy(vec_id, sub) min_by — one full n·m-row
+  * exchange per iteration plus one more for the encode pass, and a
+  * per-iteration localCheckpoint to stop lineage re-execution. The
+  * codebook now lives on the driver (the PrefixScan carry-literal
+  * pattern: bounded grain-level state, NOT fact data) and assignment
+  * is a pure map-side argmin expression over a literal
+  * sub → array<(code, cv)> map — zero exchanges, no checkpoint, no
+  * broadcast. Per iteration the only shuffle left is the tiny
+  * partial-aggregated (sub, code, pos) mean (≤ m·k·subDim groups),
+  * collected at that grain to become the next literal. The argmin
+  * fold visits candidates in ascending code order with a strict
+  * `<`, which is exactly min_by(struct(d2, code)); d2 is the same
+  * codegen'd [[VF.l2sq]], so assignments are bit-identical to the
+  * join spelling and the trained codebooks are unchanged.
+  *
   * Recall is spec-asserted against the exact ranking (PqAnnSpec);
   * shortlist → exact rescore recovers most of the quantization loss
   * exactly as q102's int8 path does.
   */
 object PqAnn {
 
+  /** Driver-side codebook row: (sub, code, codeword). Bounded at
+    * m·k entries (tens to hundreds) — grain-level state like
+    * PrefixScan's carry map, never fact-scale. */
+  private type Codebook = Seq[(Int, Int, Array[Double])]
+
+  private val cbMapType = "map<int,array<struct<code:int,cv:array<double>>>>"
+  private val accType = "struct<d2:double,code:int>"
+
+  /** Literal map sub → array<struct<code, cv>>, candidates sorted by
+    * code so the argmin fold's strict `<` keeps the lowest code on
+    * ties (= min_by(struct(d2, code))). ConstantFolding collapses the
+    * whole tree to one MapType literal. Empty codebook (empty corpus)
+    * → a typed null map, so analysis succeeds and element_at yields
+    * null over the zero rows such a corpus produces. */
+  private def cbMapLit(cb: Codebook): Column =
+    if (cb.isEmpty) lit(null).cast(cbMapType)
+    else map(cb.groupBy(_._1).toSeq.sortBy(_._1).flatMap { case (sub, rows) =>
+      Seq(lit(sub), array(rows.sortBy(_._2).map { case (_, code, cv) =>
+        struct(lit(code).as("code"), array(cv.map(lit(_)): _*).as("cv"))
+      }: _*))
+    }: _*).cast(cbMapType)
+
+  /** Map-side argmin over the candidate codewords of one subspace:
+    * fold in ascending code order, strict `<` on the same codegen'd
+    * squared L2 the join spelling used — bit-identical to
+    * min_by(struct(code, sv), struct(d2, code)). NaN never reaches
+    * here (usableVec excludes NaN vectors: NaN dot-products fail its
+    * `> 0`). */
+  private def bestCode(cands: Column, sv: Column): Column =
+    aggregate(cands,
+      // cast pins the field NAMES and nullability on both casewhen
+      // branches (an alias inside the lambda does not survive
+      // analysis: the uncast struct resolves as col1/col2)
+      struct(lit(Double.MaxValue).as("d2"), lit(-1).as("code")).cast(accType),
+      (acc, c) => {
+        val d2 = VF.l2sq(sv, c.getField("cv"))
+        when(d2 < acc.getField("d2"),
+             struct(d2, c.getField("code")).cast(accType))
+          .otherwise(acc)
+      }).getField("code")
+
+  /** Seedless stable init: the k corpus rows with the lowest
+    * (xxhash64(vec_id), vec_id), code = rank − 1 — identical to the
+    * old per-sub window ranking, because the hash is a function of
+    * vec_id alone, so every subspace ranks the same k rows in the
+    * same order. Spelled as a global top-k (TakeOrderedAndProject)
+    * instead of a window over the full exploded frame. Rounding (and
+    * the subvector slicing) stays IN Spark so driver arithmetic can
+    * never disagree with plan arithmetic. */
+  private def initCodebook(e: DataFrame, m: Int, subDim: Int, k: Int): Codebook = {
+    val seedIds = e.select(col("vec_id"))
+      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .limit(k).collect().map(_.get(0))
+    if (seedIds.isEmpty) return Seq.empty
+    val codeOf = map(seedIds.toSeq.zipWithIndex.flatMap {
+      case (id, i) => Seq(lit(id), lit(i)) }: _*)
+    explodeSubvectors(e.filter(col("vec_id").isin(seedIds.toSeq: _*)), m, subDim)
+      .select(col("sub"), element_at(codeOf, col("vec_id")).as("code"),
+              expr("transform(sv, x -> round(x, 6))").as("cv"))
+      .collect().toSeq
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+  }
+
+  /** One Lloyd update: map-side argmin assignment, then the
+    * (sub, code, pos) componentwise mean — partial aggregation folds
+    * the fact grain map-side, so the one exchange moves ≤ m·k·subDim
+    * grain rows. Codes that attract no members drop out, exactly as
+    * the old groupBy did. */
+  private def lloydStep(subs: DataFrame, cb: Codebook): Codebook = {
+    val cands = element_at(cbMapLit(cb), col("sub"))
+    subs
+      .select(col("sub"), bestCode(cands, col("sv")).as("code"),
+              posexplode(col("sv")).as(Seq("pos", "x")))
+      .groupBy(col("sub"), col("code"), col("pos"))
+      .agg(round(avg(col("x")), 6).as("cx"))
+      .collect().toSeq
+      .groupBy(r => (r.getInt(0), r.getInt(1))).toSeq
+      .map { case ((sub, code), rows) =>
+        (sub, code, rows.sortBy(_.getInt(2)).map(_.getDouble(3)).toArray)
+      }
+  }
+
+  private def trainArray(e: DataFrame, m: Int, subDim: Int, k: Int,
+                         iters: Int): Codebook = {
+    val subs = explodeSubvectors(e, m, subDim)
+    var cb = initCodebook(e, m, subDim, k)
+    var it = 0
+    while (it < iters && cb.nonEmpty) { cb = lloydStep(subs, cb); it += 1 }
+    cb
+  }
+
   /** Per-subspace codebooks: (sub, code, cv: array<double>).
     *
     * @param e (vec_id, v: array<double>) corpus, dim = m * subDim
     */
   def trainCodebooks(e: DataFrame, m: Int, subDim: Int, k: Int,
-                     iters: Int): DataFrame =
-    trainCodebooksFromSubs(explodeSubvectors(e, m, subDim), k, iters)
-
-  /** Lloyd training over an already-exploded (vec_id, sub, sv) frame —
-    * lets [[topK]] compute (and pin) the subvector explode ONCE for
-    * init + every iteration + the encode pass, instead of re-running
-    * the scan + cast + slice chain per consumer. */
-  private def trainCodebooksFromSubs(subs: DataFrame, k: Int,
-                                     iters: Int): DataFrame = {
-    // Stable seedless init: k lowest-hash rows per subspace.
-    val wInit = Window.partitionBy(col("sub")).orderBy(xxhash64(col("vec_id")), col("vec_id"))
-    var codebook = subs
-      .withColumn("rn", row_number().over(wInit))
-      .filter(col("rn") <= k)
-      .select(col("sub"), (col("rn") - 1).cast("int").as("code"),
-              expr("transform(sv, x -> round(x, 6))").as("cv"))
-    var it = 0
-    while (it < iters) {
-      val assigned = assignCodes(subs, codebook)
-      val prev = codebook
-      codebook = assigned
-        .select(col("sub"), col("code"), posexplode(col("sv")).as(Seq("pos", "x")))
-        .groupBy(col("sub"), col("code"), col("pos"))
-        .agg(round(avg(col("x")), 6).as("cx"))
-        .groupBy(col("sub"), col("code"))
-        .agg(array_sort(collect_list(struct(col("pos"), col("cx")))).as("pairs"))
-        .select(col("sub"), col("code"), expr("transform(pairs, p -> p.cx)").as("cv"))
-        // localCheckpoint: the codebook is m*k tiny rows but anchors
-        // the whole Lloyd chain — without truncation every downstream
-        // reference (encode + the query LUT) re-executes all
-        // iterations from the scan.
-        .localCheckpoint()
-      if (it > 0) Iterate.unpersistCheckpoint(prev)
-      it += 1
-    }
-    codebook
+                     iters: Int): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    trainArray(e, m, subDim, k, iters)
+      .map { case (s, c, cv) => (s, c, cv.toSeq) }
+      .toDF("sub", "code", "cv")
   }
 
-  /** Quantized corpus: (vec_id, sub, code) — the scan-resident form. */
-  def encode(e: DataFrame, codebook: DataFrame, m: Int, subDim: Int): DataFrame =
-    assignCodes(explodeSubvectors(e, m, subDim), codebook)
-      .select(col("vec_id"), col("sub"), col("code"))
+  /** Quantized corpus: (vec_id, sub, code) — the scan-resident form.
+    * The codebook frame is grain-level (m·k rows); it is collected
+    * and applied as a literal-map argmin, so the encode pass is pure
+    * map work over the subvector slices. */
+  def encode(e: DataFrame, codebook: DataFrame, m: Int, subDim: Int): DataFrame = {
+    val cb: Codebook = codebook.select(col("sub"), col("code"), col("cv"))
+      .collect().toSeq
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    encodeWith(explodeSubvectors(e, m, subDim), cb)
+  }
+
+  private def encodeWith(subs: DataFrame, cb: Codebook): DataFrame =
+    subs.select(col("vec_id"), col("sub"),
+                bestCode(element_at(cbMapLit(cb), col("sub")), col("sv")).as("code"))
 
   /** ADC top-k: shortlist by quantized inner product, rescore the
     * shortlist with exact cosine against the full vectors.
@@ -101,15 +189,19 @@ object PqAnn {
     // CORPUS (fact-scale state at 100 TB) to save it; measured 1.03×
     // (neutral) locally with the pin. Checkpoints pay when the shared
     // lineage contains shuffles/windows, not map-only slices.
-    val codebook = trainCodebooks(e, m, subDim, codebookK, iters)
-    val codes = encode(e, codebook, m, subDim)
+    val cb = trainArray(e, m, subDim, codebookK, iters)
+    val cbLit = cbMapLit(cb)
+    val codes = encodeWith(explodeSubvectors(e, m, subDim), cb)
     val q = e.filter(isQuery).select(col("vec_id").as("qid"), col("v").as("qv"))
-    // Per-query LUT: inner product of each query subvector with each codeword.
+    // Per-query LUT: inner product of each query subvector with each
+    // codeword — map-side explode of the literal codebook, no join.
     val lut = explodeSubvectors(q.select(col("qid").as("vec_id"), col("qv").as("v")),
                                 m, subDim)
-      .select(col("vec_id").as("qid"), col("sub").as("q_sub"), col("sv").as("qsv"))
-      .join(broadcast(codebook), col("q_sub") === col("sub"))
-      .select(col("qid"), col("sub"), col("code"), VF.dot(col("qsv"), col("cv")).as("part"))
+      .select(col("vec_id").as("qid"), col("sub"), col("sv").as("qsv"))
+      .select(col("qid"), col("sub"), col("qsv"),
+              explode(element_at(cbLit, col("sub"))).as("c"))
+      .select(col("qid"), col("sub"), col("c.code").as("code"),
+              VF.dot(col("qsv"), col("c.cv")).as("part"))
     // ADC scan: one (sub, code) equi-join + per-(qid, nid) sum.
     val approx = codes
       .join(broadcast(lut), Seq("sub", "code"))
@@ -139,18 +231,4 @@ object PqAnn {
              posexplode(expr(
                s"transform(sequence(0, ${m - 1}), s -> slice(v, s * $subDim + 1, $subDim))"))
                .as(Seq("sub", "sv")))
-
-  /** Argmin over codes as a hash aggregation (`min_by` with a
-    * (distance, code) tie-break struct) — partial aggregation folds
-    * the k candidate rows map-side, where a row_number window would
-    * shuffle-and-sort all n·m·k rows per Lloyd pass. */
-  private def assignCodes(subs: DataFrame, codebook: DataFrame): DataFrame =
-    subs.join(broadcast(codebook), Seq("sub"))
-      .select(col("vec_id"), col("sub"), col("sv"), col("code"),
-              VF.l2sq(col("sv"), col("cv")).as("d2"))
-      .groupBy(col("vec_id"), col("sub"))
-      .agg(min_by(struct(col("code"), col("sv")),
-                  struct(col("d2"), col("code"))).as("best"))
-      .select(col("vec_id"), col("sub"),
-              col("best.code").as("code"), col("best.sv").as("sv"))
 }

@@ -145,9 +145,18 @@ object PrefixScan {
       else size(filter(array(bounds.map(lit(_)): _*),
         b => b < col(orderCol).cast("double")))
     // tracked: the returned plan reads this checkpoint, so release is
-    // only safe at a caller quiesce point — Checkpoints.releaseAll()
-    val parts = Checkpoints.track(ckpt.withColumn("__ps_pid", pidCol)
-      .localCheckpoint(eager = false))
+    // only safe at a caller quiesce point — Checkpoints.releaseAll().
+    // inputPinned: NO second checkpoint — the pid is a pure function
+    // of the orderCol VALUE (the bounds are a collected literal) over
+    // the caller's already-stable LogicalRDD, so the carry collect and
+    // the returned plan cannot disagree however many times the stamp
+    // re-evaluates; a second input-scale materialization would only
+    // double the caller's pinned retention for the life of the query
+    // (round-17 fix of the Ntile/CumeDist/WeightedQuantile double pin).
+    val parts =
+      if (inputPinned) ckpt.withColumn("__ps_pid", pidCol)
+      else Checkpoints.track(ckpt.withColumn("__ps_pid", pidCol)
+        .localCheckpoint(eager = false))
     val wLocal = frame(Window
       .partitionBy(keyCols :+ col("__ps_pid"): _*).orderBy(orderCols: _*))
     // Pin the fact-scale window exchange to the session's

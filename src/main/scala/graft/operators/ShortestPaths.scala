@@ -32,15 +32,43 @@ import org.apache.spark.sql.functions._
   */
 object ShortestPaths {
 
-  def hops(edges: DataFrame, sources: DataFrame, maxHops: Int = 30): DataFrame = {
+  /** @param collectThreshold > 0 asserts (from problem knowledge, e.g.
+    *   a nation-grain graph bounded by construction) that the DISTINCT
+    *   edge set is grain-level: the operator then probes it with one
+    *   `limit(threshold + 1).collect()` and, when it fits, runs the
+    *   BFS on the driver over the collected rows — the carry-literal
+    *   discipline (PrefixScan, PqAnn codebooks): 2-3 Spark jobs PER
+    *   HOP (frontier checkpoint, emptiness probe, union checkpoint)
+    *   collapse to one collect, and per-round job-launch overhead —
+    *   which dominates when the graph is tiny — disappears. Distances
+    *   are identical: BFS is deterministic. Oversized probes (or null
+    *   endpoints / a source column typed differently from the edge
+    *   endpoints, where driver equality could diverge from SQL
+    *   equality) fall back to the distributed loop unchanged. 0 (the
+    *   default) never collects. */
+  def hops(edges: DataFrame, sources: DataFrame, maxHops: Int = 30,
+           collectThreshold: Int = 0): DataFrame = {
     require(maxHops > 0)
     val spark = edges.sparkSession
     import spark.implicits._
 
     val Array(srcName, dstName) = edges.columns.take(2)
-    val e = edges.select(col(srcName).as("src"), col(dstName).as("dst"))
+    val eDistinct = edges.select(col(srcName).as("src"), col(dstName).as("dst"))
       .distinct()
-      .localCheckpoint()
+    val srcT = eDistinct.schema("src").dataType
+    val typesAlign = srcT == eDistinct.schema("dst").dataType &&
+      srcT == sources.schema.head.dataType
+    if (collectThreshold > 0 && typesAlign) {
+      val probe = eDistinct.limit(collectThreshold + 1).collect()
+      if (probe.length <= collectThreshold &&
+          probe.forall(r => !r.isNullAt(0) && !r.isNullAt(1))) {
+        val srcRows = sources
+          .select(col(sources.columns.head).as("node")).distinct().collect()
+        if (srcRows.forall(!_.isNullAt(0)))
+          return hopsLocal(spark, probe, srcRows, maxHops, srcT)
+      }
+    }
+    val e = eDistinct.localCheckpoint()
 
     var dist = sources.select(col(sources.columns.head).as("node")).distinct()
       .withColumn("dist", lit(0L))
@@ -73,5 +101,38 @@ object ShortestPaths {
     if (frontierCkpt != null) Iterate.unpersistCheckpoint(frontierCkpt)
     Iterate.unpersistCheckpoint(e)
     dist
+  }
+
+  /** Driver-side frontier BFS over collected grain-level edges — the
+    * same algorithm the distributed loop runs (frontier expansion
+    * against the settled set; BFS discovers every node at its minimum
+    * hop), so distances are identical by construction. Null endpoints
+    * and nulls in `sources` are excluded by the caller's guards. */
+  private def hopsLocal(spark: org.apache.spark.sql.SparkSession,
+                        edgeRows: Array[org.apache.spark.sql.Row],
+                        srcRows: Array[org.apache.spark.sql.Row],
+                        maxHops: Int,
+                        nodeType: org.apache.spark.sql.types.DataType): DataFrame = {
+    val adj = edgeRows.groupBy(_.get(0)).map { case (k, rs) => k -> rs.map(_.get(1)) }
+    val dist = scala.collection.mutable.HashMap[Any, Long]()
+    var frontier = srcRows.map(_.get(0)).toSet
+    frontier.foreach(n => dist(n) = 0L)
+    var hop = 0L
+    while (frontier.nonEmpty && hop < maxHops) {
+      hop += 1
+      val next = frontier.iterator
+        .flatMap(n => adj.getOrElse(n, Array.empty[Any]))
+        .filterNot(dist.contains).toSet
+      next.foreach(n => dist(n) = hop)
+      frontier = next
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("node", nodeType, nullable = true),
+      org.apache.spark.sql.types.StructField("dist",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    val rows = dist.toSeq.map { case (n, d) =>
+      org.apache.spark.sql.Row(n, d) }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), schema)
   }
 }

@@ -616,15 +616,17 @@ object Catalog {
         // pinned: the q side and the candidate side both read this
         // frame, and un-pinned each re-evaluated the 96-hyperplane
         // bucketing expression (16 tables × 6 bits of dot products —
-        // the final plan carried the Generate twice, q141's class)
-        val e = graft.operators.Checkpoints.track(
+        // the final plan carried the Generate twice, q141's class).
+        // SIZE-GUARDED (round 17): the frame is the 16×-exploded
+        // (vec_id, bucket) corpus — fact-scale at 100 TB; the guard
+        // pins at sf0.1 and falls back to recompute at scale
+        val e = graft.operators.Checkpoints.pinIfSmall(
           t(s, dir, "embeddings")
             .filter(VF.usableVec($"embedding")) // zero-norm/empty: no geometry (ANSI /0)
             .select($"vec_id", VF.asDouble($"embedding").as("v"))
             .withColumn("bucket",
               explode(VF.hyperplaneBuckets($"v", bits = 6, tables = 16)))
-            .select($"vec_id", $"bucket")
-            .localCheckpoint(eager = false))
+            .select($"vec_id", $"bucket"))
         val q = e.filter($"vec_id" < 10)
           .select($"vec_id".as("qid"), $"bucket")
         val cands = e.select($"vec_id".as("nid"), $"bucket")
@@ -4744,7 +4746,12 @@ object Catalog {
           .select($"un", $"vn")
         val src = t(s, dir, "nation").filter($"n_nationkey" === 0)
           .select($"n_nationkey".as("node"))
-        graft.operators.ShortestPaths.hops(e, src)
+        // collectThreshold: the edge set is nation-grain BY
+        // CONSTRUCTION (rk <= 2 out-edges per nation, |nation| = 25 at
+        // every SF — TPC-H's fixed dimension), so the BFS runs on the
+        // driver in one collect instead of 2-3 jobs per hop; distances
+        // identical (round 17, oracle-checked)
+        graft.operators.ShortestPaths.hops(e, src, collectThreshold = 4096)
           .join(broadcast(t(s, dir, "nation")), $"node" === $"n_nationkey")
           .select($"n_name", $"dist")
           .orderBy($"dist", $"n_name")
@@ -5484,18 +5491,16 @@ object Catalog {
       "q147_label_prop",
       (s, dir) => {
         import s.implicits._
-        // NOT pinned despite the symmetrize union consuming this
-        // subplan twice: measured +22% WITH a localCheckpoint here
-        // (alternating A/B, min-of-3 at sf0.1) — the blocking
-        // materialization of the distinct edge set costs more than the
-        // second straight-line execution, matching the operator's own
-        // single-round no-checkpoint posture.
+        // NOT pinned (measured +22% with a localCheckpoint here, r16
+        // A/B) and NOT distinct'd here (round 17): LabelPropagation
+        // dedups undirected edges itself on the canonical orientation
+        // (Symmetrize.undirected), so a distinct at this site was a
+        // second full exchange of the edge set for the same row set.
         val edges = t(s, dir, "lineitem").select($"l_orderkey", $"l_suppkey")
           .join(t(s, dir, "orders").select($"o_orderkey", $"o_custkey"),
                 $"l_orderkey" === $"o_orderkey")
           .select($"l_suppkey".cast("long").as("src"),
                   ($"o_custkey" + 1000000L).as("dst"))
-          .distinct()
         val seeds = t(s, dir, "supplier")
           .select($"s_suppkey".cast("long").as("node"),
                   $"s_nationkey".cast("long").as("lbl"))
@@ -5537,11 +5542,13 @@ object Catalog {
         // counts, per-lang totals, the vocabulary, the priors) — each
         // re-ran the scan + tokenize + explode un-pinned, because the
         // consumers broadcast or take different aggregation keys (no
-        // reusable exchange)
-        val tr = graft.operators.Checkpoints.track(
+        // reusable exchange). SIZE-GUARDED (round 17): the frame is
+        // the exploded token stream — fact-scale at 100 TB, where
+        // materializing it to save a map-only re-tokenize is the
+        // wrong trade; the guard pins at sf0.1 and recomputes at scale
+        val tr = graft.operators.Checkpoints.pinIfSmall(
           docs.filter($"doc_id" % 5 =!= 0)
-            .select($"doc_id", $"lang", explode(TF.tokens($"text")).as("tok"))
-            .localCheckpoint(eager = false))
+            .select($"doc_id", $"lang", explode(TF.tokens($"text")).as("tok")))
         val cnt = tr.groupBy($"lang", $"tok").agg(count(lit(1)).as("n"))
         val tot = tr.groupBy($"lang").agg(count(lit(1)).as("t"))
         val vocab = tr.select($"tok").distinct()
